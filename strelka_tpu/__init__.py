@@ -1,0 +1,27 @@
+"""strelka_tpu — a TPU-native small-variant calling engine.
+
+A brand-new implementation of the capabilities of Strelka2
+(Illumina/strelka, surveyed in SURVEY.md) designed TPU-first:
+
+- batched, padded tensor programs over active-region tiles instead of
+  the reference's per-position streaming engine
+  (reference: starling_pos_processor_base.cpp)
+- per-read likelihood evaluation as Pallas MXU kernels over
+  read x haplotype tiles (reference: starling_read_align_score.cpp)
+- genotyping/posterior models as vmapped dense tensor ops
+  (reference: position_snp_call_pprob_digt.cpp, AlleleGroupGenotype.cpp,
+  qscore_calculator.cpp)
+- genome sharding over a jax.sharding.Mesh with halo'd region tiles
+  instead of pyflow process fan-out.
+"""
+
+import jax as _jax
+
+# Likelihood accumulation is float32 (the reference's blt_float_t is
+# float, blt_util/blt_types.hh:27) but posterior normalization uses
+# float64 (position_snp_call_pprob_digt.cpp:419 stores pprob as double).
+# The tiny [loci, genotypes] posterior math is negligible on TPU; hot
+# kernels pin f32/bf16 explicitly.
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

@@ -1,0 +1,216 @@
+"""BAM reader producing struct-of-arrays read batches.
+
+Replaces the reference's htslib-backed `bam_streamer`/`bam_record`
+(htsapi/bam_streamer.hh, bam_record.hh). Reads are decoded straight into
+numpy struct-of-arrays (codes, quals, cigars as ragged arrays with
+offsets) — the layout downstream tiling code pads into device tensors —
+rather than per-record C structs walked one at a time.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .bgzf import decompress_file
+from .fasta import BASE_N
+
+# BAM 4-bit seq nibble -> engine base code (A=0 C=1 G=2 T=3 N=4)
+# nibble index string is "=ACMGRSVTWYHKDBN" (SAM spec)
+_NIB_TO_CODE = np.full(16, BASE_N, dtype=np.uint8)
+_NIB_TO_CODE[1] = 0  # A
+_NIB_TO_CODE[2] = 1  # C
+_NIB_TO_CODE[4] = 2  # G
+_NIB_TO_CODE[8] = 3  # T
+
+# sam flags (sam.h)
+FLAG_PAIRED = 0x1
+FLAG_PROPER_PAIR = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_READ1 = 0x40
+FLAG_READ2 = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_QC_FAIL = 0x200
+FLAG_DUPLICATE = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+
+@dataclass
+class BamHeader:
+    text: str
+    ref_names: list[str]
+    ref_lengths: list[int]
+
+    def tid_of(self, name: str) -> int:
+        return self.ref_names.index(name)
+
+
+@dataclass
+class ReadBatch:
+    """Struct-of-arrays batch of alignment records.
+
+    Ragged per-read data (seq, qual, cigar) is stored concatenated with
+    [n+1] offset arrays, ready for padded-tile gather onto device.
+    """
+    n: int = 0
+    names: list[str] = field(default_factory=list)
+    tid: np.ndarray = field(default_factory=lambda: np.empty(0, np.int32))
+    pos: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    mapq: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint8))
+    flag: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint16))
+    mate_tid: np.ndarray = field(default_factory=lambda: np.empty(0, np.int32))
+    mate_pos: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    tlen: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    seq: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint8))
+    qual: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint8))
+    seq_off: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int64))
+    cig_ops: np.ndarray = field(default_factory=lambda: np.empty(0, np.int8))
+    cig_lens: np.ndarray = field(default_factory=lambda: np.empty(0, np.int32))
+    cig_off: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int64))
+
+    def read_len(self, i: int) -> int:
+        return int(self.seq_off[i + 1] - self.seq_off[i])
+
+    def get_seq(self, i: int) -> np.ndarray:
+        return self.seq[self.seq_off[i]:self.seq_off[i + 1]]
+
+    def get_qual(self, i: int) -> np.ndarray:
+        return self.qual[self.seq_off[i]:self.seq_off[i + 1]]
+
+    def get_cigar(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        s, e = self.cig_off[i], self.cig_off[i + 1]
+        return self.cig_ops[s:e], self.cig_lens[s:e]
+
+    def select(self, mask_or_idx) -> "ReadBatch":
+        idx = np.asarray(mask_or_idx)
+        if idx.dtype == bool:
+            idx = np.nonzero(idx)[0]
+        out = ReadBatch()
+        out.n = len(idx)
+        out.names = [self.names[i] for i in idx]
+        for fld in ("tid", "pos", "mapq", "flag", "mate_tid", "mate_pos", "tlen"):
+            setattr(out, fld, getattr(self, fld)[idx])
+        # rebuild ragged arrays
+        seq_parts, qual_parts, op_parts, len_parts = [], [], [], []
+        seq_off = [0]
+        cig_off = [0]
+        for i in idx:
+            seq_parts.append(self.get_seq(i))
+            qual_parts.append(self.get_qual(i))
+            o, l = self.get_cigar(i)
+            op_parts.append(o)
+            len_parts.append(l)
+            seq_off.append(seq_off[-1] + len(seq_parts[-1]))
+            cig_off.append(cig_off[-1] + len(o))
+        out.seq = np.concatenate(seq_parts) if seq_parts else np.empty(0, np.uint8)
+        out.qual = np.concatenate(qual_parts) if qual_parts else np.empty(0, np.uint8)
+        out.cig_ops = np.concatenate(op_parts) if op_parts else np.empty(0, np.int8)
+        out.cig_lens = np.concatenate(len_parts) if len_parts else np.empty(0, np.int32)
+        out.seq_off = np.array(seq_off, dtype=np.int64)
+        out.cig_off = np.array(cig_off, dtype=np.int64)
+        return out
+
+
+def read_bam(path: str) -> tuple[BamHeader, ReadBatch]:
+    """Decode a whole BAM file (streaming decode of all records)."""
+    data = decompress_file(path)
+    if data[:4] != b"BAM\x01":
+        raise ValueError(f"{path}: not a BAM file")
+    off = 4
+    (l_text,) = struct.unpack_from("<i", data, off)
+    off += 4
+    text = data[off:off + l_text].rstrip(b"\x00").decode()
+    off += l_text
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    ref_names, ref_lengths = [], []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, off)
+        off += 4
+        ref_names.append(data[off:off + l_name - 1].decode())
+        off += l_name
+        (l_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        ref_lengths.append(l_ref)
+    header = BamHeader(text, ref_names, ref_lengths)
+
+    names: list[str] = []
+    tids: list[int] = []
+    poss: list[int] = []
+    mapqs: list[int] = []
+    flags: list[int] = []
+    mtids: list[int] = []
+    mposs: list[int] = []
+    tlens: list[int] = []
+    seq_parts: list[np.ndarray] = []
+    qual_parts: list[np.ndarray] = []
+    op_parts: list[np.ndarray] = []
+    len_parts: list[np.ndarray] = []
+    seq_off = [0]
+    cig_off = [0]
+
+    total = len(data)
+    rec = struct.Struct("<iiiBBHHHiiii")
+    while off < total:
+        (block_size,) = struct.unpack_from("<i", data, off)
+        off += 4
+        end = off + block_size
+        (refID, pos, l_rn_packed, mapq, _bin, n_cigar, flag, l_seq,
+         next_refID, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", data, off)
+        p = off + 32
+        name = data[p:p + l_rn_packed - 1].decode()
+        p += l_rn_packed
+        cig = np.frombuffer(data, dtype="<u4", count=n_cigar, offset=p)
+        p += 4 * n_cigar
+        nyb = np.frombuffer(data, dtype=np.uint8, count=(l_seq + 1) // 2, offset=p)
+        p += (l_seq + 1) // 2
+        q = np.frombuffer(data, dtype=np.uint8, count=l_seq, offset=p)
+        p += l_seq
+        # tags in data[p:end] — skipped for now
+        off = end
+
+        hi = _NIB_TO_CODE[nyb >> 4]
+        lo = _NIB_TO_CODE[nyb & 0xF]
+        seq = np.empty(2 * len(nyb), dtype=np.uint8)
+        seq[0::2] = hi
+        seq[1::2] = lo
+        seq = seq[:l_seq]
+
+        names.append(name)
+        tids.append(refID)
+        poss.append(pos)
+        mapqs.append(mapq)
+        flags.append(flag)
+        mtids.append(next_refID)
+        mposs.append(next_pos)
+        tlens.append(tlen)
+        seq_parts.append(seq)
+        qual_parts.append(q.copy())
+        op_parts.append((cig & 0xF).astype(np.int8))
+        len_parts.append((cig >> 4).astype(np.int32))
+        seq_off.append(seq_off[-1] + l_seq)
+        cig_off.append(cig_off[-1] + n_cigar)
+    del rec
+
+    batch = ReadBatch(
+        n=len(names),
+        names=names,
+        tid=np.array(tids, np.int32),
+        pos=np.array(poss, np.int64),
+        mapq=np.array(mapqs, np.uint8),
+        flag=np.array(flags, np.uint16),
+        mate_tid=np.array(mtids, np.int32),
+        mate_pos=np.array(mposs, np.int64),
+        tlen=np.array(tlens, np.int64),
+        seq=np.concatenate(seq_parts) if seq_parts else np.empty(0, np.uint8),
+        qual=np.concatenate(qual_parts) if qual_parts else np.empty(0, np.uint8),
+        seq_off=np.array(seq_off, np.int64),
+        cig_ops=np.concatenate(op_parts) if op_parts else np.empty(0, np.int8),
+        cig_lens=np.concatenate(len_parts) if len_parts else np.empty(0, np.int32),
+        cig_off=np.array(cig_off, np.int64),
+    )
+    return header, batch

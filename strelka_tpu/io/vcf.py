@@ -1,0 +1,75 @@
+"""VCF reading (candidate indels, forced-GT, noise panels) and writing.
+
+Reference analog: htsapi/vcf_streamer.hh|cpp + vcf_record parsing, plus
+the VCF emission helpers spread through the applications. Text handling
+stays host-side by design — only likelihood tensors go to device.
+"""
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass, field
+
+
+@dataclass
+class VcfRecord:
+    chrom: str
+    pos: int  # 0-based internal (VCF text is 1-based)
+    id: str
+    ref: str
+    alts: list[str]
+    qual: str
+    filter: str
+    info: str
+    samples: list[str] = field(default_factory=list)
+    format: str = ""
+
+    def is_indel(self) -> bool:
+        return any(len(a) != len(self.ref) for a in self.alts if a not in (".", "<*>"))
+
+    def is_snv(self) -> bool:
+        return len(self.ref) == 1 and any(len(a) == 1 and a != "." for a in self.alts)
+
+
+def _open_maybe_gz(path: str):
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rt")
+    return open(path)
+
+
+def read_vcf(path: str, region: tuple[str, int, int] | None = None):
+    """Yield VcfRecord from a (optionally bgzipped) VCF file."""
+    with _open_maybe_gz(path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.rstrip("\n").split("\t")
+            chrom, pos1, vid, ref, alt = fields[:5]
+            pos = int(pos1) - 1
+            if region is not None:
+                rchrom, rbeg, rend = region
+                if chrom != rchrom or pos < rbeg or pos >= rend:
+                    continue
+            rec = VcfRecord(
+                chrom=chrom, pos=pos, id=vid, ref=ref,
+                alts=alt.split(","),
+                qual=fields[5] if len(fields) > 5 else ".",
+                filter=fields[6] if len(fields) > 6 else ".",
+                info=fields[7] if len(fields) > 7 else ".",
+                format=fields[8] if len(fields) > 9 else "",
+                samples=fields[9:] if len(fields) > 9 else [],
+            )
+            yield rec
+
+
+def format_vcf_line(rec: VcfRecord) -> str:
+    cols = [
+        rec.chrom, str(rec.pos + 1), rec.id or ".", rec.ref,
+        ",".join(rec.alts) if rec.alts else ".",
+        rec.qual, rec.filter, rec.info,
+    ]
+    if rec.samples:
+        cols.append(rec.format)
+        cols.extend(rec.samples)
+    return "\t".join(cols)

@@ -1,0 +1,272 @@
+"""Batched diploid SNV genotyping model.
+
+TPU-native re-design of the reference's per-position SNP caller
+(reference: blt_common/position_snp_call_pprob_digt.cpp
+get_diploid_gt_lhood / calculate_result_set /
+position_snp_call_pprob_digt). The per-basecall loops become one
+einsum over padded [loci, depth] pileup tiles:
+
+    lhood[l,g] = sum_d  val[l,d, expect2(obs[l,d], g)]
+
+with val[0]=ln(e/3), val[1]=ln(ce + (1-ce)/3) - ln 2, val[2]=ln(1-e),
+expressed as W[l,d,(obs,k)] @ T[(obs,k),g] so the genotype reduction
+rides the MXU. Strand-bias recomputation and the polymorphic/genomic
+prior products are all batched over loci.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import digt
+
+LN_ONE_THIRD = float(np.log(1.0 / 3.0))
+LN_ONE_HALF = float(np.log(0.5))
+
+
+# ---------------------------------------------------------------------------
+# priors (pprob_digt_caller ctor: get_genomic_prior / get_poly_prior /
+# haploid variants + finish_prior averaging for ref=N)
+# ---------------------------------------------------------------------------
+
+def _genomic_prior(ref_gt: int, theta: float) -> np.ndarray:
+    prior = np.zeros(digt.SIZE)
+    s = 0.0
+    for gt in range(digt.SIZE):
+        if gt == ref_gt:
+            continue
+        p = theta / 3.0
+        if digt.IS_HET[gt]:
+            if digt.EXPECT[gt, ref_gt] <= 0.0:
+                p *= theta
+        else:
+            p *= 0.5
+        prior[gt] = p
+        s += p
+    prior[ref_gt] = 1.0 - s
+    return prior
+
+
+def _haploid_genomic_prior(ref_gt: int, theta: float) -> np.ndarray:
+    prior = np.zeros(digt.SIZE)
+    s = 0.0
+    for gt in range(digt.SIZE):
+        if gt == ref_gt:
+            continue
+        prior[gt] = 0.0 if digt.IS_HET[gt] else theta / 3.0
+        s += prior[gt]
+    prior[ref_gt] = 1.0 - s
+    return prior
+
+
+def _poly_prior(ref_gt: int, theta: float) -> np.ndarray:
+    prior = np.zeros(digt.SIZE)
+    ctheta = 1.0 - theta
+    for gt in range(digt.SIZE):
+        if gt == ref_gt:
+            prior[gt] = 0.25 * ctheta
+        elif digt.IS_HET[gt]:
+            if digt.EXPECT[gt, ref_gt] <= 0.0:
+                prior[gt] = theta / 3.0
+            else:
+                prior[gt] = 0.5 / 3.0 * ctheta
+        else:
+            prior[gt] = 0.25 / 3.0 * ctheta
+    return prior
+
+
+def _haploid_poly_prior(ref_gt: int, theta: float) -> np.ndarray:
+    prior = np.zeros(digt.SIZE)
+    for gt in range(digt.SIZE):
+        if gt == ref_gt:
+            prior[gt] = 0.5
+        elif digt.IS_HET[gt]:
+            prior[gt] = 0.0
+        else:
+            prior[gt] = 0.5 / 3.0
+    return prior
+
+
+@functools.lru_cache(maxsize=8)
+def make_ln_priors(theta: float):
+    """[5, 10] ln prior tables indexed by ref base id (4 = N = average).
+
+    Returns dict with 'genome', 'poly', 'genome_haploid', 'poly_haploid'.
+    """
+    out = {}
+    for key, fn in (
+        ("genome", _genomic_prior), ("poly", _poly_prior),
+        ("genome_haploid", _haploid_genomic_prior),
+        ("poly_haploid", _haploid_poly_prior),
+    ):
+        table = np.stack([fn(r, theta) for r in range(digt.N_BASE)])
+        navg = table.mean(axis=0)
+        navg /= navg.sum()
+        table = np.vstack([table, navg[None, :]])
+        with np.errstate(divide="ignore"):
+            out[key] = np.log(table)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the (obs, k) -> gt selection tensor for the einsum formulation
+# ---------------------------------------------------------------------------
+
+def _build_t12() -> np.ndarray:
+    """T[(obs*3 + k), g] = 1 iff expect2(obs, g) == k."""
+    t = np.zeros((digt.N_BASE * 3, digt.SIZE), dtype=np.float32)
+    for obs in range(digt.N_BASE):
+        for g in range(digt.SIZE):
+            k = digt.EXPECT2[g, obs]
+            t[obs * 3 + k, g] = 1.0
+    return t
+
+
+T12 = _build_t12()
+
+
+class SnvPileupTile(NamedTuple):
+    """Padded pileup tile: [L, D] arrays."""
+    base_id: jnp.ndarray   # int8/int32 in 0..3 (invalid lanes masked)
+    qual: jnp.ndarray      # int32 phred
+    is_fwd: jnp.ndarray    # bool
+    mask: jnp.ndarray      # bool — lane holds a used basecall
+    ref_gt: jnp.ndarray    # [L] int32, 0..4 (4 = N)
+
+
+class SnvCallResult(NamedTuple):
+    lhood: jnp.ndarray           # [L, 10] genotype log likelihoods
+    genome_pprob: jnp.ndarray    # [L, 10] genomic posterior (linear)
+    poly_pprob: jnp.ndarray      # [L, 10] polymorphic posterior (linear)
+    genome_max_gt: jnp.ndarray   # [L]
+    poly_max_gt: jnp.ndarray     # [L]
+    snv_qphred: jnp.ndarray      # [L] Q(snp) from genomic ref pprob
+    genome_max_gt_qphred: jnp.ndarray  # [L]
+    poly_max_gt_qphred: jnp.ndarray    # [L]
+    phred_loghood: jnp.ndarray   # [L, 10] PL values
+    strand_bias: jnp.ndarray     # [L]
+
+
+def _call_vals(qual, eprob_floor: float = 1e-35):
+    """Per-call val[·,·,3] table (get_diploid_gt_lhood val[0..2]).
+
+    float32 to match the reference's blt_float_t accumulation.
+    """
+    e = jnp.power(10.0, -qual.astype(jnp.float32) / 10.0)
+    ce = 1.0 - e
+    v0 = jnp.log(jnp.maximum(e, eprob_floor)) + LN_ONE_THIRD
+    v1 = jnp.log(ce + (1.0 - ce) / 3.0) + LN_ONE_HALF
+    v2 = jnp.log(jnp.maximum(ce, eprob_floor))
+    return jnp.stack([v0, v1, v2], axis=-1)
+
+
+def _masked_lhood(base_id, vals, mask, force_ref=None, ref_gt=None):
+    """lhood[l,g] via the W @ T12 einsum.
+
+    When force_ref is given (bool [L,D]), those calls use the genotype
+    column fixed to ref_gt (strand-bias recomputation semantics,
+    position_snp_call_pprob_digt.cpp:356-361).
+    """
+    L, D = base_id.shape
+    obs_onehot = jax.nn.one_hot(base_id, digt.N_BASE, dtype=vals.dtype)  # [L,D,4]
+    w = obs_onehot[..., :, None] * vals[..., None, :]                     # [L,D,4,3]
+    w = w.reshape(L, D, digt.N_BASE * 3)
+    w = w * mask[..., None].astype(vals.dtype)
+    t12 = jnp.asarray(T12, dtype=vals.dtype)
+    # HIGHEST precision: keep f32 accumulation exact on the MXU (the
+    # selection matmul is tiny; throughput is dominated elsewhere)
+    lhood_free = jnp.einsum("ldm,mg->lg", w, t12,
+                            precision=jax.lax.Precision.HIGHEST)           # [L,10]
+    if force_ref is None:
+        return lhood_free
+    # forced calls contribute val[expect2(obs, ref_gt)], const over g
+    ref_clamped = jnp.minimum(ref_gt, digt.N_BASE - 1)
+    exp2 = jnp.asarray(digt.EXPECT2, dtype=jnp.int32)                      # [10,4]
+    k_forced = exp2[ref_clamped[:, None], base_id]                         # [L,D]
+    v_forced = jnp.take_along_axis(vals, k_forced[..., None], axis=-1)[..., 0]
+    use_forced = force_ref & mask
+    use_free = (~force_ref) & mask
+    lhood_f = jnp.einsum(
+        "ldm,mg->lg",
+        (obs_onehot[..., :, None] * vals[..., None, :]).reshape(L, D, 12)
+        * use_free[..., None].astype(vals.dtype),
+        t12,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    forced_sum = jnp.sum(v_forced * use_forced.astype(vals.dtype), axis=1)
+    return lhood_f + forced_sum[:, None]
+
+
+def _result_set(lhood, ln_prior, ref_gt):
+    """posterior + Q from lhood and prior (calculate_result_set).
+
+    Posterior math in float64 like the reference (pprob is double).
+    """
+    pp = lhood.astype(jnp.float64) + ln_prior
+    mx = jnp.max(pp, axis=-1, keepdims=True)
+    p = jnp.exp(pp - mx)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    max_gt = jnp.argmax(pp, axis=-1)
+    ref_pprob = jnp.take_along_axis(p, ref_gt[:, None], axis=-1)[:, 0]
+    # prob_comp: 1 - p[max] as sum of complement
+    total = jnp.sum(p, axis=-1)
+    pmax = jnp.take_along_axis(p, max_gt[:, None], axis=-1)[:, 0]
+    comp = jnp.maximum(total - pmax, 0.0)
+    tiny = jnp.finfo(jnp.float64).tiny
+    q_ref = jnp.minimum(jnp.round(-10.0 * jnp.log10(jnp.maximum(ref_pprob, tiny))), 999)
+    q_max = jnp.minimum(jnp.round(-10.0 * jnp.log10(jnp.maximum(comp, tiny))), 999)
+    return p, max_gt, q_ref.astype(jnp.int32), q_max.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("theta",))
+def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
+                  is_haploid: jnp.ndarray | None = None) -> SnvCallResult:
+    """Batched equivalent of position_snp_call_pprob_digt over a tile.
+
+    is_haploid: optional [L] bool selecting haploid priors per locus
+    (ploidy regions, ploidy_util.hh).
+    """
+    priors = make_ln_priors(theta)
+    ref_gt = tile.ref_gt.astype(jnp.int32)
+    vals = _call_vals(tile.qual)
+    mask = tile.mask
+
+    lhood = _masked_lhood(tile.base_id.astype(jnp.int32), vals, mask)
+
+    gen_prior = jnp.asarray(priors["genome"])[ref_gt]
+    poly_prior = jnp.asarray(priors["poly"])[ref_gt]
+    if is_haploid is not None:
+        gen_prior = jnp.where(
+            is_haploid[:, None], jnp.asarray(priors["genome_haploid"])[ref_gt], gen_prior)
+        poly_prior = jnp.where(
+            is_haploid[:, None], jnp.asarray(priors["poly_haploid"])[ref_gt], poly_prior)
+
+    ref_clamped = jnp.minimum(ref_gt, digt.N_BASE - 1)
+    g_p, g_max, g_qref, g_qmax = _result_set(lhood, gen_prior, ref_clamped)
+    p_p, p_max, _p_qref, p_qmax = _result_set(lhood, poly_prior, ref_clamped)
+
+    # PLs (position_snp_call_pprob_digt.cpp:498-511)
+    lmax = jnp.max(lhood, axis=-1, keepdims=True)
+    pl = jnp.clip(jnp.round(-10.0 * (lhood - lmax) / np.log(10.0)), 0, 999).astype(jnp.int32)
+
+    # strand bias: forced-ref recomputation per strand (:520-534)
+    lhood_fwd = _masked_lhood(tile.base_id.astype(jnp.int32), vals, mask,
+                              force_ref=~tile.is_fwd, ref_gt=ref_clamped)
+    lhood_rev = _masked_lhood(tile.base_id.astype(jnp.int32), vals, mask,
+                              force_ref=tile.is_fwd, ref_gt=ref_clamped)
+    tgt = g_max
+    lf = jnp.take_along_axis(lhood_fwd, tgt[:, None], axis=-1)[:, 0]
+    lr = jnp.take_along_axis(lhood_rev, tgt[:, None], axis=-1)[:, 0]
+    lt = jnp.take_along_axis(lhood, tgt[:, None], axis=-1)[:, 0]
+    sb = jnp.maximum(lf, lr) - lt
+
+    return SnvCallResult(
+        lhood=lhood, genome_pprob=g_p, poly_pprob=p_p,
+        genome_max_gt=g_max, poly_max_gt=p_max,
+        snv_qphred=g_qref, genome_max_gt_qphred=g_qmax,
+        poly_max_gt_qphred=p_qmax, phred_loghood=pl, strand_bias=sb,
+    )

@@ -1,0 +1,118 @@
+"""Engine options as frozen dataclasses.
+
+Reference analog: the three-level config system described in SURVEY.md §5
+(blt_common/blt_shared.hh, starling_common/starling_base_shared.hh,
+applications/starling/starling_shared.hh, strelka_option_parser.cpp).
+Defaults mirror the reference's compiled-in values plus the flags the
+workflow layer always passes (strelkaGermlineWorkflow.py:94-100).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class BaseOptions:
+    """reference: blt_common/blt_shared.hh blt_options"""
+    bsnp_diploid_theta: float = 0.001          # blt_shared.hh:82
+    min_qscore: int = 17                       # blt_shared.hh min_qscore default
+    min_mapping_quality: int = 20              # workflow --min-mapping-quality default (minMapq ini)
+    het_variant_frequency_extension: float = 0.0   # blt_shared.hh:91 (RNA mode: 0.45)
+    max_het_variant_frequency_increment: float = 0.0501  # blt_shared.hh:105
+    max_win_mismatch: int = 2                  # MMDF: max mismatches
+    max_win_mismatch_flank_size: int = 20      # in +/-20bp window (methods.tex:481)
+    is_ignore_anom_proper_pair: bool = True
+    # dependent-error (off by default; bsnp_ssd_* = 0, blt_shared.hh:83-84)
+    bsnp_ssd_no_mismatch: float = 0.0
+    bsnp_ssd_one_mismatch: float = 0.0
+
+
+@dataclass
+class StarlingBaseOptions(BaseOptions):
+    """reference: starling_common/starling_base_shared.hh"""
+    bindel_diploid_theta: float = 0.0001       # :95
+    default_min_read_bp_flank: int = 5         # :108
+    max_indel_size: int = 49                   # :124 / configure ini maxIndelSize
+    indel_candidate_signal_test_alpha: float = 1e-9  # :137
+    max_read_indel_toggle: int = 5             # :139
+    max_candidate_indel_density: float = 0.15  # :145 (per base)
+    max_candidate_indel_depth_factor: float = 3.0  # :154
+    min_candidate_indel_open_length: int = 20  # :157
+    max_realignment_candidates: int = 5000     # :160
+    random_base_match_prob: float = 0.25       # :177
+    min_het_vf: float = 0.01                   # :188
+    is_remap_input_softclip: bool = False
+    min_vexp: float = 0.25
+    # sample-contig-tier2 options (Tier2Options.hh)
+    tier2_min_mapping_quality: int = 0
+
+
+@dataclass
+class GermlineOptions(StarlingBaseOptions):
+    """reference: applications/starling/starling_shared.hh +
+    flags set by strelkaGermlineWorkflow.py:94-100."""
+    gvcf_min_gqx: float = 15.0
+    gvcf_min_homref_gqx: float = 15.0
+    gvcf_max_snv_strand_bias: float = 10.0
+    is_compute_somatic: bool = False
+    enable_read_backed_phasing: bool = True
+    # gvcf block compression (gvcf_options in gvcf_locus_info.hh)
+    block_abs_tol: int = 3
+    block_frac_tol: float = 0.3
+    block_label: str = "BLOCKAVG_min30p3a"
+    gvcf_block_max_nonref: float = 0.2
+    # high depth filter
+    max_depth_factor: float = 3.0
+    is_depth_filter: bool = False
+    # EVS
+    snv_scoring_model_file: str | None = None
+    indel_scoring_model_file: str | None = None
+    # ploidy
+    is_haploid: bool = False
+    call_continuous_vf: bool = False
+    # continuous caller (starling_base_shared.hh:192-195)
+    continuous_frequency_expected_observation_quality: int = 17
+    continuous_frequency_max_qscore: int = 40
+
+
+@dataclass
+class SomaticOptions(StarlingBaseOptions):
+    """reference: applications/strelka/strelka_shared.hh"""
+    somatic_snv_rate: float = 0.000001         # strelka_shared.hh ssnv_prior
+    shared_site_error_rate: float = 5e-7
+    shared_site_error_strand_bias_fraction: float = 0.5
+    site_somatic_normal_noise_rate: float = 0.0005
+    somatic_indel_rate: float = 0.000001
+    shared_indel_error_factor: float = 1.4
+    indel_somatic_normal_noise_rate: float = 0.0001
+    normal_sample_min_read_bp_flank: int = 1
+    somatic_snv_max_filtered_basecall_frac: float = 0.4
+    somatic_snv_max_spanning_deletion_frac: float = 0.75
+    somatic_snv_min_qss_ref: int = 15
+    somatic_indel_max_depth_factor: float = 3.0
+    somatic_indel_max_ref_repeat: int = 8
+    somatic_indel_max_int_hpol_length: int = 14
+    somatic_indel_max_window_filtered_basecall_frac: float = 0.3
+    somatic_indel_min_qsi_ref: int = 30
+    # tier2 relaxations (Tier2Options.hh)
+    tier2_min_single_align_score: int = 0
+    tier2_mismatch_density_filter_count: int = 10
+    tier2_include_singleton: bool = True
+    tier2_include_anomalous: bool = True
+
+
+@dataclass
+class RunPaths:
+    """Run-level file inputs (align files, reference, regions)."""
+    reference_fasta: str = ""
+    align_files: list[str] = field(default_factory=list)
+    tumor_align_file: str = ""
+    normal_align_file: str = ""
+    candidate_indel_vcfs: list[str] = field(default_factory=list)
+    forced_gt_vcfs: list[str] = field(default_factory=list)
+    call_regions_bed: str | None = None
+    nocompress_bed: str | None = None
+    ploidy_vcf: str | None = None
+    noise_vcfs: list[str] = field(default_factory=list)
+    output_dir: str = "results"
+    regions: list[str] = field(default_factory=list)

@@ -1,0 +1,151 @@
+"""Validate the batched SNV caller against a direct scalar port of the
+reference math (position_snp_call_pprob_digt.cpp), the same way the
+reference unit-tests its caller with synthetic pileups."""
+import numpy as np
+import pytest
+
+import strelka_tpu  # noqa: F401  (enables x64)
+from strelka_tpu.models import digt, snv_digt
+
+import jax.numpy as jnp
+
+
+def scalar_lhood(base_ids, quals, ref_gt=None, force_ref_mask=None):
+    """Direct scalar transcription of get_diploid_gt_lhood."""
+    lhood = np.zeros(digt.SIZE, dtype=np.float32)
+    ln3 = np.float32(np.log(1 / 3))
+    ln2 = np.float32(np.log(0.5))
+    for obs, q, forced in zip(
+        base_ids, quals,
+        force_ref_mask if force_ref_mask is not None else [False] * len(base_ids),
+    ):
+        e = np.float32(10.0 ** (-q / 10))
+        ce = np.float32(1.0 - e)
+        val = np.array([
+            np.log(e) + ln3,
+            np.log(ce + (1 - ce) / 3) + ln2,
+            np.log(ce),
+        ], dtype=np.float32)
+        for gt in range(digt.SIZE):
+            g = ref_gt if forced else gt
+            lhood[gt] += val[digt.EXPECT2[g, obs]]
+    return lhood
+
+
+def scalar_result_set(lhood, ln_prior, ref_gt):
+    pp = lhood.astype(np.float64) + ln_prior
+    mx = pp.max()
+    p = np.exp(pp - mx)
+    p /= p.sum()
+    max_gt = int(np.argmax(pp))
+    comp = p.sum() - p[max_gt]
+    q_ref = min(999, round(-10 * np.log10(max(p[ref_gt], 1e-300))))
+    q_max = min(999, round(-10 * np.log10(max(comp, 1e-300))))
+    return p, max_gt, q_ref, q_max
+
+
+def make_tile(columns):
+    """columns: list of (base_ids, quals, fwd_flags, ref_gt)."""
+    L = len(columns)
+    D = max(len(c[0]) for c in columns)
+    base = np.zeros((L, D), np.int32)
+    qual = np.zeros((L, D), np.int32)
+    fwd = np.zeros((L, D), bool)
+    mask = np.zeros((L, D), bool)
+    refg = np.zeros(L, np.int32)
+    for i, (b, q, f, r) in enumerate(columns):
+        n = len(b)
+        base[i, :n] = b
+        qual[i, :n] = q
+        fwd[i, :n] = f
+        mask[i, :n] = True
+        refg[i] = r
+    return snv_digt.SnvPileupTile(
+        base_id=jnp.asarray(base), qual=jnp.asarray(qual),
+        is_fwd=jnp.asarray(fwd), mask=jnp.asarray(mask),
+        ref_gt=jnp.asarray(refg),
+    )
+
+
+def test_lhood_matches_scalar():
+    rng = np.random.default_rng(0)
+    cols = []
+    for _ in range(40):
+        depth = rng.integers(1, 30)
+        b = rng.integers(0, 4, depth)
+        q = rng.integers(2, 41, depth)
+        f = rng.random(depth) < 0.5
+        cols.append((b, q, f, int(rng.integers(0, 4))))
+    tile = make_tile(cols)
+    res = snv_digt.call_snv_tile(tile, theta=0.001)
+    for i, (b, q, f, r) in enumerate(cols):
+        expect = scalar_lhood(b, q)
+        np.testing.assert_allclose(np.asarray(res.lhood)[i], expect, rtol=2e-5, atol=2e-4)
+
+
+def test_posteriors_and_q_match_scalar():
+    rng = np.random.default_rng(1)
+    priors = snv_digt.make_ln_priors(0.001)
+    cols = []
+    for _ in range(50):
+        depth = rng.integers(2, 40)
+        r = int(rng.integers(0, 4))
+        # mostly-ref pileup with occasional alt
+        b = np.where(rng.random(depth) < 0.8, r, rng.integers(0, 4, depth))
+        q = rng.integers(10, 41, depth)
+        f = rng.random(depth) < 0.5
+        cols.append((b, q, f, r))
+    tile = make_tile(cols)
+    res = snv_digt.call_snv_tile(tile, theta=0.001)
+    for i, (b, q, f, r) in enumerate(cols):
+        lh = scalar_lhood(b, q)
+        p, max_gt, q_ref, q_max = scalar_result_set(lh, priors["genome"][r], r)
+        assert int(res.genome_max_gt[i]) == max_gt
+        assert abs(int(res.snv_qphred[i]) - q_ref) <= 1  # float-assoc rounding slack
+        assert abs(int(res.genome_max_gt_qphred[i]) - q_max) <= 1
+
+
+def test_hom_alt_site_is_called():
+    # 20x C over ref A at q30 -> confident CC call
+    b = np.full(20, 1)
+    q = np.full(20, 30)
+    f = np.tile([True, False], 10)
+    tile = make_tile([(b, q, f, 0)])
+    res = snv_digt.call_snv_tile(tile)
+    assert int(res.genome_max_gt[0]) == digt.LABELS.index("CC")
+    assert int(res.snv_qphred[0]) > 100
+
+
+def test_het_site_is_called():
+    b = np.array([0, 1] * 15)
+    q = np.full(30, 30)
+    f = np.tile([True, False], 15)
+    tile = make_tile([(b, q, f, 0)])
+    res = snv_digt.call_snv_tile(tile)
+    assert digt.LABELS[int(res.genome_max_gt[0])] == "AC"
+
+
+def test_strand_bias_detects_artifact():
+    # alt only on fwd strand -> high SB; balanced alt -> low SB
+    b = np.array([0] * 10 + [1] * 10)
+    q = np.full(20, 30)
+    f_biased = np.array([True] * 5 + [False] * 5 + [True] * 10)
+    f_balanced = np.tile([True, False], 10)
+    t1 = make_tile([(b, q, f_biased, 0)])
+    t2 = make_tile([(b, q, f_balanced, 0)])
+    sb1 = float(snv_digt.call_snv_tile(t1).strand_bias[0])
+    sb2 = float(snv_digt.call_snv_tile(t2).strand_bias[0])
+    assert sb1 > sb2
+
+
+def test_haploid_prior_blocks_het():
+    b = np.array([0, 1] * 15)
+    q = np.full(30, 30)
+    f = np.tile([True, False], 15)
+    tile = make_tile([(b, q, f, 0)])
+    res = snv_digt.call_snv_tile(tile, is_haploid=jnp.array([True]))
+    assert not digt.IS_HET[int(res.genome_max_gt[0])]
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
