@@ -1,0 +1,115 @@
+"""Batched read-vs-haplotype likelihood scoring.
+
+This is the engine's hot op — the TPU-native replacement for the
+reference's candidate-alignment scoring loop
+(reference: starling_read_align_score.cpp scoreCandidateAlignment and
+the enumerate-and-max search in starling_read_align.cpp:859-1293, which
+the reference itself documents as a max-over-alignments approximation
+of the pair-HMM marginal, docs/methods/primary/methods.tex:915-922).
+
+Re-design: a read maps GAPLESSLY onto any haplotype (reference sequence
+with a subset of candidate indels applied), so
+
+    score(read r, hap h, offset o)
+        = sum_i [ r_i == h_{o+i} ]·ln(1-e_i) + [ r_i != h_{o+i} ]·ln(e_i/3)
+        = lnmis_sum[r] + sum_{i,b} D[r,i,b] · H[h,o+i,b]
+
+with D[r,i,b] = (ln(1-e_i) - ln(e_i/3)) · onehot(r_i)[b]. The inner sum
+is a correlation, evaluated as [R, L*4] @ [L*4, W] matmuls on the MXU.
+Per-read allele likelihoods are the max over the offset window —
+superset of the reference's enumerated candidate alignments.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_BASE_CODES = 4  # A, C, G, T; N padded as all-zero one-hot
+
+
+class ReadTile(NamedTuple):
+    """Padded read tensors for scoring. R reads x L max length."""
+    delta: jnp.ndarray        # [R, L, 4] f32: (ln(1-e)-ln(e/3)) one-hot
+    lnmis_sum: jnp.ndarray    # [R] f32: sum of ln(e_i/3) over valid bases
+    n_valid: jnp.ndarray      # [R] i32: non-N scored bases
+    read_len: jnp.ndarray     # [R] i32 full read length
+
+
+def build_read_tile(seqs: np.ndarray, quals: np.ndarray, mask: np.ndarray) -> ReadTile:
+    """Build scoring tensors from padded [R, L] base codes + quals.
+
+    mask marks real (non-padding) bases; N bases (code 4) score as
+    neither match nor mismatch (skipped, scoreMatchSegment's ANY check).
+    """
+    e = np.power(10.0, -quals.astype(np.float32) / 10.0)
+    e = np.clip(e, 1e-35, 0.75)  # qual 0..2 floor, keeps logs finite
+    ln_match = np.log1p(-e).astype(np.float32)
+    ln_mis = (np.log(e / 3.0)).astype(np.float32)
+    is_base = mask & (seqs < N_BASE_CODES)
+    delta_val = np.where(is_base, ln_match - ln_mis, 0.0).astype(np.float32)
+    onehot = np.zeros(seqs.shape + (N_BASE_CODES,), dtype=np.float32)
+    r, c = np.nonzero(is_base)
+    onehot[r, c, seqs[r, c]] = 1.0
+    delta = onehot * delta_val[..., None]
+    lnmis_sum = np.where(is_base, ln_mis, 0.0).sum(axis=1).astype(np.float32)
+    return ReadTile(
+        delta=jnp.asarray(delta),
+        lnmis_sum=jnp.asarray(lnmis_sum),
+        n_valid=jnp.asarray(is_base.sum(axis=1), dtype=jnp.int32),
+        read_len=jnp.asarray(mask.sum(axis=1), dtype=jnp.int32),
+    )
+
+
+def build_hap_onehot(hap_codes: np.ndarray) -> np.ndarray:
+    """[H, Lh] codes -> [H, Lh, 4] one-hot f32 (N/padding rows zero)."""
+    H, Lh = hap_codes.shape
+    onehot = np.zeros((H, Lh, N_BASE_CODES), dtype=np.float32)
+    h, p = np.nonzero(hap_codes < N_BASE_CODES)
+    onehot[h, p, hap_codes[h, p]] = 1.0
+    return onehot
+
+
+@jax.jit
+def score_all_offsets(delta: jnp.ndarray, lnmis_sum: jnp.ndarray,
+                      hap_onehot: jnp.ndarray) -> jnp.ndarray:
+    """Scores [R, H, W] for all haplotypes and offsets.
+
+    delta [R, L, 4], hap_onehot [H, Lh, 4]; W = Lh - L + 1 offsets.
+    Evaluated as one [R, L4] @ [L4, H*W] matmul via a window gather.
+    """
+    R, L, _ = delta.shape
+    H, Lh, _ = hap_onehot.shape
+    W = Lh - L + 1
+    # windows[h, o, i, b] = hap_onehot[h, o+i, b]
+    idx = jnp.arange(W)[:, None] + jnp.arange(L)[None, :]       # [W, L]
+    windows = hap_onehot[:, idx, :]                              # [H, W, L, 4]
+    a = delta.reshape(R, L * N_BASE_CODES)
+    b = windows.reshape(H * W, L * N_BASE_CODES)
+    s = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(R, H, W)
+    return s + lnmis_sum[:, None, None]
+
+
+@jax.jit
+def best_offset_scores(scores: jnp.ndarray, offset_mask: jnp.ndarray | None = None):
+    """Max over offsets -> per-read per-hap log likelihood [R, H].
+
+    offset_mask [H, W] or [R, H, W] optionally restricts to the
+    enumerated candidate placements.
+    """
+    if offset_mask is not None:
+        scores = jnp.where(offset_mask, scores, -jnp.inf)
+    return jnp.max(scores, axis=-1), jnp.argmax(scores, axis=-1)
+
+
+def score_reads_vs_haps(read_tile: ReadTile, hap_onehot,
+                        offset_mask=None):
+    """Convenience wrapper: [R, H] best log-lhoods + offsets."""
+    s = score_all_offsets(read_tile.delta, read_tile.lnmis_sum,
+                          jnp.asarray(hap_onehot))
+    return best_offset_scores(s, offset_mask)

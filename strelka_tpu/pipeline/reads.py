@@ -1,0 +1,298 @@
+"""Vectorized read filtering, alignment expansion and mismatch density.
+
+TPU-native re-design of the reference's per-record read input path
+(reference: starling_common/starling_pos_processor_util.cpp
+processInputReadAlignment/get_map_level, starling_read_util.cpp
+create_mismatch_filter_map, htsapi/bam_seq_read_util.cpp
+getReadAmbiguousEndLength). All per-read/per-base loops are replaced by
+whole-batch numpy array programs (repeat/cumsum/scatter), producing the
+flat per-base tables that pileup and realignment tile from.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io import bam as bamio
+from ..utils import cigar as cg
+
+
+class MapLevel:
+    TIER1 = 0
+    TIER2 = 1
+    SUB_MAPPED = 2
+    UNMAPPED = 3
+
+
+def filter_and_classify_reads(batch: bamio.ReadBatch, min_mapq: int,
+                              tier2_min_mapq: int | None = None):
+    """Hard filters + mapping tier per read.
+
+    reference: starling_read_filter_shared.hh (skip secondary,
+    supplementary, QC-fail n/a, duplicate, unmapped) and
+    get_map_level (starling_pos_processor_util.cpp:293-308).
+
+    Returns (keep_mask, map_level array) over the input batch.
+    """
+    f = batch.flag.astype(np.int64)
+    hard_filtered = (
+        (f & bamio.FLAG_SECONDARY != 0)
+        | (f & bamio.FLAG_SUPPLEMENTARY != 0)
+        | (f & bamio.FLAG_DUPLICATE != 0)
+        | (f & bamio.FLAG_UNMAPPED != 0)
+    )
+    level = np.full(batch.n, MapLevel.SUB_MAPPED, dtype=np.int8)
+    level[batch.mapq >= min_mapq] = MapLevel.TIER1
+    if tier2_min_mapq is not None:
+        tier2 = (batch.mapq >= tier2_min_mapq) & (batch.mapq < min_mapq)
+        level[tier2] = MapLevel.TIER2
+    return ~hard_filtered, level
+
+
+@dataclass
+class ExpandedAlignments:
+    """Flat per-base tables over a whole read batch.
+
+    `match_*` rows cover aligned (M/=/X) read bases; `del_*` rows cover
+    deleted reference bases; `ins_*`/`clip_*` are per-event rows.
+    """
+    # aligned read bases
+    match_read: np.ndarray     # read index
+    match_refpos: np.ndarray   # reference position
+    match_readoff: np.ndarray  # offset within read
+    # spanning deletions (per deleted ref base)
+    del_read: np.ndarray
+    del_refpos: np.ndarray
+    del_is_edge: np.ndarray    # bool: edge (unanchored) deletion
+    # indel events (per segment)
+    ins_read: np.ndarray       # insertions: read idx
+    ins_refpos: np.ndarray     # ref pos of insertion point
+    ins_readoff: np.ndarray    # read offset of first inserted base
+    ins_len: np.ndarray
+    ins_is_edge: np.ndarray
+    devent_read: np.ndarray    # deletions as events
+    devent_refpos: np.ndarray  # ref pos of first deleted base
+    devent_readoff: np.ndarray # read offset following the deletion
+    devent_len: np.ndarray
+    devent_is_edge: np.ndarray
+    # per-read summary
+    ref_begin: np.ndarray      # first aligned ref pos per read
+    ref_end: np.ndarray        # one past last aligned ref pos
+    read_begin: np.ndarray     # usable read range (after N-trim)
+    read_end: np.ndarray
+
+
+def _segment_table(batch: bamio.ReadBatch):
+    """Per-cigar-segment arrays with read/ref start coordinates."""
+    n_seg_per_read = np.diff(batch.cig_off)
+    seg_read = np.repeat(np.arange(batch.n), n_seg_per_read)
+    ops = batch.cig_ops.astype(np.int64)
+    lens = batch.cig_lens.astype(np.int64)
+    read_adv = lens * cg.ADVANCES_READ[ops]
+    ref_adv = lens * cg.ADVANCES_REF[ops]
+    # exclusive cumsum within each read
+    cs_read = np.cumsum(read_adv) - read_adv
+    cs_ref = np.cumsum(ref_adv) - ref_adv
+    # subtract the running total at each read's first segment
+    first_seg = batch.cig_off[:-1]
+    base_read = np.repeat(cs_read[np.minimum(first_seg, len(ops) - 1)] if len(ops) else np.zeros(0),
+                          n_seg_per_read)
+    base_ref = np.repeat(cs_ref[np.minimum(first_seg, len(ops) - 1)] if len(ops) else np.zeros(0),
+                         n_seg_per_read)
+    read_start = cs_read - base_read
+    ref_start = cs_ref - base_ref + np.repeat(batch.pos, n_seg_per_read)
+    return seg_read, ops, lens, read_start.astype(np.int64), ref_start.astype(np.int64)
+
+
+def _edge_segment_flags(batch: bamio.ReadBatch, ops: np.ndarray):
+    """For each segment: is it outside the [first,last] aligned-match
+    segments (reference: align_path get_match_edge_segments)."""
+    n_seg_per_read = np.diff(batch.cig_off)
+    seg_idx_in_read = np.arange(len(ops)) - np.repeat(batch.cig_off[:-1], n_seg_per_read)
+    is_match = np.isin(ops, (cg.MATCH, cg.SEQ_MATCH, cg.SEQ_MISMATCH))
+    # first/last match segment index per read
+    first = np.full(batch.n, np.iinfo(np.int64).max, dtype=np.int64)
+    last = np.full(batch.n, -1, dtype=np.int64)
+    seg_read = np.repeat(np.arange(batch.n), n_seg_per_read)
+    m_reads = seg_read[is_match]
+    m_idx = seg_idx_in_read[is_match]
+    np.minimum.at(first, m_reads, m_idx)
+    np.maximum.at(last, m_reads, m_idx)
+    f_rep = np.repeat(first, n_seg_per_read)
+    l_rep = np.repeat(last, n_seg_per_read)
+    return (seg_idx_in_read < f_rep) | (seg_idx_in_read > l_rep)
+
+
+def _ambiguous_end_trim(batch: bamio.ReadBatch):
+    """N-run trimming at the read's sequencing tail
+    (bam_seq_read_util.cpp getReadAmbiguousEndLength)."""
+    read_begin = np.zeros(batch.n, dtype=np.int64)
+    read_end = np.diff(batch.seq_off).astype(np.int64)
+    is_rev = (batch.flag & bamio.FLAG_REVERSE) != 0
+    # vectorized trailing/leading N-run length
+    for i in range(batch.n):  # reads with no Ns skip instantly
+        seq = batch.get_seq(i)
+        if len(seq) == 0 or (seq[0] != 4 and seq[-1] != 4):
+            continue
+        if is_rev[i]:
+            j = 0
+            while j < len(seq) and seq[j] == 4:
+                j += 1
+            read_begin[i] = j
+        else:
+            j = len(seq)
+            while j > 0 and seq[j - 1] == 4:
+                j -= 1
+            read_end[i] = j
+    return read_begin, read_end
+
+
+def expand_alignments(batch: bamio.ReadBatch) -> ExpandedAlignments:
+    """Expand every read's CIGAR into flat per-base/per-event tables."""
+    if batch.n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        zb = np.zeros(0, dtype=bool)
+        return ExpandedAlignments(*( [z, z, z] + [z, z, zb] + [z]*4 + [zb] + [z]*4 + [zb] + [z]*4 ))
+
+    seg_read, ops, lens, read_start, ref_start = _segment_table(batch)
+    is_edge = _edge_segment_flags(batch, ops)
+
+    # --- aligned match bases ---
+    mm = np.isin(ops, (cg.MATCH, cg.SEQ_MATCH, cg.SEQ_MISMATCH))
+    m_lens = lens[mm]
+    m_total = int(m_lens.sum())
+    rep = np.repeat(np.arange(mm.sum()), m_lens)
+    off_in_seg = np.arange(m_total) - np.repeat(np.cumsum(m_lens) - m_lens, m_lens)
+    match_read = np.repeat(seg_read[mm], m_lens)
+    match_refpos = np.repeat(ref_start[mm], m_lens) + off_in_seg
+    match_readoff = np.repeat(read_start[mm], m_lens) + off_in_seg
+    del rep
+
+    # --- deletions (per ref base + per event) ---
+    dd = ops == cg.DELETE
+    d_lens = lens[dd]
+    d_total = int(d_lens.sum())
+    off_d = np.arange(d_total) - np.repeat(np.cumsum(d_lens) - d_lens, d_lens)
+    del_read = np.repeat(seg_read[dd], d_lens)
+    del_refpos = np.repeat(ref_start[dd], d_lens) + off_d
+    del_is_edge = np.repeat(is_edge[dd], d_lens)
+
+    devent_read = seg_read[dd]
+    devent_refpos = ref_start[dd]
+    devent_readoff = read_start[dd]
+    devent_len = lens[dd]
+    devent_is_edge = is_edge[dd]
+
+    # --- insertions (per event) ---
+    ii = ops == cg.INSERT
+    ins_read = seg_read[ii]
+    ins_refpos = ref_start[ii]
+    ins_readoff = read_start[ii]
+    ins_len = lens[ii]
+    ins_is_edge = is_edge[ii]
+
+    # --- per-read aligned span ---
+    ref_begin = np.full(batch.n, np.iinfo(np.int64).max, dtype=np.int64)
+    ref_end = np.full(batch.n, -1, dtype=np.int64)
+    if len(match_read):
+        np.minimum.at(ref_begin, match_read, match_refpos)
+        np.maximum.at(ref_end, match_read, match_refpos)
+    ref_end += 1
+
+    read_begin, read_end = _ambiguous_end_trim(batch)
+
+    return ExpandedAlignments(
+        match_read=match_read, match_refpos=match_refpos, match_readoff=match_readoff,
+        del_read=del_read, del_refpos=del_refpos, del_is_edge=del_is_edge,
+        ins_read=ins_read, ins_refpos=ins_refpos, ins_readoff=ins_readoff,
+        ins_len=ins_len, ins_is_edge=ins_is_edge,
+        devent_read=devent_read, devent_refpos=devent_refpos,
+        devent_readoff=devent_readoff, devent_len=devent_len,
+        devent_is_edge=devent_is_edge,
+        ref_begin=ref_begin, ref_end=ref_end,
+        read_begin=read_begin, read_end=read_end,
+    )
+
+
+def mismatch_density_filter(
+    batch: bamio.ReadBatch,
+    ea: ExpandedAlignments,
+    ref_codes: np.ndarray,
+    ref_offset: int,
+    flank_size: int,
+    max_mismatch: int,
+    tier2_max_mismatch: int | None = None,
+    candidate_snv_mask=None,
+):
+    """Per-read-base mismatch-density filter flags.
+
+    Exact vectorized transcription of create_mismatch_filter_map's
+    delta-list algorithm (starling_read_util.cpp:121-210 + ddata
+    helper): events (mismatches weight 1, non-edge insertions length
+    ins_len, non-edge deletions length 0) are scattered into per-read
+    delta arrays, prefix-summed, and sampled at min(DL-1, max(F,p)-F).
+
+    candidate_snv_mask: optional callable(ref_pos array, base array) ->
+    bool array of mismatches to exempt (active-region candidate SNVs).
+
+    Returns (mismatch_filter[read_total_bases] bool aligned with read
+    base offsets via batch.seq_off, tier2_filter or None).
+    """
+    F = flank_size
+    F2 = 2 * F
+    read_sizes = np.diff(batch.seq_off).astype(np.int64)
+    dl_sizes = np.maximum(1 + F2, read_sizes) - F2
+    dl_off = np.concatenate([[0], np.cumsum(dl_sizes)])
+    delta = np.zeros(int(dl_off[-1]), dtype=np.int32)
+
+    # mismatch events at aligned bases (within usable read range)
+    base = batch.seq[batch.seq_off[ea.match_read] + ea.match_readoff]
+    refb = ref_codes[ea.match_refpos - ref_offset]
+    usable = (ea.match_readoff >= ea.read_begin[ea.match_read]) & \
+             (ea.match_readoff < ea.read_end[ea.match_read])
+    is_mm = (base != refb) & usable & (refb != 4)
+    if candidate_snv_mask is not None:
+        is_mm &= ~candidate_snv_mask(ea.match_refpos, base)
+
+    ev_read = [ea.match_read[is_mm]]
+    ev_start = [ea.match_readoff[is_mm]]
+    ev_len = [np.ones(int(is_mm.sum()), dtype=np.int64)]
+    # non-edge insertion events: inc(read_head_pos, length)
+    ni = ~ea.ins_is_edge
+    ev_read.append(ea.ins_read[ni])
+    ev_start.append(ea.ins_readoff[ni])
+    ev_len.append(ea.ins_len[ni].astype(np.int64))
+    # non-edge deletion events: inc(read_head_pos, 0)
+    nd = ~ea.devent_is_edge
+    ev_read.append(ea.devent_read[nd])
+    ev_start.append(ea.devent_readoff[nd])
+    ev_len.append(np.zeros(int(nd.sum()), dtype=np.int64))
+
+    ev_read = np.concatenate(ev_read)
+    ev_start = np.concatenate(ev_start)
+    ev_len = np.concatenate(ev_len)
+
+    inc_idx = dl_off[ev_read] + np.maximum(F2, ev_start) - F2
+    np.add.at(delta, inc_idx, 1)
+    dec_pos = ev_start + ev_len
+    in_range = dec_pos < dl_sizes[ev_read]
+    dec_idx = dl_off[ev_read[in_range]] + dec_pos[in_range]
+    np.add.at(delta, dec_idx, -1)
+
+    # segmented prefix sum: global cumsum minus the running total at
+    # each read block's start
+    cs = np.cumsum(delta)
+    prev_total = np.concatenate([[0], cs[dl_off[1:-1] - 1]]) if batch.n > 1 else np.zeros(1)
+    counts = cs - np.repeat(prev_total, dl_sizes)
+
+    # sample window counts at each read base
+    total_bases = int(batch.seq_off[-1])
+    base_read = np.repeat(np.arange(batch.n), read_sizes)
+    base_off = np.arange(total_bases) - np.repeat(batch.seq_off[:-1], read_sizes)
+    samp = np.minimum(dl_sizes[base_read] - 1, np.maximum(F, base_off) - F)
+    mcount = counts[dl_off[base_read] + samp]
+
+    mm_filter = mcount > max_mismatch
+    tier2 = mcount > tier2_max_mismatch if tier2_max_mismatch is not None else None
+    return mm_filter, tier2
