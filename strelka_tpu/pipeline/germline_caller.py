@@ -1,0 +1,306 @@
+"""End-to-end germline calling over a region.
+
+TPU-native replacement for the reference's per-position streaming
+germline pipeline (reference: applications/starling/
+starling_pos_processor.cpp process_pos_snp_digt:620,
+process_pos_indel_digt:1610 and starling_run.cpp region loop).
+
+Execution model: the whole region is processed as a few batched array
+programs —
+  1. read ingestion -> expanded alignment tables  (host numpy)
+  2. pileup scatter -> [pos, depth] tiles          (host numpy)
+  3. SNV genotyping over all positions             (jax, device)
+  4. candidate indel loci -> read x haplotype scoring (jax, device)
+  5. indel genotyping                              (jax, device)
+  6. record assembly                               (host)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io import bam as bamio
+from ..io.fasta import FastaReference, decode_bases
+from ..models import digt, error_model, indel_genotype as ig, snv_digt
+from ..options import GermlineOptions
+from . import candidates as cand
+from . import pileup as pl
+from . import reads as rd
+from . import realign
+
+
+@dataclass
+class SampleSiteData:
+    """Per-sample site-level call results over [begin, end)."""
+    pileup: pl.PileupRegion
+    snv: snv_digt.SnvCallResult
+    used_counts: np.ndarray       # [L, 4]
+    used_fwd_counts: np.ndarray   # [L, 4]
+    dpf: np.ndarray               # [L] filtered basecalls
+
+
+@dataclass
+class IndelCall:
+    """One genotyped indel locus (single- or multi-allele)."""
+    pos: int                      # leftmost indel pos
+    keys: list[cand.IndelKey]
+    records: list[cand.IndelRecord]
+    # per-sample results
+    sample_gt: list[int]          # triangular genotype index
+    sample_gq: list[int]
+    sample_gqx: list[int]
+    sample_pl: list[np.ndarray]
+    sample_ad: list[np.ndarray]   # [A] confident allele depths
+    sample_adf: list[np.ndarray]
+    sample_adr: list[np.ndarray]
+    sample_dpi: list[int]
+    qual: int = 0
+
+
+@dataclass
+class RegionCallResult:
+    chrom: str
+    begin: int
+    end: int
+    ref_codes: np.ndarray
+    samples: list[SampleSiteData]
+    indels: list[IndelCall]
+    stats: dict = field(default_factory=dict)
+
+
+def snv_hpol(ref_codes: np.ndarray, pos: int) -> int:
+    """Contextual homopolymer length at a site (SNVHPOL info field;
+    reference: blt_common/hpol_test / get_snp_hpol_size)."""
+    n = len(ref_codes)
+    best = 0
+    # longest hpol run through pos considering substituting pos's base
+    for probe in range(max(0, pos - 1), min(n, pos + 2)):
+        b = ref_codes[probe]
+        if b >= 4:
+            continue
+        i = probe
+        while i > 0 and ref_codes[i - 1] == b:
+            i -= 1
+        j = probe
+        while j + 1 < n and ref_codes[j + 1] == b:
+            j += 1
+        run = j - i + 1
+        best = max(best, run)
+    return best
+
+
+def call_sample_sites(
+    opt: GermlineOptions,
+    batch: bamio.ReadBatch,
+    ea: rd.ExpandedAlignments,
+    level: np.ndarray,
+    ref_codes: np.ndarray,
+    begin: int,
+    end: int,
+) -> SampleSiteData:
+    mmf, _t2 = rd.mismatch_density_filter(
+        batch, ea, ref_codes, begin - begin, opt.max_win_mismatch_flank_size,
+        opt.max_win_mismatch) if batch.n else (None, None)
+    pu = pl.build_pileup(batch, ea, level, ref_codes, begin, end,
+                         min_qscore=opt.min_qscore, mm_filter=mmf)
+    L = end - begin
+    tile = snv_digt.SnvPileupTile(
+        base_id=jnp.asarray(np.where(pu.used, pu.base_id, 0)),
+        qual=jnp.asarray(np.where(pu.used, pu.qual, 0)),
+        is_fwd=jnp.asarray(pu.is_fwd),
+        mask=jnp.asarray(pu.used),
+        ref_gt=jnp.asarray(ref_codes[:L].astype(np.int32)),
+    )
+    snv = snv_digt.call_snv_tile(tile, theta=opt.bsnp_diploid_theta)
+
+    counts = pu.used_counts()
+    fwd_counts = np.zeros_like(counts)
+    li, di = np.nonzero(pu.used & pu.is_fwd)
+    np.add.at(fwd_counts, (li, pu.base_id[li, di]), 1)
+    dpf = (pu.valid & ~pu.used).sum(axis=1).astype(np.int32)
+    return SampleSiteData(pileup=pu, snv=snv, used_counts=counts,
+                          used_fwd_counts=fwd_counts, dpf=dpf)
+
+
+def call_region(
+    opt: GermlineOptions,
+    ref: FastaReference,
+    chrom: str,
+    begin: int,
+    end: int,
+    batches: list[bamio.ReadBatch],
+    external_indel_vcfs: list[str] | None = None,
+) -> RegionCallResult:
+    """Joint germline calling for N samples over one region."""
+    n_samples = len(batches)
+    halo = opt.max_indel_size + 250  # supplementalRegionBorderSize semantics
+    fetch_begin = max(0, begin - halo)
+    fetch_end = min(ref.contig_length(chrom), end + halo)
+    ref_codes = ref.fetch(chrom, fetch_begin, fetch_end)
+
+    em = error_model.IndelErrorModel(n_samples)
+
+    samples = []
+    eas, levels, kept = [], [], []
+    store = cand.IndelObservationStore(n_samples)
+    for s, raw in enumerate(batches):
+        keep, level = rd.filter_and_classify_reads(raw, opt.min_mapping_quality)
+        batch = raw.select(keep)
+        level = level[keep]
+        ea = rd.expand_alignments(batch)
+        kept.append(batch)
+        eas.append(ea)
+        levels.append(level)
+        cand.extract_read_indels(batch, ea, level, ref_codes, fetch_begin,
+                                 store, s, opt.max_indel_size)
+
+    # external candidate indels (e.g. Manta VCF)
+    if external_indel_vcfs:
+        from ..io.vcf import read_vcf
+        for path in external_indel_vcfs:
+            for recvcf in read_vcf(path, region=(chrom, fetch_begin, fetch_end)):
+                for alt in recvcf.alts:
+                    if not alt or alt[0] != recvcf.ref[0] and len(alt) != len(recvcf.ref):
+                        pass
+                    if len(recvcf.ref) >= 1 and len(alt) >= 1 and alt[0] == recvcf.ref[0]:
+                        dlen = len(recvcf.ref) - 1
+                        ins = alt[1:] if len(alt) > 1 else ""
+                        if dlen > 0 and ins:
+                            continue  # swap; not promoted
+                        if max(dlen, len(ins)) <= opt.max_indel_size:
+                            store.add_external(
+                                cand.IndelKey(recvcf.pos + 1, dlen, ins))
+
+    # per-sample site calling over the report range
+    for s in range(n_samples):
+        sub = fetch_begin  # alias
+        # restrict ref to report range for pileup
+        rc = ref_codes[begin - fetch_begin:end - fetch_begin]
+        del sub
+        samples.append(call_sample_sites(
+            opt, kept[s], eas[s], levels[s], rc, begin, end))
+
+    # candidacy over pooled observations
+    ests = [cand.estimated_depth(kept[s], eas[s], levels[s], fetch_begin, fetch_end)
+            for s in range(n_samples)]
+    est_sum = ests[0]
+    for e in ests[1:]:
+        est_sum = np.maximum(est_sum, e)
+    candidacy = cand.evaluate_candidacy(
+        store, est_sum, fetch_begin, em, ref_codes, fetch_begin,
+        alpha=opt.indel_candidate_signal_test_alpha)
+
+    cand_keys = sorted(k for k, ok in candidacy.items() if ok
+                       and begin <= k.pos < end)
+
+    # group overlapping candidate indels into loci (orthogonal allele
+    # groups, OrthogonalVariantAlleleCandidateGroupUtil simplified:
+    # alleles whose ref spans intersect form one locus, capped at 2 alts)
+    loci: list[list[cand.IndelKey]] = []
+    for k in cand_keys:
+        if loci and k.pos <= max(x.right_pos for x in loci[-1]) + 1 \
+                and k.pos - min(x.pos for x in loci[-1]) < 50:
+            loci[-1].append(k)
+        else:
+            loci.append([k])
+
+    indel_calls: list[IndelCall] = []
+    for group in loci:
+        group = sorted(group, key=lambda k: (
+            -max(len(store.records[k].samples[s].tier1_reads)
+                 for s in range(n_samples)), k))[:2]
+        group = sorted(group)
+        call = genotype_indel_locus(
+            opt, group, [store.records[k] for k in group], kept, eas, levels,
+            ref_codes, fetch_begin, samples, begin, n_samples)
+        if call is not None:
+            indel_calls.append(call)
+
+    return RegionCallResult(
+        chrom=chrom, begin=begin, end=end,
+        ref_codes=ref_codes[begin - fetch_begin:end - fetch_begin],
+        samples=samples, indels=indel_calls,
+        stats={"n_candidate_indels": len(cand_keys),
+               "n_indel_records": len(store.records)},
+    )
+
+
+def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
+                         ref_offset, samples, region_begin, n_samples):
+    """Genotype one multi-sample indel locus from read x hap scores."""
+    A = len(keys) + 1
+    info = ig.AlleleInfo(
+        insert_len=np.array([k.insert_length for k in keys]),
+        delete_len=np.array([k.delete_length for k in keys]),
+    )
+    # STR context of the top allele drives the prior
+    top = recs[0]
+    if not top.repeat_unit:
+        cand.set_repeat_info(top, ref_codes, ref_offset, decode_bases)
+    priors = ig.context_priors_for(top.repeat_unit_length, top.ref_repeat_count)
+    ploidy = 1 if opt.is_haploid else 2
+    tri_g = ig.ag_genotype_priors_to_triangular(priors.diploid, A, ploidy)
+    tri_p = ig.ag_genotype_priors_to_triangular(priors.diploid_poly, A, ploidy)
+
+    call = IndelCall(pos=min(k.pos for k in keys), keys=keys, records=recs,
+                     sample_gt=[], sample_gq=[], sample_gqx=[], sample_pl=[],
+                     sample_ad=[], sample_adf=[], sample_adr=[],
+                     sample_dpi=[])
+    any_variant = False
+    max_qual = 0
+    for s in range(n_samples):
+        scores = realign.score_locus(kept[s], eas[s], levels[s], ref_codes,
+                                     ref_offset, list(keys))
+        if scores is None:
+            lh = np.zeros(ig.genotype_count(ploidy, A))
+            ad = np.zeros(A, np.int32)
+            adf = np.zeros(A, np.int32)
+            adr = np.zeros(A, np.int32)
+        else:
+            glh = ig.genotype_log_lhoods(
+                jnp.asarray(scores.allele_lhoods),
+                np.ones(len(scores.read_rows), bool),
+                scores.read_len, scores.n_nonambig, info,
+                ploidy, opt.default_min_read_bp_flank)
+            lh = np.asarray(glh)
+            # confident supporting read counts (updateSupportingReadStats)
+            integ = scores.allele_lhoods + ig.CORRECT_MAPPING_LOG_PRIOR
+            rb = scores.n_nonambig[:, None] * ig.LN_RANDOM_BASE_MATCH
+            al = np.logaddexp(integ, rb)
+            al = al - al.max(axis=1, keepdims=True)
+            p = np.exp(al)
+            p /= p.sum(axis=1, keepdims=True)
+            conf = p >= 0.51  # readConfidentSupportThreshold
+            ad = np.zeros(A, np.int32)
+            adf = np.zeros(A, np.int32)
+            adr = np.zeros(A, np.int32)
+            for a in range(A):
+                sel = conf[:, a]
+                ad[a] = int(sel.sum())
+                adf[a] = int((sel & scores.is_fwd).sum())
+                adr[a] = int((sel & ~scores.is_fwd).sum())
+        pg, max_g, q_ref_g, q_max_g = ig.genotype_posteriors(lh, tri_g)
+        pp, max_p, q_ref_p, q_max_p = ig.genotype_posteriors(lh, tri_p)
+        gq = q_max_p
+        gqx = min(q_max_g, q_max_p) if max_g == max_p else 0
+        pl_arr = np.minimum(np.round(-10 * (lh - lh.max()) / np.log(10)), 999)
+        call.sample_gt.append(max_p)
+        call.sample_gq.append(int(gq))
+        call.sample_gqx.append(int(gqx))
+        call.sample_pl.append(pl_arr.astype(np.int32))
+        call.sample_ad.append(ad)
+        call.sample_adf.append(adf)
+        call.sample_adr.append(adr)
+        dpi_pos = call.pos - 1 - region_begin
+        dpi = int(samples[s].pileup.depth[dpi_pos]) if 0 <= dpi_pos < len(samples[s].pileup.depth) else 0
+        call.sample_dpi.append(dpi + int(samples[s].dpf[dpi_pos]) if 0 <= dpi_pos < len(samples[s].dpf) else dpi)
+        ga = ig.genotype_alleles(ploidy, A)
+        if (ga[max_p] > 0).any():
+            any_variant = True
+        max_qual = max(max_qual, q_ref_g)
+    call.qual = max_qual
+    if not any_variant and not any(r.is_forced_output for r in recs):
+        return None
+    return call

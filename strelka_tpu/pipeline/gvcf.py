@@ -1,0 +1,354 @@
+"""gVCF / variants-VCF record assembly and serialization.
+
+Reference: applications/starling/gvcf_writer.cpp (site record
+:560-740, block record :750-815, indel record :816+), gvcf_header.cpp,
+gvcf_block_site_record.hh (hom-ref block compression criteria), and
+gvcf_compressor.hh. Host-side ordered text emission by design —
+SURVEY.md §5 'keep emission on hosts'.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import __version__
+from ..io.fasta import decode_bases
+from ..models import digt
+from ..options import GermlineOptions
+from .germline_caller import IndelCall, RegionCallResult, snv_hpol
+
+
+@dataclass
+class BlockState:
+    """Hom-ref block accumulator (gvcf_block_site_record.hh).
+
+    Sites join while every tracked value stays in the band
+    [x, max(x+abs_tol, x*(1+frac_tol))] of the block's first value."""
+    start: int = -1
+    count: int = 0
+    ref_base: str = "N"
+    gt: str = "0/0"
+    filters: str = "PASS"
+    gqx: list = field(default_factory=list)
+    dp: list = field(default_factory=list)
+    dpf: list = field(default_factory=list)
+
+    def can_join(self, gqx, dp, dpf, filters, abs_tol, frac_tol):
+        if self.count == 0:
+            return True
+        if filters != self.filters:
+            return False
+        for vals, v in ((self.gqx, gqx), (self.dp, dp), (self.dpf, dpf)):
+            lo = min(min(vals), v)
+            hi = max(max(vals), v)
+            if hi > max(lo + abs_tol, lo * (1 + frac_tol)):
+                return False
+        return True
+
+    def add(self, pos, ref_base, gt, gqx, dp, dpf, filters):
+        if self.count == 0:
+            self.start = pos
+            self.ref_base = ref_base
+            self.gt = gt
+            self.filters = filters
+        self.count += 1
+        self.gqx.append(gqx)
+        self.dp.append(dp)
+        self.dpf.append(dpf)
+
+    def flush(self, chrom, out, block_label):
+        if self.count == 0:
+            return
+        info = "."
+        if self.count > 1:
+            info = f"END={self.start + self.count};{block_label}"
+        gqx_min = int(min(self.gqx))
+        line = (f"{chrom}\t{self.start + 1}\t.\t{self.ref_base}\t.\t.\t"
+                f"{self.filters}\t{info}\tGT:GQX:DP:DPF:MIN_DP\t"
+                f"{self.gt}:{gqx_min}:{round(float(np.mean(self.dp)))}:"
+                f"{round(float(np.mean(self.dpf)))}:{int(min(self.dp))}")
+        out.append(line)
+        self.__init__()
+
+
+def gvcf_header(opt: GermlineOptions, chrom: str, chrom_len: int,
+                sample_names: list[str]) -> str:
+    lines = [
+        "##fileformat=VCFv4.1",
+        f"##source=strelka_tpu {__version__}",
+        "##content=strelka_tpu germline small-variant calls",
+        f"##contig=<ID={chrom},length={chrom_len}>",
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="End position of the region described in this record">',
+        f'##INFO=<ID={opt.block_label},Number=0,Type=Flag,Description="Non-variant multi-site block">',
+        '##INFO=<ID=SNVHPOL,Number=1,Type=Integer,Description="SNV contextual homopolymer length">',
+        '##INFO=<ID=CIGAR,Number=A,Type=String,Description="CIGAR alignment for each alternate indel allele">',
+        '##INFO=<ID=RU,Number=A,Type=String,Description="Smallest repeating sequence unit extended or contracted in the indel allele relative to the reference">',
+        '##INFO=<ID=REFREP,Number=A,Type=Integer,Description="Number of times RU is repeated in reference">',
+        '##INFO=<ID=IDREP,Number=A,Type=Integer,Description="Number of times RU is repeated in indel allele">',
+        '##INFO=<ID=MQ,Number=1,Type=Integer,Description="RMS of mapping quality">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">',
+        '##FORMAT=<ID=GQX,Number=1,Type=Integer,Description="Empirically calibrated genotype quality score">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Filtered basecall depth used for site genotyping">',
+        '##FORMAT=<ID=DPF,Number=1,Type=Integer,Description="Basecalls filtered from input prior to site genotyping">',
+        '##FORMAT=<ID=MIN_DP,Number=1,Type=Integer,Description="Minimum filtered basecall depth within a non-variant block">',
+        '##FORMAT=<ID=DPI,Number=1,Type=Integer,Description="Read depth associated with indel, taken from the site preceding the indel">',
+        '##FORMAT=<ID=AD,Number=.,Type=Integer,Description="Allelic depths for the ref and alt alleles in the order listed">',
+        '##FORMAT=<ID=ADF,Number=.,Type=Integer,Description="Allelic depths on the forward strand">',
+        '##FORMAT=<ID=ADR,Number=.,Type=Integer,Description="Allelic depths on the reverse strand">',
+        '##FORMAT=<ID=FT,Number=1,Type=String,Description="Sample filter">',
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Normalized, Phred-scaled likelihoods for genotypes">',
+        '##FORMAT=<ID=SB,Number=1,Type=Float,Description="Sample site strand bias">',
+        '##FILTER=<ID=LowGQX,Description="Locus GQX is below threshold or not present">',
+        '##FILTER=<ID=HighSNVSB,Description="Sample SNV strand bias value (SB) exceeds threshold">',
+        '##FILTER=<ID=HighDPFRatio,Description="The fraction of basecalls filtered out at a site is greater than 0.4">',
+        '##FILTER=<ID=NoPassedVariantGTs,Description="No samples at this locus pass all sample filters and have a variant genotype">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(sample_names),
+    ]
+    return "\n".join(lines) + "\n"
+
+
+def _site_sample_filters(opt: GermlineOptions, gqx, sb, dp, dpf, is_variant):
+    f = []
+    if gqx < (opt.gvcf_min_gqx if is_variant else opt.gvcf_min_homref_gqx):
+        f.append("LowGQX")
+    if is_variant and sb > opt.gvcf_max_snv_strand_bias:
+        f.append("HighSNVSB")
+    total = dp + dpf
+    if total > 0 and dpf / total > 0.4:
+        f.append("HighDPFRatio")
+    return f
+
+
+def vcf_indel_strings(result: RegionCallResult, call: IndelCall):
+    """(vcf_pos0, ref_str, alt_strs, cigars) for an indel locus
+    (AlleleReportInfoUtil.cpp getSingleIndelAlleleVcfSummaryStrings +
+    multi-allele common-ref extension)."""
+    ref = result.ref_codes
+    begin = result.begin
+    left = min(k.pos for k in call.keys) - 1
+    right = max(k.right_pos for k in call.keys)
+    ref_str = decode_bases(ref[left - begin:right - begin])
+    alts = []
+    cigars = []
+    for k in call.keys:
+        pre = decode_bases(ref[left - begin:k.pos - begin])
+        post = decode_bases(ref[k.right_pos - begin:right - begin])
+        alts.append(pre + k.insert_seq + post)
+        parts = [f"{len(pre)}M"]
+        if k.insert_length:
+            parts.append(f"{k.insert_length}I")
+        if k.delete_length:
+            parts.append(f"{k.delete_length}D")
+        if post:
+            parts.append(f"{len(post)}M")
+        cigars.append("".join(parts))
+    return left, ref_str, alts, cigars
+
+
+def _gt_string_indel(gt_index: int, ploidy: int, n_alleles: int) -> str:
+    from ..models.indel_genotype import genotype_alleles
+    ga = genotype_alleles(ploidy, n_alleles)
+    a0, a1 = ga[gt_index]
+    if ploidy == 1:
+        return str(int(a0))
+    return f"{int(a0)}/{int(a1)}"
+
+
+def emit_region(
+    opt: GermlineOptions,
+    result: RegionCallResult,
+    sample_names: list[str],
+):
+    """Returns (per-sample gvcf line lists, variants vcf line list)."""
+    n_samples = len(result.samples)
+    L = result.end - result.begin
+    gvcf_lines: list[list[str]] = [[] for _ in range(n_samples)]
+    var_lines: list[str] = []
+    blocks = [BlockState() for _ in range(n_samples)]
+
+    # precompute numpy views of snv results
+    sv = []
+    for s in range(n_samples):
+        r = result.samples[s].snv
+        sv.append({
+            "q": np.asarray(r.snv_qphred), "ggt": np.asarray(r.genome_max_gt),
+            "pgt": np.asarray(r.poly_max_gt), "gq": np.asarray(r.poly_max_gt_qphred),
+            "gqg": np.asarray(r.genome_max_gt_qphred),
+            "pl": np.asarray(r.phred_loghood), "sb": np.asarray(r.strand_bias),
+        })
+
+    # indel loci indexed by position, to interleave in order and to
+    # suppress site records inside deletion spans (simplified
+    # VariantOverlapResolver)
+    indels_at = {}
+    deleted_span = np.zeros(L, dtype=bool)
+    for call in result.indels:
+        indels_at.setdefault(call.pos, []).append(call)
+        for k in call.keys:
+            b = max(k.pos - result.begin, 0)
+            e = min(k.right_pos - result.begin, L)
+            # genotyped deletion shadows contained sites only if variant GT
+            if e > b and any(g > 0 for g in call.sample_gt):
+                deleted_span[b:e] = True
+
+    ref = result.ref_codes
+    for i in range(L):
+        pos = result.begin + i
+        # indel records sort before the site at the same position + 1
+        # (VCF indel pos is pos-1 of first changed base)
+        for call in indels_at.get(pos + 1, []):
+            _emit_indel(opt, result, call, sample_names, gvcf_lines,
+                        var_lines, blocks)
+
+        ref_gt = int(ref[i])
+        ref_base = decode_bases([ref[i]]) if ref_gt < 4 else "N"
+        is_variant_site = False
+        per_sample = []
+        for s in range(n_samples):
+            d = sv[s]
+            sd = result.samples[s]
+            dp = int(sd.pileup.depth[i]) - int(sd.dpf[i])
+            dp = int(sd.used_counts[i].sum())
+            dpf = int(sd.dpf[i])
+            ggt, pgt = int(d["ggt"][i]), int(d["pgt"][i])
+            gq = int(d["gq"][i])
+            gqx = min(int(d["gqg"][i]), gq) if ggt == pgt else 0
+            variant = pgt != ref_gt if ref_gt < 4 else False
+            sb = float(d["sb"][i])
+            per_sample.append((dp, dpf, ggt, pgt, gq, gqx, variant, sb))
+            if variant:
+                is_variant_site = True
+
+        if not is_variant_site:
+            # hom-ref path -> block compression per sample
+            for s in range(n_samples):
+                dp, dpf, ggt, pgt, gq, gqx, variant, sb = per_sample[s]
+                covered = dp + dpf > 0
+                counts = result.samples[s].used_counts[i]
+                nonref_ok = True
+                if counts.sum() > 0 and ref_gt < 4:
+                    nonref = counts.sum() - counts[ref_gt]
+                    nonref_ok = nonref / counts.sum() <= opt.gvcf_block_max_nonref
+                filters = _site_sample_filters(opt, gqx, 0, dp, dpf, False)
+                fstr = ";".join(filters) if filters else "PASS"
+                if deleted_span[i] or not covered:
+                    gt, gqx_v = ("./.", 0) if not covered else ("0/0", gqx)
+                    del gt, gqx_v
+                if not nonref_ok:
+                    # emit single-site record outside blocks
+                    blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)
+                    gvcf_lines[s].append(
+                        f"{result.chrom}\t{pos + 1}\t.\t{ref_base}\t.\t.\t{fstr}\t.\t"
+                        f"GT:GQX:DP:DPF:MIN_DP\t0/0:{gqx}:{dp}:{dpf}:{dp}")
+                    continue
+                b = blocks[s]
+                if not b.can_join(gqx, dp, dpf, fstr, opt.block_abs_tol,
+                                  opt.block_frac_tol):
+                    b.flush(result.chrom, gvcf_lines[s], opt.block_label)
+                b.add(pos, ref_base, "0/0" if covered else "./.", gqx, dp, dpf, fstr)
+            continue
+
+        # variant site record
+        alts = sorted({a for s in range(n_samples)
+                       for a in digt.ALLELES[per_sample[s][3]]
+                       if a != ref_gt and per_sample[s][6]})
+        if not alts:
+            continue
+        alt_str = ",".join(decode_bases([a]) for a in alts)
+        allele_map = {ref_gt: 0}
+        for j, a in enumerate(alts):
+            allele_map[a] = j + 1
+        qual = max(int(sv[s]["q"][i]) for s in range(n_samples))
+        hpol = snv_hpol(ref, i)
+        info = f"SNVHPOL={hpol}"
+        mq_n = sum(int(result.samples[s].pileup.mapq_n[i]) for s in range(n_samples))
+        mq_ss = sum(float(result.samples[s].pileup.mapq_sumsq[i]) for s in range(n_samples))
+        if mq_n > 0:
+            info += f";MQ={round(np.sqrt(mq_ss / mq_n))}"
+
+        fmt = "GT:GQ:GQX:DP:DPF:AD:ADF:ADR:SB:FT:PL"
+        sample_cols = []
+        any_pass_variant = False
+        for s in range(n_samples):
+            dp, dpf, ggt, pgt, gq, gqx, variant, sb = per_sample[s]
+            a_pair = digt.ALLELES[pgt]
+            gt_idx = sorted(allele_map.get(a, 0) for a in a_pair)
+            gt = f"{gt_idx[0]}/{gt_idx[1]}"
+            counts = result.samples[s].used_counts[i]
+            fcounts = result.samples[s].used_fwd_counts[i]
+            ads = [int(counts[ref_gt])] + [int(counts[a]) for a in alts]
+            adfs = [int(fcounts[ref_gt])] + [int(fcounts[a]) for a in alts]
+            adrs = [ads[j] - adfs[j] for j in range(len(ads))]
+            filters = _site_sample_filters(opt, gqx, sb, dp, dpf, variant)
+            fstr = ";".join(filters) if filters else "PASS"
+            if variant and not filters:
+                any_pass_variant = True
+            # PL for the 10-genotype digt space reduced to listed alleles
+            pl_full = sv[s]["pl"][i]
+            order = [ref_gt] + list(alts)
+            pls = []
+            for bj in range(len(order)):
+                for aj in range(bj + 1):
+                    pls.append(int(pl_full[digt.het_gt_of(order[aj], order[bj])]))
+            col = (f"{gt}:{gq}:{gqx}:{dp}:{dpf}:{','.join(map(str, ads))}:"
+                   f"{','.join(map(str, adfs))}:{','.join(map(str, adrs))}:"
+                   f"{sb:.1f}:{fstr}:{','.join(map(str, pls))}")
+            sample_cols.append(col)
+
+        locus_filter = "PASS" if any_pass_variant else "NoPassedVariantGTs"
+        line = (f"{result.chrom}\t{pos + 1}\t.\t{ref_base}\t{alt_str}\t{qual}\t"
+                f"{locus_filter}\t{info}\t{fmt}\t" + "\t".join(sample_cols))
+        var_lines.append(line)
+        for s in range(n_samples):
+            blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)
+            gvcf_lines[s].append(
+                line.rsplit("\t", n_samples)[0] + "\t" + sample_cols[s])
+
+    for s in range(n_samples):
+        blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)
+    return gvcf_lines, var_lines
+
+
+def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
+                var_lines, blocks):
+    n_samples = len(sample_names)
+    pos0, ref_str, alts, cigars = vcf_indel_strings(result, call)
+    A = len(call.keys) + 1
+    ploidy = 2
+    rus, refreps, idreps = [], [], []
+    for rec in call.records:
+        ru = rec.repeat_unit if rec.repeat_unit and len(rec.repeat_unit) <= 20 else "."
+        rus.append(ru)
+        refreps.append(str(rec.ref_repeat_count))
+        idreps.append(str(rec.indel_repeat_count))
+    info = (f"CIGAR={','.join(cigars)};RU={','.join(rus)};"
+            f"REFREP={','.join(refreps)};IDREP={','.join(idreps)}")
+    fmt = "GT:GQ:GQX:DPI:AD:ADF:ADR:FT:PL"
+    cols = []
+    any_pass_variant = False
+    for s in range(n_samples):
+        gt = _gt_string_indel(call.sample_gt[s], ploidy, A)
+        gqx = call.sample_gqx[s]
+        filters = []
+        if gqx < opt.gvcf_min_gqx:
+            filters.append("LowGQX")
+        fstr = ";".join(filters) if filters else "PASS"
+        is_var = any(int(a) > 0 for a in gt.replace("|", "/").split("/"))
+        if is_var and not filters:
+            any_pass_variant = True
+        cols.append(
+            f"{gt}:{call.sample_gq[s]}:{gqx}:{call.sample_dpi[s]}:"
+            f"{','.join(map(str, call.sample_ad[s]))}:"
+            f"{','.join(map(str, call.sample_adf[s]))}:"
+            f"{','.join(map(str, call.sample_adr[s]))}:{fstr}:"
+            f"{','.join(map(str, call.sample_pl[s]))}")
+    locus_filter = "PASS" if any_pass_variant else "NoPassedVariantGTs"
+    line = (f"{result.chrom}\t{pos0 + 1}\t.\t{ref_str}\t{','.join(alts)}\t"
+            f"{call.qual}\t{locus_filter}\t{info}\t{fmt}\t" + "\t".join(cols))
+    var_lines.append(line)
+    for s in range(n_samples):
+        blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)
+        gvcf_lines[s].append(line.rsplit("\t", n_samples)[0] + "\t" + cols[s])
