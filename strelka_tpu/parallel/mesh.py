@@ -1,0 +1,115 @@
+"""Device-mesh sharding of the calling compute.
+
+TPU-native replacement for the reference's process-level genome-segment
+parallelism (reference: pyflow fan-out, strelkaSharedWorkflow.py:219-227,
+workflowUtil.py:182-219). Locus/read tiles are sharded over a
+jax.sharding.Mesh:
+
+  axis 'dp' — data parallel over locus tiles (the analog of genome
+              segments; each shard holds different active-region work)
+  axis 'sp' — sequence parallel over the offset window of the
+              read x haplotype scoring matmul (the analog of splitting
+              a long DP wavefront); the max-over-offsets reduction
+              crosses 'sp' shards, so XLA inserts an all-reduce(max)
+              over ICI.
+
+gVCF text emission stays on hosts (SURVEY.md §5) — only likelihood
+tensors live on the mesh.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import snv_digt
+
+
+def make_mesh(devices=None, dp: int | None = None, sp: int | None = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp is None or sp is None:
+        # favor dp; sp gets factor 2 when available
+        sp = 2 if n % 2 == 0 and n > 1 else 1
+        dp = n // sp
+    assert dp * sp == n, (dp, sp, n)
+    arr = np.array(devices).reshape(dp, sp)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def _score_and_reduce(delta, lnmis_sum, windows):
+    """Core scoring matmul + offset reduction.
+
+    delta [B, R, L4], windows [B, W, L4] (haplotype windows already
+    gathered, offset axis W shardable), -> per-read best score [B, R]
+    and full score matrix [B, R, W].
+    """
+    s = jnp.einsum("brk,bwk->brw", delta, windows,
+                   preferred_element_type=jnp.float32)
+    s = s + lnmis_sum[..., None]
+    return jnp.max(s, axis=-1), s
+
+
+def _region_step(snv_base, snv_qual, snv_fwd, snv_mask, snv_ref,
+                 delta, lnmis_sum, windows):
+    """One fused 'call step' over sharded tiles: batched SNV genotyping
+    + read x haplotype scoring. This is the per-iteration device program
+    of the engine (the analog of a framework's training step)."""
+    tile = snv_digt.SnvPileupTile(
+        base_id=snv_base, qual=snv_qual, is_fwd=snv_fwd,
+        mask=snv_mask, ref_gt=snv_ref)
+    snv_res = snv_digt.call_snv_tile(tile, theta=0.001)
+    best, _ = _score_and_reduce(delta, lnmis_sum, windows)
+    return snv_res.snv_qphred, snv_res.genome_max_gt, best
+
+
+def make_sharded_call_step(mesh: Mesh):
+    """jit the region call step with dp/sp shardings over `mesh`."""
+    dp = P("dp")
+    snv_spec = NamedSharding(mesh, P("dp", None))
+    ref_spec = NamedSharding(mesh, dp)
+    delta_spec = NamedSharding(mesh, P("dp", None, None))
+    lnmis_spec = NamedSharding(mesh, P("dp", None))
+    win_spec = NamedSharding(mesh, P("dp", "sp", None))
+    out_specs = (ref_spec, ref_spec, NamedSharding(mesh, P("dp", None)))
+    return jax.jit(
+        _region_step,
+        in_shardings=(snv_spec, snv_spec, snv_spec, snv_spec, ref_spec,
+                      delta_spec, lnmis_spec, win_spec),
+        out_shardings=out_specs,
+    )
+
+
+def example_region_inputs(n_loci=64, depth=32, n_tiles=8, reads=16,
+                          read_l4=128 * 4, n_windows=64, rng_seed=0):
+    """Tiny example inputs for compile checks (shapes divisible by
+    typical mesh factors)."""
+    rng = np.random.default_rng(rng_seed)
+    snv_base = jnp.asarray(rng.integers(0, 4, (n_loci, depth)), jnp.int32)
+    snv_qual = jnp.asarray(rng.integers(10, 41, (n_loci, depth)), jnp.int32)
+    snv_fwd = jnp.asarray(rng.random((n_loci, depth)) < 0.5)
+    snv_mask = jnp.asarray(rng.random((n_loci, depth)) < 0.9)
+    snv_ref = jnp.asarray(rng.integers(0, 4, n_loci), jnp.int32)
+    delta = jnp.asarray(rng.normal(size=(n_tiles, reads, read_l4)), jnp.float32)
+    lnmis = jnp.asarray(rng.normal(size=(n_tiles, reads)), jnp.float32)
+    windows = jnp.asarray(rng.random((n_tiles, n_windows, read_l4)) < 0.25,
+                          jnp.float32)
+    return (snv_base, snv_qual, snv_fwd, snv_mask, snv_ref,
+            delta, lnmis, windows)
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + run one sharded call step on an n-device mesh."""
+    devs = jax.devices()[:n_devices]
+    mesh = make_mesh(devs)
+    step = make_sharded_call_step(mesh)
+    args = example_region_inputs(
+        n_loci=max(8, n_devices) * 8, n_tiles=max(8, n_devices))
+    with mesh:
+        q, gt, best = step(*args)
+        jax.block_until_ready((q, gt, best))
+    assert q.shape[0] == args[0].shape[0]
