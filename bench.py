@@ -1,4 +1,4 @@
-"""Benchmark: read-likelihood scoring throughput on one TPU chip.
+"""Benchmark: read-likelihood scoring throughput on one TPU chip (Pallas kernel).
 
 Metric: reads/s through the read x haplotype likelihood scoring op
 (the engine's pair-HMM-equivalent hot loop, replacing the reference's
@@ -30,36 +30,32 @@ def main() -> None:
     # realistic hot-loop shapes: B locus tiles x R reads x L=128 read
     # length, W=128 offset window (covers +/-49bp indel shifts + slack)
     B, R, L, W = 256, 128, 128, 128
-    K = L * 4
     rng = np.random.default_rng(0)
 
-    delta = jnp.asarray(rng.normal(size=(B, R, K)).astype(np.float32))
-    lnmis = jnp.asarray(rng.normal(size=(B, R)).astype(np.float32))
-    windows = jnp.asarray((rng.random((B, W, K)) < 0.25).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, 5, (B, R, L)), jnp.int8)
+    delta = jnp.asarray(rng.uniform(2, 20, (B, R, L)).astype(np.float32))
+    lnmis = jnp.asarray(rng.normal(-100, 10, (B, R)).astype(np.float32))
+    win = jnp.asarray(rng.integers(0, 5, (B, W, L)), jnp.int8)
 
-    @jax.jit
-    def step(d, ln, w):
-        s = jnp.einsum("brk,bwk->brw", d, w,
-                       preferred_element_type=jnp.float32)
-        s = s + ln[..., None]
-        best = jnp.max(s, axis=-1)
-        best_off = jnp.argmax(s, axis=-1)
-        return best, best_off
+    if jax.default_backend() == "tpu":
+        from strelka_tpu.ops.pallas_readlik import score_best_offsets as step
+    else:  # CPU fallback: XLA reference path
+        from strelka_tpu.ops.pallas_readlik import reference_best_offsets as step
 
     # warmup/compile
-    out = step(delta, lnmis, windows)
+    out = step(codes, delta, lnmis, win)
     jax.block_until_ready(out)
 
     n_iter = 30
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = step(delta, lnmis, windows)
+        out = step(codes, delta, lnmis, win)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     reads_per_step = B * R
     reads_per_s = reads_per_step * n_iter / dt
-    flops = 2.0 * B * R * W * K * n_iter / dt
+    flops = 2.0 * B * R * W * 4 * L * n_iter / dt
 
     result = {
         "metric": "read_likelihood_scoring_reads_per_s_per_chip",

@@ -1,0 +1,132 @@
+"""Pallas TPU kernel for read x haplotype likelihood scoring.
+
+The XLA einsum path (ops/readlik.py) streams f32 one-hot tensors from
+HBM and materializes the full [B, R, W] score tensor — HBM-bound at
+~14 TFLOP/s on v5e. This kernel:
+
+  - streams int8 base codes + f32 per-base deltas (5 bytes/base instead
+    of 16 for f32 one-hot),
+  - builds the one-hot expansion in VMEM (4 masked slabs),
+  - runs the [R, 4L] @ [4L, W] scoring matmul on the MXU,
+  - fuses the max/argmax offset reduction so only [R] best scores +
+    offsets leave the chip.
+
+Replaces the reference's scalar scoring loop
+(starling_read_align_score.cpp:108-170) as the per-chip speed-of-light
+engine (SURVEY.md §2.5 'per-read likelihood hot loop').
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_BASE = 4
+
+
+def _score_kernel(codes_ref, delta_ref, lnmis_ref, win_ref,
+                  best_ref, bestoff_ref, a_scratch, w_scratch):
+    """One locus tile: reads [R, L] vs windows [W, L].
+
+    codes_ref  [R, L] int8   read base codes (>=4 -> no contribution)
+    delta_ref  [R, L] f32    ln(1-e)-ln(e/3) per base (0 at padding)
+    lnmis_ref  [R, 1] f32    sum of ln(e/3) over valid bases
+    win_ref    [W, L] int8   haplotype window codes per offset
+    best_ref   [R, 1] f32    output: max score over offsets
+    bestoff_ref[R, 1] i32    output: argmax offset
+    a_scratch  [R, 4L] f32
+    w_scratch  [4L, W] f32
+    """
+    # int8 is the HBM/VMEM transfer type; Mosaic lacks packed-i8 vector
+    # compares, so widen on the VPU before the one-hot masks
+    codes = codes_ref[0].astype(jnp.int32)
+    delta = delta_ref[0]
+    win = win_ref[0].astype(jnp.int32)
+    L = codes.shape[1]
+    for b in range(N_BASE):
+        a_slab = jnp.where(codes == b, delta, 0.0)
+        a_scratch[:, b * L:(b + 1) * L] = a_slab
+        w_slab = (win == b).astype(jnp.float32)
+        w_scratch[b * L:(b + 1) * L, :] = w_slab.T
+    s = jnp.dot(a_scratch[:], w_scratch[:],
+                preferred_element_type=jnp.float32)       # [R, W]
+    s = s + lnmis_ref[0]                                   # broadcast [R,1]
+    best_ref[0] = jnp.max(s, axis=1, keepdims=True)
+    bestoff_ref[0] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
+
+
+def score_best_offsets(codes, delta, lnmis, win_codes, interpret: bool = False):
+    """Batched best-offset scoring.
+
+    codes     [B, R, L] int8/int32 read base codes
+    delta     [B, R, L] f32
+    lnmis     [B, R]    f32
+    win_codes [B, W, L] int8/int32 per-offset haplotype windows
+    returns (best [B, R] f32, best_off [B, R] i32)
+
+    Mosaic rejects int64 index types, so the kernel is traced with x64
+    disabled (the engine otherwise enables x64 for posterior math).
+    """
+    with jax.enable_x64(False):
+        return _score_best_offsets(codes, delta, lnmis, win_codes, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _score_best_offsets(codes, delta, lnmis, win_codes, interpret: bool = False):
+    B, R, L = codes.shape
+    W = win_codes.shape[1]
+    codes = codes.astype(jnp.int8)
+    win_codes = win_codes.astype(jnp.int8)
+    lnmis2 = lnmis[..., None]
+
+    grid = (B,)
+    out = pl.pallas_call(
+        _score_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, R, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, R, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, N_BASE * L), jnp.float32),
+            pltpu.VMEM((N_BASE * L, W), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * R * N_BASE * L * W,
+            bytes_accessed=B * (R * L * 5 + W * L + R * 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(codes, delta, lnmis2, win_codes)
+    best, best_off = out
+    return best[..., 0], best_off[..., 0]
+
+
+def _squeeze_kernel_blockspecs():  # pragma: no cover - doc helper
+    """Block shapes use a leading 1 for the batch dim; inside the
+    kernel refs arrive squeezed to [R, L] etc. when block dim is 1."""
+
+
+def reference_best_offsets(codes, delta, lnmis, win_codes):
+    """XLA reference implementation (for testing the kernel)."""
+    onehot_r = jax.nn.one_hot(codes, N_BASE, dtype=jnp.float32)
+    a = (onehot_r * delta[..., None])
+    onehot_w = jax.nn.one_hot(win_codes, N_BASE, dtype=jnp.float32)
+    s = jnp.einsum("brlc,bwlc->brw", a, onehot_w,
+                   preferred_element_type=jnp.float32)
+    s = s + lnmis[..., None]
+    return jnp.max(s, axis=-1), jnp.argmax(s, axis=-1).astype(jnp.int32)
