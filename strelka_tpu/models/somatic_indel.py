@@ -1,0 +1,101 @@
+"""Somatic indel model: frequency-grid likelihoods from per-read
+allele scores + the shared joint posterior.
+
+Reference: applications/strelka/somatic_indel_grid.cpp
+(get_indel_het_grid_lhood :67-90, get_somatic_indel :180-330) and
+starling_common/starling_indel_call_pprob_digt.cpp
+(get_indel_digt_lhood :240-310, get_high_low_het_ratio_lhood :75-182).
+
+Vectorized: per locus, per sample, the [R] (ref_lnp, indel_lnp) pairs
+from the scoring op expand against the 21-point frequency grid in one
+[R, F] logaddexp; the reference's per-read loops disappear.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import indel_genotype as ig
+from . import somatic_snv as ss
+
+
+def indel_freq_grid_lhoods(
+    ref_lnp: np.ndarray,     # [R] log P(read | no indel) (already maxed
+                             #     with alt-indel paths, is_use_alt_indel)
+    indel_lnp: np.ndarray,   # [R] log P(read | indel)
+    read_len: np.ndarray,    # [R]
+    n_nonambig: np.ndarray,  # [R]
+    mask: np.ndarray,        # [R] read participates (tier gating)
+    insert_len: int,
+    delete_len: int,
+    min_read_bp_flank: int,
+) -> np.ndarray:
+    """[PRESTRAND_SIZE] log likelihoods over the somatic freq grid.
+
+    Each frequency f gets the per-read mixture
+    logsum(ref + ln(1-f'), indel + ln f') with f' ratio-corrected for
+    the indel's read-span asymmetry (get_het_observed_allele_ratio),
+    then mapping-status integration, summed over reads.
+    """
+    R = len(ref_lnp)
+    fr = ss.FRACTIONS  # [F]
+    # ratio correction per read per target fraction
+    log_ref_p = np.zeros((R, len(fr)))
+    log_ind_p = np.full((R, len(fr)), -np.inf)
+    for j, f in enumerate(fr):
+        if f <= 0.0:
+            log_ref_p[:, j] = 0.0
+            log_ind_p[:, j] = -np.inf
+        elif f >= 1.0:
+            log_ref_p[:, j] = -np.inf
+            log_ind_p[:, j] = 0.0
+        else:
+            lr, la = ig.het_allele_ratio_log_priors(
+                read_len, min_read_bp_flank, insert_len, delete_len,
+                het_ratio=float(f))
+            log_ref_p[:, j] = lr
+            log_ind_p[:, j] = la
+
+    raw = np.logaddexp(ref_lnp[:, None] + log_ref_p,
+                       indel_lnp[:, None] + log_ind_p)       # [R, F]
+    integ = np.logaddexp(raw + ig.CORRECT_MAPPING_LOG_PRIOR,
+                         (n_nonambig * ig.LN_RANDOM_BASE_MATCH)[:, None])
+    integ = np.where(mask[:, None], integ, 0.0)
+    return integ.sum(axis=0)
+
+
+def somatic_indel_call(
+    normal_lhood: np.ndarray,   # [PRESTRAND_SIZE]
+    tumor_lhood: np.ndarray,    # [PRESTRAND_SIZE]
+    tumor_indel_to_ref_rate: float,
+    contam_tolerance: float = 0.15,
+    somatic_indel_rate: float = 1e-6,
+    bindel_theta: float = 1e-4,
+    shared_indel_error_factor: float = 1.4,
+):
+    """Joint somatic-indel posterior (get_somatic_indel rate plumbing:
+    sharedErrorRate = tumorIndelToRef^shared_indel_error_factor,
+    somatic_indel_grid.cpp:272-276). Returns a SomaticSnvResult-shaped
+    tuple of scalars (qphred, from_ntype_qphred, ntype, max_gt)."""
+    shared = float(tumor_indel_to_ref_rate) ** shared_indel_error_factor
+    pf, gp = ss.build_joint_prior(contam_tolerance, shared,
+                                  somatic_indel_rate, bindel_theta,
+                                  sse_strand_fraction=0.0)
+    nl = jnp.asarray(normal_lhood, jnp.float32)[None]
+    tl = jnp.asarray(tumor_lhood, jnp.float32)[None]
+    s = pf[None] + nl[:, None, None, :, None] + tl[:, None, None, None, :]
+    lse = jax.scipy.special.logsumexp(s.reshape(1, 3, 2, -1), axis=-1)
+    log_post = np.asarray(lse + gp[None])[0]                   # [3, 2]
+    mx = log_post.max()
+    p = np.exp(log_post - mx)
+    p /= p.sum()
+    nonsom = p[:, ss.NON_SOMATIC].sum()
+    som_given_n = p[:, ss.SOMATIC]
+    err = 1.0 - som_given_n
+    ntype = int(np.argmin(err))
+    tiny = np.finfo(np.float64).tiny
+    q = int(min(999, round(-10 * np.log10(max(nonsom, tiny)))))
+    qn = int(min(999, round(-10 * np.log10(max(err[ntype], tiny)))))
+    max_gt = int(np.argmax(log_post))
+    return q, qn, ntype, max_gt

@@ -1,0 +1,244 @@
+"""Somatic SNV strand-grid model (tumor/normal joint calling).
+
+Reference: applications/strelka/position_somatic_snv_strand_grid.cpp,
+position_somatic_snv_strand_grid_lhood_cached.cpp, qscore_calculator.cpp
+calculate_result_set_grid:46-209, strelka_digt_states.hh (DIGT_GRID:
+21 pre-strand frequency states = {REF=0, HOM=1, HET=0.5} + 18 grid
+fractions; + 9 tumor strand states).
+
+Vectorized design: every state is just an expected non-ref allele
+frequency f, and each basecall contributes
+    obs==ref:  ln((1-e)(1-f) + (e/3) f)
+    obs!=ref:  ln((1-e) f    + (e/3)(1-f))
+so the whole [loci, 21] likelihood tensor is one outer product over the
+frequency grid. The (Gn x somatic x Fn x Ft) joint posterior becomes a
+masked logsumexp against precomputed prior tensors — vmapped over loci
+instead of the reference's per-position nested loops.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --- state space (strelka_digt_states.hh) ---------------------------------
+HET_RES = 9
+HET_COUNT = HET_RES * 2 + 1
+PRESTRAND_SIZE = 2 + HET_COUNT          # 21
+STRAND_STATE_SIZE = HET_RES             # 9
+GRID_SIZE = PRESTRAND_SIZE + STRAND_STATE_SIZE
+RATIO_INCREMENT = 0.5 / (HET_RES + 1)   # 0.05
+
+REF, HOM, HET = 0, 1, 2  # SOMATIC_DIGT
+NON_SOMATIC, SOMATIC = 0, 1
+
+
+def fraction_from_index(i: int) -> float:
+    """strelka_digt_states.cpp get_fraction_from_index."""
+    if i == REF:
+        return 0.0
+    if i == HOM:
+        return 1.0
+    if i == HET:
+        return 0.5
+    if i < 3 + HET_RES:
+        return RATIO_INCREMENT * (i - 3 + 1)
+    return RATIO_INCREMENT * (i - 3 + 2)
+
+
+FRACTIONS = np.array([fraction_from_index(i) for i in range(PRESTRAND_SIZE)])
+STRAND_FRACTIONS = np.array([(i + 1) * RATIO_INCREMENT for i in range(HET_RES)])
+
+
+# --- per-sample frequency-grid likelihoods --------------------------------
+
+@jax.jit
+def freq_grid_lhoods(base_id, qual, mask, is_fwd, ref_gt):
+    """[L, GRID_SIZE] log lhoods for a pileup tile.
+
+    base_id/qual/mask/is_fwd: [L, D]; ref_gt: [L].
+    States 0..20 = symmetric frequency grid; 21..29 = strand states
+    (max over fwd-only / rev-only noise, get_strand_ratio_lhood_spi).
+    """
+    e = jnp.power(10.0, -qual.astype(jnp.float32) / 10.0)
+    ce = 1.0 - e
+    is_ref = (base_id == ref_gt[:, None]) & mask
+    is_alt = (base_id != ref_gt[:, None]) & mask
+    f = jnp.asarray(FRACTIONS, jnp.float32)                         # [F]
+    # per-call, per-freq contributions
+    ref_c = jnp.log(ce[..., None] * (1 - f) + (e[..., None] / 3.0) * f)
+    alt_c = jnp.log(ce[..., None] * f + (e[..., None] / 3.0) * (1 - f))
+    lh = jnp.sum(jnp.where(is_ref[..., None], ref_c, 0.0), axis=1) + \
+         jnp.sum(jnp.where(is_alt[..., None], alt_c, 0.0), axis=1)   # [L, F]
+
+    # strand states: noise on one strand at ratio r, other strand pure ref
+    r = jnp.asarray(STRAND_FRACTIONS, jnp.float32)                  # [S]
+    on_ref = jnp.log(ce[..., None] * (1 - r) + (e[..., None] / 3.0) * r)
+    on_alt = jnp.log(ce[..., None] * r + (e[..., None] / 3.0) * (1 - r))
+    off_ref = jnp.log(ce)[..., None] * jnp.ones_like(r)
+    off_alt = (jnp.log(e) + jnp.log(1.0 / 3.0))[..., None] * jnp.ones_like(r)
+    fwd = is_fwd[..., None]
+    # "on-strand is fwd"
+    c_fwd = jnp.where(is_ref[..., None], jnp.where(fwd, on_ref, off_ref),
+                      jnp.where(is_alt[..., None],
+                                jnp.where(fwd, on_alt, off_alt), 0.0))
+    c_rev = jnp.where(is_ref[..., None], jnp.where(fwd, off_ref, on_ref),
+                      jnp.where(is_alt[..., None],
+                                jnp.where(fwd, off_alt, on_alt), 0.0))
+    lh_fwd = jnp.sum(c_fwd, axis=1)
+    lh_rev = jnp.sum(c_rev, axis=1)                                  # [L, S]
+    ln_half = jnp.float32(np.log(0.5))
+    strand = jnp.logaddexp(lh_fwd, lh_rev) + ln_half
+    return jnp.concatenate([lh, strand], axis=-1)                    # [L, 30]
+
+
+# --- joint posterior prior tensors ----------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def build_joint_prior(contam_tolerance: float, shared_error_rate: float,
+                      somatic_rate: float, theta: float,
+                      sse_strand_fraction: float = 0.5):
+    """Precompute the (ngt, tgt, fn, ft) log-prior tensor with -inf at
+    excluded combinations (qscore_calculator.cpp:67-142) plus the
+    (ngt, tgt) genotype prior.
+
+    ln_sse uses only the non-strand-specific portion of the shared
+    error rate while the complement uses the full rate
+    (somatic_snv_caller_strand_grid ctor,
+    position_somatic_snv_strand_grid.cpp:43-55)."""
+    log_error_mod = -np.log(PRESTRAND_SIZE - 1)
+    ln_half = np.log(0.5)
+    ln_sse = np.log(shared_error_rate * (1.0 - sse_strand_fraction))
+    ln_csse = np.log1p(-shared_error_rate)
+
+    pf = np.full((3, 2, PRESTRAND_SIZE, PRESTRAND_SIZE), -np.inf)
+    for ngt in range(3):
+        for fti in range(PRESTRAND_SIZE):
+            ft = FRACTIONS[fti]
+            consider_contam = contam_tolerance * ft >= RATIO_INCREMENT
+            for fni in range(PRESTRAND_SIZE):
+                # non-somatic: Fn == Ft
+                if fni == fti:
+                    pf[ngt, NON_SOMATIC, fni, fti] = (
+                        ln_csse if fni == ngt else ln_sse + log_error_mod)
+                else:
+                    # somatic: Fn != Ft
+                    if ngt != REF:
+                        if fni == ngt:
+                            pf[ngt, SOMATIC, fni, fti] = log_error_mod
+                    else:
+                        if not consider_contam:
+                            if fni == 0:
+                                pf[ngt, SOMATIC, fni, fti] = log_error_mod
+                        else:
+                            if fni == ngt or fni == 3:  # Fn=0 or Fn=0.05
+                                pf[ngt, SOMATIC, fni, fti] = (
+                                    log_error_mod + ln_half)
+    # genotype priors
+    g = np.empty(3)
+    g[REF] = np.log1p(-(3.0 * theta) / 2.0)
+    g[HOM] = np.log(theta / 2.0)
+    g[HET] = np.log(theta)
+    lnmatch = np.log1p(-somatic_rate)
+    lnmismatch = np.log(somatic_rate)
+    gp = g[:, None] + np.array([lnmatch, lnmismatch])[None, :]  # [3, 2]
+    del ln_half
+    return jnp.asarray(pf, jnp.float32), jnp.asarray(gp, jnp.float32)
+
+
+class SomaticSnvResult(NamedTuple):
+    qphred: jnp.ndarray            # [L] Q(somatic)
+    from_ntype_qphred: jnp.ndarray # [L] Q(somatic & normal=ntype)
+    ntype: jnp.ndarray             # [L] normal genotype index (REF/HOM/HET)
+    max_gt: jnp.ndarray            # [L] DDIGT joint state
+    strand_bias: jnp.ndarray       # [L]
+    nonsomatic_qphred: jnp.ndarray # [L]
+
+
+@functools.partial(jax.jit, static_argnames=("contam_tolerance",
+                                             "shared_error_rate",
+                                             "somatic_rate", "theta",
+                                             "sse_strand_fraction"))
+def somatic_snv_call(normal_lhood, tumor_lhood,
+                     contam_tolerance=0.15, shared_error_rate=5e-10,
+                     somatic_rate=1e-4, theta=0.001,
+                     sse_strand_fraction=0.0) -> SomaticSnvResult:
+    """Joint somatic posterior over batched loci.
+
+    normal_lhood/tumor_lhood: [L, GRID_SIZE] from freq_grid_lhoods.
+    Strand-bias-split shared error: strand fraction defaults applied by
+    caller via shared_error_rate (ln_sse uses the no-strand portion,
+    somatic_snv_caller_strand_grid ctor).
+    """
+    pf, gp = build_joint_prior(contam_tolerance, shared_error_rate,
+                               somatic_rate, theta, sse_strand_fraction)
+    nl = normal_lhood[:, :PRESTRAND_SIZE]
+    tl = tumor_lhood[:, :PRESTRAND_SIZE]
+    # [L, 3, 2, fn, ft]
+    s = pf[None] + nl[:, None, None, :, None] + tl[:, None, None, None, :]
+    lse = jax.scipy.special.logsumexp(s.reshape(s.shape[0], 3, 2, -1), axis=-1)
+    log_post = lse + gp[None]                                   # [L, 3, 2]
+
+    # posterior normalization in f64 (the reference stores post_prob as
+    # double, qscore_calculator.cpp:183-207; f32 cannot represent
+    # 1 - 1e-12 complements needed for from_ntype scores)
+    flat = log_post.reshape(-1, 6).astype(jnp.float64)
+    mx = jnp.max(flat, axis=-1, keepdims=True)
+    p = jnp.exp(flat - mx)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p = p.reshape(-1, 3, 2)
+
+    nonsom = jnp.sum(p[:, :, NON_SOMATIC], axis=-1)
+    som_given_n = p[:, :, SOMATIC]
+    # err[n] = everything except (n, SOMATIC), summed explicitly for
+    # precision (complement-sum, prob_comp semantics)
+    total_som = jnp.sum(som_given_n, axis=-1, keepdims=True)
+    err_som_and_ngt = nonsom[:, None] + (total_som - som_given_n)  # [L, 3]
+    ntype = jnp.argmin(err_som_and_ngt, axis=-1)
+    min_err = jnp.min(err_som_and_ngt, axis=-1)
+
+    tiny = jnp.finfo(jnp.float64).tiny
+    q = jnp.minimum(jnp.round(-10 * jnp.log10(jnp.maximum(nonsom, tiny))), 999)
+    qn = jnp.minimum(jnp.round(-10 * jnp.log10(jnp.maximum(min_err, tiny))), 999)
+
+    max_flat = jnp.argmax(log_post.reshape(-1, 6), axis=-1)
+
+    # strand bias: max strand-state lhood minus max symmetric het-grid
+    symm = jnp.max(tumor_lhood[:, 3:PRESTRAND_SIZE], axis=-1)
+    strand = jnp.max(tumor_lhood[:, PRESTRAND_SIZE:], axis=-1)
+    sb = jnp.maximum(0.0, strand - symm)
+
+    # nonsomatic quality (gvcf_nonsomatic_gvcf_prior): uniform prior,
+    # restricted 'valid' tumor freq states
+    valid_t = (FRACTIONS >= 0.1 - 1e-4) & (FRACTIONS <= 0.9 + 1e-4)
+    valid_t |= np.arange(PRESTRAND_SIZE) < 2  # REF/HOM always valid
+    vmask = jnp.asarray(valid_t)
+    eq_prior = jnp.where(vmask, 0.0, -jnp.inf)                   # fn == ft
+    pp_diag = nl + tl + eq_prior[None]
+    is_ref_or_hom = jnp.asarray(np.arange(PRESTRAND_SIZE) < 2)
+    off_prior = jnp.where(vmask[None, :],
+                          jnp.where(is_ref_or_hom[:, None], np.log(0.5),
+                                    -jnp.inf),
+                          -jnp.inf)
+    pp_off = nl[:, :, None] + tl[:, None, :] + off_prior[None]
+    denom = jnp.logaddexp(
+        jax.scipy.special.logsumexp(pp_diag, axis=-1),
+        jax.scipy.special.logsumexp(
+            jnp.where(jnp.eye(PRESTRAND_SIZE, dtype=bool)[None], -jnp.inf,
+                      pp_off).reshape(pp_off.shape[0], -1), axis=-1))
+    num = jax.scipy.special.logsumexp(pp_diag, axis=-1)
+    nonsom_frac = jnp.exp(num - denom)
+    qns = jnp.minimum(jnp.round(-10 * jnp.log10(
+        jnp.maximum(1.0 - nonsom_frac, tiny))), 999)
+
+    return SomaticSnvResult(
+        qphred=q.astype(jnp.int32),
+        from_ntype_qphred=qn.astype(jnp.int32),
+        ntype=ntype.astype(jnp.int32),
+        max_gt=max_flat.astype(jnp.int32),
+        strand_bias=sb,
+        nonsomatic_qphred=qns.astype(jnp.int32),
+    )

@@ -77,13 +77,16 @@ class GermlineOptions(StarlingBaseOptions):
 
 @dataclass
 class SomaticOptions(StarlingBaseOptions):
-    """reference: applications/strelka/strelka_shared.hh"""
-    somatic_snv_rate: float = 0.000001         # strelka_shared.hh ssnv_prior
-    shared_site_error_rate: float = 5e-7
-    shared_site_error_strand_bias_fraction: float = 0.5
+    """reference: applications/strelka/strelka_shared.hh, with the
+    workflow-effective values from configureStrelkaSomaticWorkflow.py.ini
+    (ssnvPrior=1e-4, ssnvNoise=5e-10, ssnvNoiseStrandBiasFrac=0,
+    sindelNoiseFactor=2.2) which override the compiled defaults."""
+    somatic_snv_rate: float = 0.0001           # ini ssnvPrior
+    shared_site_error_rate: float = 5e-10      # ini ssnvNoise
+    shared_site_error_strand_bias_fraction: float = 0.0  # ini
     site_somatic_normal_noise_rate: float = 0.0005
-    somatic_indel_rate: float = 0.000001
-    shared_indel_error_factor: float = 1.4
+    somatic_indel_rate: float = 0.000001       # ini sindelPrior
+    shared_indel_error_factor: float = 2.2     # ini sindelNoiseFactor
     indel_somatic_normal_noise_rate: float = 0.0001
     normal_sample_min_read_bp_flank: int = 1
     somatic_snv_max_filtered_basecall_frac: float = 0.4

@@ -1,0 +1,322 @@
+"""Tumor/normal somatic calling over a region.
+
+Reference: applications/strelka/strelka_pos_processor.cpp
+(process_pos_snp_somatic :166-264, process_pos_indel_somatic :297-408),
+strelka_run.cpp, SomaticCallableProcessor.hh.
+
+Design: both samples' pileups are built once per region; tier1 and
+tier2 frequency-grid likelihood tensors are computed batched over all
+positions; the joint somatic posterior runs vmapped; indel loci reuse
+the germline realignment scoring to produce per-read (ref, indel)
+log-probs for the somatic indel grid.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io import bam as bamio
+from ..io.fasta import FastaReference, decode_bases
+from ..models import error_model, somatic_indel as si, somatic_snv as ss
+from ..options import SomaticOptions
+from . import candidates as cand
+from . import pileup as pl
+from . import reads as rd
+from . import realign
+
+NTYPE_LABELS = ["ref", "hom", "het", "conflict"]
+
+
+@dataclass
+class SomaticSnvSite:
+    pos: int
+    ref_gt: int
+    alt_id: int
+    qss: int
+    qss_nt: int
+    ntype: int
+    tier_qss: int
+    tier_qss_nt: int
+    sgt_normal: int   # SOMATIC_DIGT of normal in max state
+    sgt_tumor_is_som: bool
+    snv_sb: float
+    # per-sample [normal, tumor] counters
+    dp: list = field(default_factory=list)
+    fdp: list = field(default_factory=list)
+    sdp: list = field(default_factory=list)
+    subdp: list = field(default_factory=list)
+    acgt_tier1: list = field(default_factory=list)  # [4] each
+    acgt_tier2: list = field(default_factory=list)
+    read_pos_ranksum: float = 0.0
+    mq: float = 0.0
+    mq0: int = 0
+
+
+@dataclass
+class SomaticIndelCall:
+    key: cand.IndelKey
+    rec: cand.IndelRecord
+    qsi: int
+    qsi_nt: int
+    ntype: int
+    tier: int
+    sgt_tumor_is_som: bool
+    # per-sample counters [normal, tumor]
+    dp: list = field(default_factory=list)
+    tar: list = field(default_factory=list)   # tier1,2 ref-supporting
+    tir: list = field(default_factory=list)   # tier1,2 indel-supporting
+    tor: list = field(default_factory=list)   # other
+    mq: float = 0.0
+    mq0: int = 0
+
+
+@dataclass
+class SomaticRegionResult:
+    chrom: str
+    begin: int
+    end: int
+    ref_codes: np.ndarray
+    snvs: list[SomaticSnvSite]
+    indels: list[SomaticIndelCall]
+
+
+def _grid_lhoods_for_pileup(pu: pl.PileupRegion, used: np.ndarray,
+                            ref_gt: np.ndarray):
+    """[L, GRID_SIZE] frequency-grid lhoods from a pileup + use mask."""
+    return np.asarray(ss.freq_grid_lhoods(
+        jnp.asarray(np.where(used, pu.base_id, -1)),
+        jnp.asarray(np.where(used, pu.qual, 0)),
+        jnp.asarray(used),
+        jnp.asarray(pu.is_fwd),
+        jnp.asarray(ref_gt.astype(np.int32)),
+    ))
+
+
+def call_somatic_region(
+    opt: SomaticOptions,
+    ref: FastaReference,
+    chrom: str,
+    begin: int,
+    end: int,
+    normal_batch: bamio.ReadBatch,
+    tumor_batch: bamio.ReadBatch,
+    external_indel_vcfs: list[str] | None = None,
+) -> SomaticRegionResult:
+    halo = opt.max_indel_size + 250
+    fetch_begin = max(0, begin - halo)
+    fetch_end = min(ref.contig_length(chrom), end + halo)
+    ref_all = ref.fetch(chrom, fetch_begin, fetch_end)
+    rc = ref_all[begin - fetch_begin:end - fetch_begin]
+    L = end - begin
+    em = error_model.IndelErrorModel(2)
+
+    pus, t2_pus, eas, levels, kept = [], [], [], [], []
+    store = cand.IndelObservationStore(2)
+    for s, raw in enumerate([normal_batch, tumor_batch]):
+        keep, level = rd.filter_and_classify_reads(
+            raw, opt.min_mapping_quality,
+            tier2_min_mapq=opt.tier2_min_single_align_score)
+        batch = raw.select(keep)
+        level = level[keep]
+        ea = rd.expand_alignments(batch)
+        mmf, t2mmf = rd.mismatch_density_filter(
+            batch, ea, rc, begin, opt.max_win_mismatch_flank_size,
+            opt.max_win_mismatch,
+            tier2_max_mismatch=opt.tier2_mismatch_density_filter_count)
+        pu = pl.build_pileup(batch, ea, level, rc, begin, end,
+                             min_qscore=opt.min_qscore, mm_filter=mmf,
+                             tier2_mm_filter=t2mmf)
+        kept.append(batch)
+        eas.append(ea)
+        levels.append(level)
+        pus.append(pu)
+        cand.extract_read_indels(batch, ea, level, ref_all, fetch_begin,
+                                 store, s, opt.max_indel_size)
+
+    if external_indel_vcfs:
+        from ..io.vcf import read_vcf
+        for path in external_indel_vcfs:
+            for v in read_vcf(path, region=(chrom, fetch_begin, fetch_end)):
+                for alt in v.alts:
+                    if len(v.ref) >= 1 and len(alt) >= 1 and alt[0] == v.ref[0]:
+                        dlen = len(v.ref) - 1
+                        ins = alt[1:]
+                        if dlen > 0 and ins:
+                            continue
+                        if max(dlen, len(ins)) <= opt.max_indel_size:
+                            store.add_external(cand.IndelKey(v.pos + 1, dlen, ins))
+
+    ref_gt = rc.astype(np.int32)
+
+    # --- SNVs: tier1 + tier2 grid lhoods over all positions ---
+    lh = []
+    lh_t2 = []
+    for pu in pus:
+        lh.append(_grid_lhoods_for_pileup(pu, pu.used & pu.valid, ref_gt))
+        t2_used = pu.tier2_used & pu.valid
+        lh_t2.append(_grid_lhoods_for_pileup(pu, t2_used, ref_gt))
+
+    shared_rate = opt.shared_site_error_rate
+    def run_tier(nlh, tlh):
+        return ss.somatic_snv_call(
+            jnp.asarray(nlh), jnp.asarray(tlh),
+            contam_tolerance=0.15,
+            shared_error_rate=shared_rate,
+            somatic_rate=opt.somatic_snv_rate,
+            theta=opt.bsnp_diploid_theta,
+            sse_strand_fraction=opt.shared_site_error_strand_bias_fraction)
+
+    r1 = run_tier(lh[0], lh[1])
+    r2 = run_tier(lh_t2[0], lh_t2[1])
+
+    q1 = np.asarray(r1.qphred)
+    q2 = np.asarray(r2.qphred)
+    qn1 = np.asarray(r1.from_ntype_qphred)
+    qn2 = np.asarray(r2.from_ntype_qphred)
+    nt1 = np.asarray(r1.ntype)
+    nt2 = np.asarray(r2.ntype)
+
+    # tier merge (position_somatic_snv_strand_grid.cpp:309-365): take
+    # min over tiers for each score; record which tier was used
+    tier_qss = (q1 > q2).astype(np.int32)
+    qss = np.minimum(q1, q2)
+    tier_qss_nt = (qn1 > qn2).astype(np.int32)
+    qss_nt = np.minimum(qn1, qn2)
+    ntype = np.where(nt1 == nt2, nt1, 3)  # 3 = conflict
+    qss_nt = np.where(nt1 == nt2, qss_nt, 0)
+
+    snvs: list[SomaticSnvSite] = []
+    called = np.nonzero((qss > 0) & (ref_gt < 4))[0]
+    max_gt1 = np.asarray(r1.max_gt)
+    sb1 = np.asarray(r1.strand_bias)
+    for i in called:
+        pos = begin + int(i)
+        # most frequent alt in tumor tier1
+        counts_t = pus[1].used_counts()[i]
+        counts_t[ref_gt[i]] = 0
+        alt_id = int(np.argmax(counts_t))
+        if counts_t[alt_id] == 0:
+            counts_n = pus[0].used_counts()[i]
+            counts_n[ref_gt[i]] = 0
+            alt_id = int(np.argmax(counts_n))
+            if counts_n[alt_id] == 0:
+                continue
+        site = SomaticSnvSite(
+            pos=pos, ref_gt=int(ref_gt[i]), alt_id=alt_id,
+            qss=int(qss[i]), qss_nt=int(qss_nt[i]), ntype=int(ntype[i]),
+            tier_qss=int(tier_qss[i]), tier_qss_nt=int(tier_qss_nt[i]),
+            sgt_normal=int(max_gt1[i]) // 2, sgt_tumor_is_som=bool(max_gt1[i] % 2),
+            snv_sb=float(sb1[i]),
+        )
+        mqn = mqss = mq0 = 0
+        for s, pu in enumerate(pus):
+            used_ct = int((pu.used[i] & pu.valid[i]).sum())
+            fdp = int((pu.valid[i] & ~pu.used[i]).sum())
+            site.dp.append(used_ct + fdp)
+            site.fdp.append(fdp)
+            site.sdp.append(int(pu.spandel[i]))
+            site.subdp.append(int(pu.submapped[i]))
+            c1 = np.zeros(4, np.int32)
+            c2 = np.zeros(4, np.int32)
+            for d in range(pu.max_depth):
+                if not pu.valid[i, d]:
+                    continue
+                b = pu.base_id[i, d]
+                if pu.used[i, d]:
+                    c1[b] += 1
+                if pu.tier2_used[i, d]:
+                    c2[b] += 1
+            site.acgt_tier1.append(c1)
+            site.acgt_tier2.append(c2)
+            mqn += int(pu.mapq_n[i])
+            mqss += float(pu.mapq_sumsq[i])
+            mq0 += int(pu.mapq_zero[i])
+        site.mq = float(np.sqrt(mqss / mqn)) if mqn else 0.0
+        site.mq0 = mq0
+        # ReadPosRankSum: alt vs ref read positions in the tumor
+        pu = pus[1]
+        um = pu.used[i] & pu.valid[i]
+        is_alt = pu.base_id[i] == alt_id
+        alt_pos = pu.read_off[i][um & is_alt]
+        ref_pos = pu.read_off[i][um & (pu.base_id[i] == ref_gt[i])]
+        from ..utils.stats import mann_whitney_u_from_groups
+        site.read_pos_ranksum = (mann_whitney_u_from_groups(
+            alt_pos.astype(float), ref_pos.astype(float))
+            if len(alt_pos) and len(ref_pos) else 0.0)
+        snvs.append(site)
+
+    # --- indels ---
+    ests = [cand.estimated_depth(kept[s], eas[s], levels[s], fetch_begin,
+                                 fetch_end) for s in range(2)]
+    est_sum = np.maximum(ests[0], ests[1])
+    candidacy = cand.evaluate_candidacy(
+        store, est_sum, fetch_begin, em, ref_all, fetch_begin,
+        alpha=opt.indel_candidate_signal_test_alpha)
+    indels: list[SomaticIndelCall] = []
+    for key in sorted(k for k, ok in candidacy.items()
+                      if ok and begin <= k.pos < end):
+        rec = store.records[key]
+        if not rec.repeat_unit:
+            cand.set_repeat_info(rec, ref_all, fetch_begin, decode_bases)
+        # per-sample scores
+        grid = []
+        t1_ref = []
+        t1_ind = []
+        tor = []
+        skip = False
+        for s in range(2):
+            sc = realign.score_locus(kept[s], eas[s], levels[s], ref_all,
+                                     fetch_begin, [key])
+            if sc is None:
+                skip = True
+                break
+            ref_lnp = sc.allele_lhoods[:, 0]
+            ind_lnp = sc.allele_lhoods[:, 1]
+            grid.append(si.indel_freq_grid_lhoods(
+                ref_lnp, ind_lnp, sc.read_len, sc.n_nonambig,
+                np.ones(len(ref_lnp), bool), key.insert_length,
+                key.delete_length,
+                opt.normal_sample_min_read_bp_flank if s == 0
+                else opt.default_min_read_bp_flank))
+            # confident read counts (TAR/TIR): posterior >= 0.51 over
+            # {ref, indel}
+            p = ref_lnp - np.logaddexp(ref_lnp, ind_lnp)
+            t1_ref.append(int((np.exp(p) >= 0.51).sum()))
+            t1_ind.append(int((np.exp(p) <= 0.49).sum()))
+            tor.append(len(ref_lnp) - t1_ref[-1] - t1_ind[-1])
+        if skip:
+            continue
+        _, ind_to_ref = em.get_rates(
+            1, rec.repeat_unit_length, rec.ref_repeat_count,
+            rec.indel_repeat_count, key.is_insertion)
+        q, qn, ntype_i, max_gt = si.somatic_indel_call(
+            grid[0], grid[1], float(ind_to_ref),
+            contam_tolerance=0.15,
+            somatic_indel_rate=opt.somatic_indel_rate,
+            bindel_theta=opt.bindel_diploid_theta,
+            shared_indel_error_factor=opt.shared_indel_error_factor)
+        if q == 0:
+            continue
+        callrec = SomaticIndelCall(
+            key=key, rec=rec, qsi=q, qsi_nt=qn, ntype=ntype_i, tier=0,
+            sgt_tumor_is_som=bool(max_gt % 2))
+        mqn = mqss = mq0 = 0
+        for s, pu in enumerate(pus):
+            dpos = key.pos - 1 - begin
+            dp = int(pu.depth[dpos]) if 0 <= dpos < L else 0
+            callrec.dp.append(dp)
+            callrec.tar.append((t1_ref[s], t1_ref[s]))
+            callrec.tir.append((t1_ind[s], t1_ind[s]))
+            callrec.tor.append((tor[s], tor[s]))
+            if 0 <= dpos < L:
+                mqn += int(pu.mapq_n[dpos])
+                mqss += float(pu.mapq_sumsq[dpos])
+                mq0 += int(pu.mapq_zero[dpos])
+        callrec.mq = float(np.sqrt(mqss / mqn)) if mqn else 0.0
+        callrec.mq0 = mq0
+        indels.append(callrec)
+
+    return SomaticRegionResult(chrom=chrom, begin=begin, end=end,
+                               ref_codes=rc, snvs=snvs, indels=indels)

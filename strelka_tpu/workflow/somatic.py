@@ -1,0 +1,240 @@
+"""Somatic workflow CLI + VCF serialization.
+
+Reference: strelkaSomaticWorkflow.py + applications/strelka VCF
+emission (somatic_call_shared.hh write_vcf_somatic_snv_genotype_
+strand_grid, SomaticIndelVcfWriter.cpp). Output format mirrors the
+demo's expected results (src/demo/expectedResults/somatic.*.vcf.gz).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from .. import __version__
+from ..io.bam import read_bam
+from ..io.bgzf import BgzfWriter
+from ..io.fasta import FastaReference, decode_bases
+from ..options import SomaticOptions
+from ..pipeline import somatic_caller as sc
+
+BASES = "ACGT"
+
+
+def snv_header(chrom, clen):
+    return "\n".join([
+        "##fileformat=VCFv4.1",
+        f"##source=strelka_tpu {__version__}",
+        "##content=strelka_tpu somatic snv calls",
+        f"##contig=<ID={chrom},length={clen}>",
+        '##INFO=<ID=QSS,Number=1,Type=Integer,Description="Quality score for any somatic snv">',
+        '##INFO=<ID=TQSS,Number=1,Type=Integer,Description="Data tier used to compute QSS">',
+        '##INFO=<ID=NT,Number=1,Type=String,Description="Genotype of the normal in all data tiers">',
+        '##INFO=<ID=QSS_NT,Number=1,Type=Integer,Description="Quality score reflecting the joint probability of a somatic variant and NT">',
+        '##INFO=<ID=TQSS_NT,Number=1,Type=Integer,Description="Data tier used to compute QSS_NT">',
+        '##INFO=<ID=SGT,Number=1,Type=String,Description="Most likely somatic genotype excluding normal noise states">',
+        '##INFO=<ID=SOMATIC,Number=0,Type=Flag,Description="Somatic mutation">',
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Combined depth across samples">',
+        '##INFO=<ID=MQ,Number=1,Type=Float,Description="RMS Mapping Quality">',
+        '##INFO=<ID=MQ0,Number=1,Type=Integer,Description="Total Mapping Quality Zero Reads">',
+        '##INFO=<ID=ReadPosRankSum,Number=1,Type=Float,Description="Z-score from Wilcoxon rank sum test of Alt Vs. Ref read-position in the tumor">',
+        '##INFO=<ID=SNVSB,Number=1,Type=Float,Description="Somatic SNV site strand bias">',
+        '##FILTER=<ID=LowQscore,Description="Somatic Quality Score (QSS_NT) is below threshold">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth for tier1 (used+filtered)">',
+        '##FORMAT=<ID=FDP,Number=1,Type=Integer,Description="Number of basecalls filtered from original read depth for tier1">',
+        '##FORMAT=<ID=SDP,Number=1,Type=Integer,Description="Number of reads with deletions spanning this site at tier1">',
+        '##FORMAT=<ID=SUBDP,Number=1,Type=Integer,Description="Number of reads below tier1 mapping quality threshold aligned across this site">',
+        '##FORMAT=<ID=AU,Number=2,Type=Integer,Description="Number of A alleles used in tiers 1,2">',
+        '##FORMAT=<ID=CU,Number=2,Type=Integer,Description="Number of C alleles used in tiers 1,2">',
+        '##FORMAT=<ID=GU,Number=2,Type=Integer,Description="Number of G alleles used in tiers 1,2">',
+        '##FORMAT=<ID=TU,Number=2,Type=Integer,Description="Number of T alleles used in tiers 1,2">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNORMAL\tTUMOR",
+    ]) + "\n"
+
+
+def indel_header(chrom, clen):
+    return "\n".join([
+        "##fileformat=VCFv4.1",
+        f"##source=strelka_tpu {__version__}",
+        "##content=strelka_tpu somatic indel calls",
+        f"##contig=<ID={chrom},length={clen}>",
+        '##INFO=<ID=QSI,Number=1,Type=Integer,Description="Quality score for any somatic variant">',
+        '##INFO=<ID=TQSI,Number=1,Type=Integer,Description="Data tier used to compute QSI">',
+        '##INFO=<ID=NT,Number=1,Type=String,Description="Genotype of the normal in all data tiers">',
+        '##INFO=<ID=QSI_NT,Number=1,Type=Integer,Description="Quality score reflecting the joint probability of a somatic variant and NT">',
+        '##INFO=<ID=TQSI_NT,Number=1,Type=Integer,Description="Data tier used to compute QSI_NT">',
+        '##INFO=<ID=SGT,Number=1,Type=String,Description="Most likely somatic genotype excluding normal noise states">',
+        '##INFO=<ID=SOMATIC,Number=0,Type=Flag,Description="Somatic mutation">',
+        '##INFO=<ID=MQ,Number=1,Type=Float,Description="RMS Mapping Quality">',
+        '##INFO=<ID=MQ0,Number=1,Type=Integer,Description="Total Mapping Quality Zero Reads">',
+        '##INFO=<ID=RU,Number=1,Type=String,Description="Smallest repeating sequence unit in inserted or deleted sequence">',
+        '##INFO=<ID=RC,Number=1,Type=Integer,Description="Number of times RU repeats in the reference allele">',
+        '##INFO=<ID=IC,Number=1,Type=Integer,Description="Number of times RU repeats in the indel allele">',
+        '##INFO=<ID=IHP,Number=1,Type=Integer,Description="Largest reference interrupted homopolymer length intersecting with the indel">',
+        '##FILTER=<ID=LowQscore,Description="Somatic Quality Score (QSI_NT) is below threshold">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Tier1 read depth at this locus">',
+        '##FORMAT=<ID=DP2,Number=1,Type=Integer,Description="Tier2 read depth at this locus">',
+        '##FORMAT=<ID=TAR,Number=2,Type=Integer,Description="Reads strongly supporting alternate allele for tiers 1,2">',
+        '##FORMAT=<ID=TIR,Number=2,Type=Integer,Description="Reads strongly supporting indel allele for tiers 1,2">',
+        '##FORMAT=<ID=TOR,Number=2,Type=Integer,Description="Other reads (weak support or insufficient indel breakpoint overlap) for tiers 1,2">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNORMAL\tTUMOR",
+    ]) + "\n"
+
+
+def _sgt_snv(site: sc.SomaticSnvSite) -> str:
+    ref_b = BASES[site.ref_gt]
+    alt_b = BASES[site.alt_id]
+    n_labels = {0: ref_b + ref_b, 1: alt_b + alt_b,
+                2: "".join(sorted(ref_b + alt_b))}
+    n = n_labels.get(site.sgt_normal, ref_b + ref_b)
+    # tumor side: somatic -> gains/loses the alt relative to normal
+    if site.sgt_tumor_is_som:
+        t = "".join(sorted(ref_b + alt_b)) if site.sgt_normal == 0 else (
+            ref_b + ref_b if site.sgt_normal == 2 else
+            "".join(sorted(ref_b + alt_b)))
+    else:
+        t = n
+    return f"{n}->{t}"
+
+
+def interrupted_hpol(ref_codes: np.ndarray, begin: int, pos: int, right: int) -> int:
+    """Largest interrupted homopolymer intersecting the indel
+    (reference: blt_common/hapscore / get_interrupted_hpol_size)."""
+    best = 0
+    n = len(ref_codes)
+    for p in range(max(0, pos - begin - 1), min(n, right - begin + 2)):
+        b = ref_codes[p]
+        if b >= 4:
+            continue
+        # allow one interruption
+        i = p
+        while i > 0 and ref_codes[i - 1] == b:
+            i -= 1
+        j = p
+        while j + 1 < n and ref_codes[j + 1] == b:
+            j += 1
+        run = j - i + 1
+        # extend over a single interruption on either side
+        ext = 0
+        if i - 2 >= 0 and ref_codes[i - 2] == b:
+            k = i - 2
+            while k > 0 and ref_codes[k - 1] == b:
+                k -= 1
+            ext = max(ext, i - 1 - k + 1)
+        if j + 2 < n and ref_codes[j + 2] == b:
+            k = j + 2
+            while k + 1 < n and ref_codes[k + 1] == b:
+                k += 1
+            ext = max(ext, k - (j + 2) + 1)
+        best = max(best, run + ext)
+    return best
+
+
+def run_somatic(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="strelka_tpu somatic")
+    p.add_argument("--reference", required=True)
+    p.add_argument("--normal-align-file", required=True)
+    p.add_argument("--tumor-align-file", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--region", action="append", default=None)
+    p.add_argument("--indel-candidates", action="append", default=None)
+    p.add_argument("--min-qss-filter", type=int, default=15)
+    p.add_argument("--min-qsi-filter", type=int, default=40)
+    p.add_argument("--max-region-size", type=int, default=1_000_000)
+    args = p.parse_args(argv)
+
+    t0 = time.time()
+    opt = SomaticOptions()
+    ref = FastaReference(args.reference)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    from .germline import parse_region
+    regions = ([parse_region(r, ref) for r in args.region] if args.region
+               else [(c, 0, ref.contig_length(c)) for c in ref.contig_names])
+
+    nhdr, nbatch_all = read_bam(args.normal_align_file)
+    thdr, tbatch_all = read_bam(args.tumor_align_file)
+
+    snv_path = os.path.join(args.output_dir, "somatic.snvs.vcf.gz")
+    indel_path = os.path.join(args.output_dir, "somatic.indels.vcf.gz")
+    snv_w = BgzfWriter(snv_path)
+    indel_w = BgzfWriter(indel_path)
+    wrote_header = False
+
+    n_snv = n_indel = 0
+    for chrom, beg, end in regions:
+        if not wrote_header:
+            clen = ref.contig_length(chrom)
+            snv_w.write(snv_header(chrom, clen).encode())
+            indel_w.write(indel_header(chrom, clen).encode())
+            wrote_header = True
+        ntid = nhdr.ref_names.index(chrom) if chrom in nhdr.ref_names else -1
+        ttid = thdr.ref_names.index(chrom) if chrom in thdr.ref_names else -1
+        nb = nbatch_all.select(np.asarray(nbatch_all.tid == ntid))
+        tb = tbatch_all.select(np.asarray(tbatch_all.tid == ttid))
+        for seg in range(beg, end, args.max_region_size):
+            seg_end = min(seg + args.max_region_size, end)
+            res = sc.call_somatic_region(opt, ref, chrom, seg, seg_end,
+                                         nb, tb,
+                                         external_indel_vcfs=args.indel_candidates)
+            for site in res.snvs:
+                filt = "PASS" if site.qss_nt >= args.min_qss_filter else "LowQscore"
+                info = (f"SOMATIC;QSS={site.qss};TQSS={site.tier_qss + 1};"
+                        f"NT={sc.NTYPE_LABELS[site.ntype]};QSS_NT={site.qss_nt};"
+                        f"TQSS_NT={site.tier_qss_nt + 1};SGT={_sgt_snv(site)};"
+                        f"DP={sum(site.dp)};MQ={site.mq:.2f};MQ0={site.mq0};"
+                        f"ReadPosRankSum={site.read_pos_ranksum:.2f};"
+                        f"SNVSB={site.snv_sb:.2f}")
+                cols = []
+                for s in range(2):
+                    au = [f"{site.acgt_tier1[s][b]},{site.acgt_tier2[s][b]}"
+                          for b in range(4)]
+                    cols.append(f"{site.dp[s]}:{site.fdp[s]}:{site.sdp[s]}:"
+                                f"{site.subdp[s]}:" + ":".join(au))
+                line = (f"{res.chrom}\t{site.pos + 1}\t.\t{BASES[site.ref_gt]}\t"
+                        f"{BASES[site.alt_id]}\t.\t{filt}\t{info}\t"
+                        f"DP:FDP:SDP:SUBDP:AU:CU:GU:TU\t" + "\t".join(cols))
+                snv_w.write((line + "\n").encode())
+                n_snv += 1
+            for call in res.indels:
+                key = call.key
+                pos0 = key.pos - 1
+                left = pos0 - res.begin
+                ref_str = decode_bases(
+                    res.ref_codes[left:left + 1 + key.delete_length])
+                alt_str = ref_str[0] + key.insert_seq
+                filt = "PASS" if call.qsi_nt >= args.min_qsi_filter else "LowQscore"
+                ihp = interrupted_hpol(res.ref_codes, res.begin, key.pos,
+                                       key.right_pos)
+                info = (f"SOMATIC;QSI={call.qsi};TQSI={call.tier + 1};"
+                        f"NT={sc.NTYPE_LABELS[call.ntype]};QSI_NT={call.qsi_nt};"
+                        f"TQSI_NT={call.tier + 1};"
+                        f"SGT=ref->{'het' if call.sgt_tumor_is_som else sc.NTYPE_LABELS[call.ntype]};"
+                        f"MQ={call.mq:.2f};MQ0={call.mq0};"
+                        f"RU={call.rec.repeat_unit or '.'};"
+                        f"RC={call.rec.ref_repeat_count};"
+                        f"IC={call.rec.indel_repeat_count};IHP={ihp}")
+                cols = []
+                for s in range(2):
+                    cols.append(
+                        f"{call.dp[s]}:{call.dp[s]}:"
+                        f"{call.tar[s][0]},{call.tar[s][1]}:"
+                        f"{call.tir[s][0]},{call.tir[s][1]}:"
+                        f"{call.tor[s][0]},{call.tor[s][1]}")
+                line = (f"{res.chrom}\t{pos0 + 1}\t.\t{ref_str}\t{alt_str}\t.\t"
+                        f"{filt}\t{info}\tDP:DP2:TAR:TIR:TOR\t" + "\t".join(cols))
+                indel_w.write((line + "\n").encode())
+                n_indel += 1
+
+    snv_w.close()
+    indel_w.close()
+    print(f"strelka_tpu somatic done in {time.time() - t0:.1f}s; "
+          f"snvs={n_snv} indels={n_indel}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(run_somatic())

