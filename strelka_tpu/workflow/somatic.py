@@ -144,6 +144,9 @@ def run_somatic(argv=None) -> int:
     p.add_argument("--min-qss-filter", type=int, default=15)
     p.add_argument("--min-qsi-filter", type=int, default=40)
     p.add_argument("--max-region-size", type=int, default=1_000_000)
+    p.add_argument("--somatic-snv-scoring-model-file", default=None)
+    p.add_argument("--somatic-indel-scoring-model-file", default=None)
+    p.add_argument("--disable-evs", action="store_true")
     args = p.parse_args(argv)
 
     t0 = time.time()
@@ -157,6 +160,12 @@ def run_somatic(argv=None) -> int:
 
     nhdr, nbatch_all = read_bam(args.normal_align_file)
     thdr, tbatch_all = read_bam(args.tumor_align_file)
+
+    from ..models import evs
+    snv_forest = indel_forest = None
+    if not args.disable_evs:
+        snv_forest = evs.load_somatic_snv_model(args.somatic_snv_scoring_model_file)
+        indel_forest = evs.load_somatic_indel_model(args.somatic_indel_scoring_model_file)
 
     snv_path = os.path.join(args.output_dir, "somatic.snvs.vcf.gz")
     indel_path = os.path.join(args.output_dir, "somatic.indels.vcf.gz")
@@ -180,14 +189,44 @@ def run_somatic(argv=None) -> int:
             res = sc.call_somatic_region(opt, ref, chrom, seg, seg_end,
                                          nb, tb,
                                          external_indel_vcfs=args.indel_candidates)
-            for site in res.snvs:
-                filt = "PASS" if site.qss_nt >= args.min_qss_filter else "LowQscore"
+            # normal chrom depth (GetChromDepth analog: median spanned
+            # depth over covered positions)
+            from ..pipeline import candidates as cnd, reads as rdm
+            keepn, leveln = rdm.filter_and_classify_reads(nb, 20)
+            nbk = nb.select(keepn)
+            ean = rdm.expand_alignments(nbk)
+            dep = cnd.estimated_depth(nbk, ean, leveln[keepn], seg, seg_end)
+            covered = dep[dep > 0]
+            norm_chrom_depth = float(np.median(covered)) if len(covered) else None
+
+            snv_evs = None
+            if snv_forest is not None and res.snvs:
+                rows = [evs.somatic_snv_features(s, norm_chrom_depth)
+                        for s in res.snvs]
+                snv_evs = evs.score_sites(snv_forest, rows)
+            indel_evs = None
+            if indel_forest is not None and res.indels:
+                rows = [evs.somatic_indel_features(
+                    c, interrupted_hpol(res.ref_codes, res.begin, c.key.pos,
+                                        c.key.right_pos), norm_chrom_depth)
+                    for c in res.indels]
+                indel_evs = evs.score_sites(indel_forest, rows)
+
+            for si_idx, site in enumerate(res.snvs):
+                if snv_evs is not None:
+                    ev = snv_evs[si_idx]
+                    filt = "PASS" if ev >= snv_forest.filter_cutoff else "LowEVS"
+                else:
+                    filt = ("PASS" if site.qss_nt >= args.min_qss_filter
+                            else "LowQscore")
                 info = (f"SOMATIC;QSS={site.qss};TQSS={site.tier_qss + 1};"
                         f"NT={sc.NTYPE_LABELS[site.ntype]};QSS_NT={site.qss_nt};"
                         f"TQSS_NT={site.tier_qss_nt + 1};SGT={_sgt_snv(site)};"
                         f"DP={sum(site.dp)};MQ={site.mq:.2f};MQ0={site.mq0};"
                         f"ReadPosRankSum={site.read_pos_ranksum:.2f};"
                         f"SNVSB={site.snv_sb:.2f}")
+                if snv_evs is not None:
+                    info += f";SomaticEVS={snv_evs[si_idx]:.2f}"
                 cols = []
                 for s in range(2):
                     au = [f"{site.acgt_tier1[s][b]},{site.acgt_tier2[s][b]}"
@@ -199,14 +238,19 @@ def run_somatic(argv=None) -> int:
                         f"DP:FDP:SDP:SUBDP:AU:CU:GU:TU\t" + "\t".join(cols))
                 snv_w.write((line + "\n").encode())
                 n_snv += 1
-            for call in res.indels:
+            for ci_idx, call in enumerate(res.indels):
                 key = call.key
                 pos0 = key.pos - 1
                 left = pos0 - res.begin
                 ref_str = decode_bases(
                     res.ref_codes[left:left + 1 + key.delete_length])
                 alt_str = ref_str[0] + key.insert_seq
-                filt = "PASS" if call.qsi_nt >= args.min_qsi_filter else "LowQscore"
+                if indel_evs is not None:
+                    filt = ("PASS" if indel_evs[ci_idx] >= indel_forest.filter_cutoff
+                            else "LowEVS")
+                else:
+                    filt = ("PASS" if call.qsi_nt >= args.min_qsi_filter
+                            else "LowQscore")
                 ihp = interrupted_hpol(res.ref_codes, res.begin, key.pos,
                                        key.right_pos)
                 info = (f"SOMATIC;QSI={call.qsi};TQSI={call.tier + 1};"
@@ -217,6 +261,8 @@ def run_somatic(argv=None) -> int:
                         f"RU={call.rec.repeat_unit or '.'};"
                         f"RC={call.rec.ref_repeat_count};"
                         f"IC={call.rec.indel_repeat_count};IHP={ihp}")
+                if indel_evs is not None:
+                    info += f";SomaticEVS={indel_evs[ci_idx]:.2f}"
                 cols = []
                 for s in range(2):
                     cols.append(

@@ -58,6 +58,10 @@ def test_somatic_snvs_vs_expected(somatic_output):
                 if p in mine and mine[p]["q"] == e["q"]
                 and mine[p]["q_nt"] == e["q_nt"])
     assert exact >= 10
+    # EVS filters agree at most sites (known pileup diffs at 991/3054)
+    filter_match = sum(1 for p, e in exp.items()
+                       if p in mine and mine[p]["filter"] == e["filter"])
+    assert filter_match >= 15
     # no unexpected PASS calls at other positions
     for pos, m in mine.items():
         if pos not in exp:
