@@ -97,21 +97,26 @@ def call_sample_sites(
     ea: rd.ExpandedAlignments,
     level: np.ndarray,
     ref_codes: np.ndarray,
+    ref_offset: int,
     begin: int,
     end: int,
+    candidate_snv_mask=None,
 ) -> SampleSiteData:
+    """ref_codes covers the halo'd fetch window starting at ref_offset;
+    the pileup/report range is [begin, end)."""
     mmf, _t2 = rd.mismatch_density_filter(
-        batch, ea, ref_codes, begin - begin, opt.max_win_mismatch_flank_size,
-        opt.max_win_mismatch) if batch.n else (None, None)
+        batch, ea, ref_codes, ref_offset, opt.max_win_mismatch_flank_size,
+        opt.max_win_mismatch,
+        candidate_snv_mask=candidate_snv_mask) if batch.n else (None, None)
     pu = pl.build_pileup(batch, ea, level, ref_codes, begin, end,
                          min_qscore=opt.min_qscore, mm_filter=mmf)
-    L = end - begin
+    rc = ref_codes[begin - ref_offset:end - ref_offset]
     tile = snv_digt.SnvPileupTile(
         base_id=jnp.asarray(np.where(pu.used, pu.base_id, 0)),
         qual=jnp.asarray(np.where(pu.used, pu.qual, 0)),
         is_fwd=jnp.asarray(pu.is_fwd),
         mask=jnp.asarray(pu.used),
-        ref_gt=jnp.asarray(ref_codes[:L].astype(np.int32)),
+        ref_gt=jnp.asarray(rc.astype(np.int32)),
     )
     snv = snv_digt.call_snv_tile(tile, theta=opt.bsnp_diploid_theta)
 
@@ -156,6 +161,38 @@ def call_region(
         cand.extract_read_indels(batch, ea, level, ref_codes, fetch_begin,
                                  store, s, opt.max_indel_size)
 
+    # active-region haplotype discovery: indels/SNVs confirmed by
+    # haplotyping gate candidacy (IndelBuffer isHaplotypingEnabled path)
+    from . import active_region as arp
+    candidate_snvs: set[tuple[int, int]] = set()  # (pos, base)
+    snv_hap_ids: dict[tuple[int, int, int], int] = {}  # (sample,pos,base)->hap
+    indel_hap_ids: dict[tuple[int, cand.IndelKey], int] = {}
+    anchors = arp.anchor_mask(ref_codes)
+    region_sets = []
+    for s in range(n_samples):
+        counts_ev, depth_ev = arp.variant_evidence(
+            kept[s], eas[s], levels[s], ref_codes, fetch_begin, fetch_end)
+        region_sets.append(arp.find_active_regions(
+            counts_ev, depth_ev, anchors, ref_codes, fetch_begin))
+    # synchronize regions across samples (union of overlapping spans)
+    from ..utils.ranges import RegionTracker
+    tracker = RegionTracker()
+    for regions in region_sets:
+        for r in regions:
+            tracker.add(r.begin, r.end)
+    sync_regions = [arp.ActiveRegion(b, e) for b, e in tracker.intervals()]
+    for region in sync_regions:
+        for s in range(n_samples):
+            dv = arp.process_active_region(
+                kept[s], eas[s], levels[s], ref_codes, fetch_begin, region)
+            for key, hap in dv.indels:
+                rec = store._get(key)
+                rec.discovered_in_active_region = True
+                indel_hap_ids[(s, key)] = hap
+            for pos, base, hap in dv.snvs:
+                candidate_snvs.add((pos, base))
+                snv_hap_ids[(s, pos, base)] = hap
+
     # external candidate indels (e.g. Manta VCF)
     if external_indel_vcfs:
         from ..io.vcf import read_vcf
@@ -173,14 +210,21 @@ def call_region(
                             store.add_external(
                                 cand.IndelKey(recvcf.pos + 1, dlen, ins))
 
+    # MMDF exemption for haplotype-confirmed SNVs
+    # (create_mismatch_filter_map's candidateSnvBuffer check)
+    def snv_exempt_mask(ref_pos, base):
+        if not candidate_snvs:
+            return np.zeros(len(ref_pos), dtype=bool)
+        keys = set(candidate_snvs)
+        return np.fromiter(((int(p), int(b)) in keys
+                            for p, b in zip(ref_pos, base)),
+                           dtype=bool, count=len(ref_pos))
+
     # per-sample site calling over the report range
     for s in range(n_samples):
-        sub = fetch_begin  # alias
-        # restrict ref to report range for pileup
-        rc = ref_codes[begin - fetch_begin:end - fetch_begin]
-        del sub
         samples.append(call_sample_sites(
-            opt, kept[s], eas[s], levels[s], rc, begin, end))
+            opt, kept[s], eas[s], levels[s], ref_codes, fetch_begin,
+            begin, end, candidate_snv_mask=snv_exempt_mask))
 
     # candidacy over pooled observations
     ests = [cand.estimated_depth(kept[s], eas[s], levels[s], fetch_begin, fetch_end)
@@ -188,9 +232,12 @@ def call_region(
     est_sum = ests[0]
     for e in ests[1:]:
         est_sum = np.maximum(est_sum, e)
+    # germline caller gates indel candidacy on active-region discovery
+    # (IndelBuffer.cpp:222 isHaplotypingEnabled path)
     candidacy = cand.evaluate_candidacy(
         store, est_sum, fetch_begin, em, ref_codes, fetch_begin,
-        alpha=opt.indel_candidate_signal_test_alpha)
+        alpha=opt.indel_candidate_signal_test_alpha,
+        require_active_region_discovery=True)
 
     cand_keys = sorted(k for k, ok in candidacy.items() if ok
                        and begin <= k.pos < end)

@@ -248,7 +248,9 @@ def mismatch_density_filter(
 
     # mismatch events at aligned bases (within usable read range)
     base = batch.seq[batch.seq_off[ea.match_read] + ea.match_readoff]
-    refb = ref_codes[ea.match_refpos - ref_offset]
+    ref_idx = ea.match_refpos - ref_offset
+    in_bounds = (ref_idx >= 0) & (ref_idx < len(ref_codes))
+    refb = np.where(in_bounds, ref_codes[np.clip(ref_idx, 0, len(ref_codes) - 1)], 4)
     usable = (ea.match_readoff >= ea.read_begin[ea.match_read]) & \
              (ea.match_readoff < ea.read_end[ea.match_read])
     is_mm = (base != refb) & usable & (refb != 4)

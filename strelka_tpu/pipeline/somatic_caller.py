@@ -122,7 +122,7 @@ def call_somatic_region(
         level = level[keep]
         ea = rd.expand_alignments(batch)
         mmf, t2mmf = rd.mismatch_density_filter(
-            batch, ea, rc, begin, opt.max_win_mismatch_flank_size,
+            batch, ea, ref_all, fetch_begin, opt.max_win_mismatch_flank_size,
             opt.max_win_mismatch,
             tier2_max_mismatch=opt.tier2_mismatch_density_filter_count)
         pu = pl.build_pileup(batch, ea, level, rc, begin, end,
