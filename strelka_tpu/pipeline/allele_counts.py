@@ -1,0 +1,120 @@
+"""Sequence allele counting for indel error estimation.
+
+Reference: applications/GetSequenceAlleleCounts/
+SequenceAlleleCountsPosProcessor.cpp + errorAnalysis/IndelCounts.hh —
+streams the BAM like the caller but emits per-STR-context locus
+observation counts (ref-supporting depth + indel observations by
+signal type) instead of calls.
+
+Batched redesign: STR context tracks and per-position ref/alt counts
+are computed in vectorized passes over the expanded alignment tables.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.bam import ReadBatch
+from ..models.error_fit import ContextCounts, dedupe_counts, signal_index
+from . import reads as rd
+
+
+def str_context_tracks(ref_codes: np.ndarray, max_counts={1: 16, 2: 9}):
+    """For pattern sizes 1 and 2: repeat count of the unit starting at
+    each position (clamped), vectorized."""
+    L = len(ref_codes)
+    out = {}
+    for ps, maxc in max_counts.items():
+        count = np.ones(L, dtype=np.int32)
+        # match[i] = unit at i equals unit at i+ps
+        eq = np.zeros(L, dtype=bool)
+        if L > 2 * ps:
+            unit_eq = np.ones(L - ps, dtype=bool)
+            for k in range(ps):
+                idx = np.arange(L - ps - k)
+                unit_eq[:len(idx)] &= (ref_codes[idx + k] == ref_codes[idx + ps + k]) & \
+                                      (ref_codes[idx + k] != 4)
+            eq[:L - ps] = unit_eq
+        # count of consecutive repeats starting at i: 1 + run of eq
+        run = np.zeros(L, dtype=np.int32)
+        for i in range(L - ps - 1, -1, -1):
+            if eq[i]:
+                run[i] = run[i + ps] + 1 if i + ps < L else 1
+        count = np.minimum(1 + run, maxc)
+        out[ps] = count
+    return out
+
+
+def collect_context_counts(
+    batch: ReadBatch,
+    ea: rd.ExpandedAlignments,
+    map_level: np.ndarray,
+    ref_codes: np.ndarray,
+    ref_offset: int,
+    begin: int,
+    end: int,
+    max_indel_size: int = 49,
+) -> dict[tuple[int, int], ContextCounts]:
+    """Per-context deduplicated locus observation patterns."""
+    from .candidates import estimated_depth, left_shift_indel
+
+    L = end - begin
+    depth = estimated_depth(batch, ea, map_level, begin, end)
+    tracks = str_context_tracks(ref_codes[begin - ref_offset:end - ref_offset])
+
+    # indel observations per position x signal type
+    alt = np.zeros((L, 6), dtype=np.int64)
+    t1 = map_level == rd.MapLevel.TIER1
+    isel = np.nonzero(t1[ea.ins_read] & ~ea.ins_is_edge &
+                      (ea.ins_len <= max_indel_size))[0]
+    for i in isel:
+        r = int(ea.ins_read[i])
+        seq = batch.seq[batch.seq_off[r] + ea.ins_readoff[i]:
+                        batch.seq_off[r] + ea.ins_readoff[i] + int(ea.ins_len[i])]
+        pos, _, ins = left_shift_indel(int(ea.ins_refpos[i]), 0, seq,
+                                       ref_codes, ref_offset)
+        p = pos - begin
+        if 0 <= p < L:
+            alt[p, signal_index(True, len(ins))] += 1
+    dsel = np.nonzero(t1[ea.devent_read] & ~ea.devent_is_edge &
+                      (ea.devent_len <= max_indel_size))[0]
+    for i in dsel:
+        pos, dlen, _ = left_shift_indel(int(ea.devent_refpos[i]),
+                                        int(ea.devent_len[i]),
+                                        np.empty(0, np.uint8),
+                                        ref_codes, ref_offset)
+        p = pos - begin
+        if 0 <= p < L:
+            alt[p, signal_index(False, dlen)] += 1
+
+    alt_total = alt.sum(axis=1)
+    ref_obs = np.maximum(depth.astype(np.int64) - alt_total, 0)
+    covered = depth > 0
+
+    out: dict[tuple[int, int], ContextCounts] = {}
+    for ps, track in tracks.items():
+        for rc_val in np.unique(track):
+            sel = covered & (track == rc_val)
+            if not sel.any():
+                continue
+            out[(ps, int(rc_val))] = dedupe_counts(ref_obs[sel], alt[sel])
+    return out
+
+
+def merge_context_counts(all_counts: list[dict]) -> dict:
+    """Merge per-segment count dicts (MergeSequenceAlleleCounts)."""
+    merged: dict[tuple[int, int], list] = {}
+    for counts in all_counts:
+        for key, cc in counts.items():
+            merged.setdefault(key, []).append(cc)
+    out = {}
+    for key, parts in merged.items():
+        ref = np.concatenate([p.ref_obs for p in parts])
+        altx = np.concatenate([p.alt_obs for p in parts])
+        inst = np.concatenate([p.instance_count for p in parts])
+        rows = np.concatenate([ref[:, None], altx], axis=1)
+        uniq, inv = np.unique(rows, axis=0, return_inverse=True)
+        counts_sum = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(counts_sum, inv, inst)
+        out[key] = ContextCounts(ref_obs=uniq[:, 0], alt_obs=uniq[:, 1:],
+                                 instance_count=counts_sum)
+    return out

@@ -41,6 +41,12 @@ def run_germline(argv=None) -> int:
     p.add_argument("--indel-candidates", action="append", default=None)
     p.add_argument("--min-mapping-quality", type=int, default=20)
     p.add_argument("--max-region-size", type=int, default=1_000_000)
+    p.add_argument("--estimate-sequence-error", action="store_true",
+                   help="fit per-sample adaptive indel error models "
+                        "before calling (EstimateSequenceError workflow)")
+    p.add_argument("--error-count-target", type=int, default=25_000_000,
+                   help="stop counting once this many context instances "
+                        "are collected (dynamic early-stop)")
     args = p.parse_args(argv)
 
     t0 = time.time()
@@ -69,6 +75,44 @@ def run_germline(argv=None) -> int:
             batches_per_chrom[cname][si] = batch.select(np.asarray(sel))
 
     n_samples = len(sample_names)
+
+    # --- optional sequence error estimation pre-pass -------------------
+    # (strelkaSequenceErrorEstimation.py: count until target reached,
+    # merge, fit; static-model fallback when the fit is unacceptable)
+    if args.estimate_sequence_error:
+        import json as _json
+
+        from ..models.error_fit import estimate_indel_error_model
+        from ..pipeline import allele_counts as ac
+        from ..pipeline import reads as rdm
+        for si in range(n_samples):
+            per_region = []
+            total_instances = 0
+            for chrom, beg, end in regions:
+                b = batches_per_chrom.get(chrom, [None] * n_samples)[si]
+                if b is None or b.n == 0:
+                    continue
+                keep, level = rdm.filter_and_classify_reads(
+                    b, args.min_mapping_quality)
+                bk = b.select(keep)
+                ea = rdm.expand_alignments(bk)
+                rc = ref.fetch(chrom, beg, end)
+                cc = ac.collect_context_counts(bk, ea, level[keep], rc, beg,
+                                               beg, end)
+                per_region.append(cc)
+                total_instances += sum(c.total_instances for c in cc.values())
+                if total_instances >= args.error_count_target:
+                    break  # dynamic early stop
+            merged = ac.merge_context_counts(per_region)
+            model, ok = estimate_indel_error_model(
+                merged, sample_name=f"Sample{si:03d}")
+            path = os.path.join(args.output_dir,
+                                f"sequenceErrorModel.Sample{si:03d}.json")
+            with open(path, "w") as f:
+                _json.dump(model, f, indent=1)
+            print(f"error model sample {si}: acceptable={ok} -> {path}",
+                  file=sys.stderr)
+
     gvcf_paths = [os.path.join(args.output_dir,
                                f"genome.S{si+1}.vcf.gz") for si in range(n_samples)]
     var_path = os.path.join(args.output_dir, "variants.vcf.gz")
