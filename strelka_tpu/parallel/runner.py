@@ -1,0 +1,226 @@
+"""Region-sharded run orchestration: the pyflow replacement.
+
+Reference: redist pyflow-1.1.20 (task DAG, retry :939-967, resume from
+task-state files :2489-2538,2825), workflowUtil.py getNextGenomeSegment
+:182-219 (12Mb segments) + small-contig binning :335-366, and
+strelkaSharedWorkflow.py merge/concat tasks :102-148.
+
+TPU-native redesign: instead of one OS process per genome segment, a
+single engine process iterates segment tasks (each one a batched device
+program), with
+  - a checkpointed segment cursor (JSON task-state file) enabling
+    interrupt/resume,
+  - per-task retry with backoff,
+  - run-stats accumulation merged across segments,
+  - multi-host operation by deterministic round-robin assignment of
+    segments to hosts (jax.process_index) with per-host output shards
+    concatenated in segment order (order-critical text merge stays on
+    hosts, SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+SCAN_SIZE = 12_000_000          # scanSizeMb (strelkaSharedOptions.py:161)
+MIN_SEGMENT_GROUP_SIZE = 200_000  # small-contig grouping target
+
+
+@dataclass(frozen=True)
+class GenomeSegment:
+    chrom: str
+    begin: int
+    end: int
+
+    @property
+    def label(self) -> str:
+        return f"{self.chrom}_{self.begin}_{self.end}"
+
+
+def make_genome_segments(chrom_sizes: dict[str, int],
+                         scan_size: int = SCAN_SIZE) -> list[GenomeSegment]:
+    """Split chromosomes into ~scan_size segments with near-equal sizes
+    (workflowUtil.py getNextGenomeSegment semantics)."""
+    segments = []
+    for chrom, size in chrom_sizes.items():
+        n_seg = max(1, (size + scan_size - 1) // scan_size)
+        base = size // n_seg
+        extra = size % n_seg
+        pos = 0
+        for i in range(n_seg):
+            seg_len = base + (1 if i < extra else 0)
+            segments.append(GenomeSegment(chrom, pos, pos + seg_len))
+            pos += seg_len
+    return segments
+
+
+def group_segments(segments: list[GenomeSegment],
+                   min_group: int = MIN_SEGMENT_GROUP_SIZE):
+    """Group small segments into >=min_group work units
+    (workflowUtil.py:335-366)."""
+    groups: list[list[GenomeSegment]] = []
+    cur: list[GenomeSegment] = []
+    cur_size = 0
+    for seg in segments:
+        cur.append(seg)
+        cur_size += seg.end - seg.begin
+        if cur_size >= min_group:
+            groups.append(cur)
+            cur = []
+            cur_size = 0
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+@dataclass
+class RunStats:
+    """reference: appstats/RunStats.hh RunStatsData + MergeRunStats."""
+    lifetime_sec: float = 0.0
+    candidate_indels: int = 0
+    noncandidate_indels: int = 0
+    segments_completed: int = 0
+    reads_processed: int = 0
+    extra: dict = field(default_factory=dict)
+
+    def merge(self, other: "RunStats") -> None:
+        self.lifetime_sec += other.lifetime_sec
+        self.candidate_indels += other.candidate_indels
+        self.noncandidate_indels += other.noncandidate_indels
+        self.segments_completed += other.segments_completed
+        self.reads_processed += other.reads_processed
+        for k, v in other.extra.items():
+            self.extra[k] = self.extra.get(k, 0) + v
+
+    def to_dict(self):
+        return {
+            "lifetime_sec": self.lifetime_sec,
+            "candidate_indels": self.candidate_indels,
+            "noncandidate_indels": self.noncandidate_indels,
+            "segments_completed": self.segments_completed,
+            "reads_processed": self.reads_processed,
+            **self.extra,
+        }
+
+
+class TaskStateFile:
+    """Checkpointed task completion state (pyflow task-state analog)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._done: dict[str, dict] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    if line.strip():
+                        rec = json.loads(line)
+                        self._done[rec["task"]] = rec
+
+    def is_complete(self, label: str) -> bool:
+        return label in self._done
+
+    def record(self, label: str, info: dict | None = None) -> None:
+        rec = {"task": label, "time": time.time(), **(info or {})}
+        self._done[label] = rec
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    @property
+    def completed(self):
+        return dict(self._done)
+
+
+class SegmentRunner:
+    """Run a per-segment function over grouped genome segments with
+    retry + resume + stats; multi-host segment assignment by process
+    index."""
+
+    def __init__(self, workspace_dir: str, max_retries: int = 2,
+                 retry_wait_sec: float = 1.0,
+                 process_index: int = 0, process_count: int = 1):
+        os.makedirs(workspace_dir, exist_ok=True)
+        self.workspace = workspace_dir
+        self.state = TaskStateFile(os.path.join(
+            workspace_dir, f"taskstate.p{process_index}.jsonl"))
+        self.max_retries = max_retries
+        self.retry_wait = retry_wait_sec
+        self.process_index = process_index
+        self.process_count = process_count
+        self.stats = RunStats()
+
+    def assigned(self, groups: list) -> list[tuple[int, list]]:
+        return [(i, g) for i, g in enumerate(groups)
+                if i % self.process_count == self.process_index]
+
+    def run(self, groups: list, task_fn, on_complete=None) -> RunStats:
+        """task_fn(group) -> (result, RunStats|None); results passed to
+        on_complete(group_index, result) in order for this host."""
+        t0 = time.time()
+        for gi, group in self.assigned(groups):
+            label = f"seg_{gi}"
+            if self.state.is_complete(label):
+                continue
+            attempt = 0
+            while True:
+                try:
+                    result, seg_stats = task_fn(group)
+                    break
+                except Exception as e:  # noqa: BLE001 — retry any task error
+                    attempt += 1
+                    if attempt > self.max_retries:
+                        raise RuntimeError(
+                            f"task {label} failed after {attempt} attempts: {e}"
+                        ) from e
+                    time.sleep(self.retry_wait * attempt)
+            if seg_stats is not None:
+                self.stats.merge(seg_stats)
+            self.stats.segments_completed += 1
+            if on_complete is not None:
+                on_complete(gi, result)
+            self.state.record(label)
+        self.stats.lifetime_sec += time.time() - t0
+        self.write_stats()
+        return self.stats
+
+    def write_stats(self):
+        with open(os.path.join(self.workspace,
+                               f"runStats.p{self.process_index}.json"), "w") as f:
+            json.dump(self.stats.to_dict(), f, indent=1)
+
+
+def merge_run_stats(workspace_dir: str) -> RunStats:
+    """MergeRunStats analog over all host shards."""
+    total = RunStats()
+    for name in sorted(os.listdir(workspace_dir)):
+        if name.startswith("runStats.p") and name.endswith(".json"):
+            with open(os.path.join(workspace_dir, name)) as f:
+                d = json.load(f)
+            rs = RunStats(
+                lifetime_sec=d.pop("lifetime_sec", 0.0),
+                candidate_indels=d.pop("candidate_indels", 0),
+                noncandidate_indels=d.pop("noncandidate_indels", 0),
+                segments_completed=d.pop("segments_completed", 0),
+                reads_processed=d.pop("reads_processed", 0),
+                extra=d,
+            )
+            total.merge(rs)
+    return total
+
+
+def init_distributed() -> tuple[int, int]:
+    """Initialize jax.distributed when environment indicates a
+    multi-process run; returns (process_index, process_count)."""
+    import jax
+    coord = os.environ.get("STRELKA_TPU_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["STRELKA_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["STRELKA_TPU_PROCESS_ID"]),
+        )
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:  # noqa: BLE001
+        return 0, 1

@@ -1,9 +1,12 @@
 """Germline workflow CLI.
 
 Reference analog: configureStrelkaGermlineWorkflow.py + runWorkflow.py +
-strelkaGermlineWorkflow.py (pyflow DAG). Here a single command drives
-the batched engine over region shards; multi-host sharding lives in
-strelka_tpu.parallel.
+strelkaGermlineWorkflow.py (pyflow DAG). The engine runs grouped genome
+segments through the batched caller via the SegmentRunner (checkpointed
+resume, retry, run stats — parallel/runner.py), writes per-segment
+output fragments, and concatenates them in order into BGZF outputs
+(the reference's compress+concat merge tasks,
+strelkaSharedWorkflow.py:102-148).
 
 Usage:
   python -m strelka_tpu.workflow.germline \
@@ -17,10 +20,13 @@ import os
 import sys
 import time
 
+import numpy as np
+
 from ..io.bam import read_bam
 from ..io.bgzf import BgzfWriter
 from ..io.fasta import FastaReference
 from ..options import GermlineOptions
+from ..parallel import runner as rn
 from ..pipeline import germline_caller, gvcf
 
 
@@ -32,6 +38,20 @@ def parse_region(text: str, ref: FastaReference):
     return text, 0, ref.contig_length(text)
 
 
+def estimate_chrom_depth(batch, min_mapq: int, chrom_len: int) -> float:
+    """GetChromDepth analog: median spanned depth over covered
+    positions (ReadChromDepthUtil.cpp median-of-sampled-depth)."""
+    from ..pipeline import candidates as cnd, reads as rdm
+    if batch is None or batch.n == 0:
+        return 0.0
+    keep, level = rdm.filter_and_classify_reads(batch, min_mapq)
+    bk = batch.select(keep)
+    ea = rdm.expand_alignments(bk)
+    dep = cnd.estimated_depth(bk, ea, level[keep], 0, chrom_len)
+    covered = dep[dep > 0]
+    return float(np.median(covered)) if len(covered) else 0.0
+
+
 def run_germline(argv=None) -> int:
     p = argparse.ArgumentParser(prog="strelka_tpu germline")
     p.add_argument("--reference", required=True)
@@ -41,6 +61,8 @@ def run_germline(argv=None) -> int:
     p.add_argument("--indel-candidates", action="append", default=None)
     p.add_argument("--min-mapping-quality", type=int, default=20)
     p.add_argument("--max-region-size", type=int, default=1_000_000)
+    p.add_argument("--exome", action="store_true",
+                   help="disable depth filters (exome/targeted mode)")
     p.add_argument("--estimate-sequence-error", action="store_true",
                    help="fit per-sample adaptive indel error models "
                         "before calling (EstimateSequenceError workflow)")
@@ -53,26 +75,21 @@ def run_germline(argv=None) -> int:
     opt = GermlineOptions(min_mapping_quality=args.min_mapping_quality)
     ref = FastaReference(args.reference)
     os.makedirs(args.output_dir, exist_ok=True)
+    workspace = os.path.join(args.output_dir, "workspace")
 
     regions = ([parse_region(r, ref) for r in args.region] if args.region
                else [(c, 0, ref.contig_length(c)) for c in ref.contig_names])
 
     sample_names = []
     batches_per_chrom: dict[str, list] = {}
-    headers = []
     for path in args.align_files:
-        hdr, batch = read_bam(path)
-        headers.append(hdr)
         name = os.path.basename(path).split(".")[0]
         sample_names.append(name)
-        for tid, cname in enumerate(hdr.ref_names):
-            batches_per_chrom.setdefault(cname, [None] * len(args.align_files))
     for si, path in enumerate(args.align_files):
         hdr, batch = read_bam(path)
         for tid, cname in enumerate(hdr.ref_names):
-            import numpy as np
-            sel = batch.tid == tid
-            batches_per_chrom[cname][si] = batch.select(np.asarray(sel))
+            lst = batches_per_chrom.setdefault(cname, [None] * len(args.align_files))
+            lst[si] = batch.select(np.asarray(batch.tid == tid))
 
     n_samples = len(sample_names)
 
@@ -113,46 +130,89 @@ def run_germline(argv=None) -> int:
             print(f"error model sample {si}: acceptable={ok} -> {path}",
                   file=sys.stderr)
 
-    gvcf_paths = [os.path.join(args.output_dir,
-                               f"genome.S{si+1}.vcf.gz") for si in range(n_samples)]
-    var_path = os.path.join(args.output_dir, "variants.vcf.gz")
-    gvcf_writers = [BgzfWriter(pth) for pth in gvcf_paths]
-    var_writer = BgzfWriter(var_path)
+    # --- chromosome depth (feeds HighDepth filter) ---------------------
+    chrom_depth: dict[str, float] = {}
+    if not args.exome:
+        for chrom, _b, _e in regions:
+            depths = [estimate_chrom_depth(
+                batches_per_chrom.get(chrom, [None] * n_samples)[si],
+                args.min_mapping_quality, ref.contig_length(chrom))
+                for si in range(n_samples)]
+            chrom_depth[chrom] = float(np.mean([d for d in depths if d > 0]) or 0)
 
-    wrote_header = False
-    total_stats: dict = {}
+    # --- segment tasks through the runner ------------------------------
+    proc_idx, proc_cnt = rn.init_distributed()
+    segments = []
     for chrom, beg, end in regions:
-        if not wrote_header:
-            clen = ref.contig_length(chrom)
-            for si in range(n_samples):
-                gvcf_writers[si].write(gvcf.gvcf_header(
-                    opt, chrom, clen, [sample_names[si]]).encode())
-            var_writer.write(gvcf.gvcf_header(
-                opt, chrom, clen, sample_names).encode())
-            wrote_header = True
         for seg_beg in range(beg, end, args.max_region_size):
-            seg_end = min(seg_beg + args.max_region_size, end)
-            batches = batches_per_chrom.get(chrom)
+            segments.append(rn.GenomeSegment(
+                chrom, seg_beg, min(seg_beg + args.max_region_size, end)))
+    groups = rn.group_segments(segments, min_group=1)
+
+    runner = rn.SegmentRunner(workspace, process_index=proc_idx,
+                              process_count=proc_cnt)
+
+    def task_fn(group):
+        lines_v = []
+        lines_g = [[] for _ in range(n_samples)]
+        stats = rn.RunStats()
+        for seg in group:
+            batches = batches_per_chrom.get(seg.chrom)
             if batches is None:
                 continue
             result = germline_caller.call_region(
-                opt, ref, chrom, seg_beg, seg_end, batches,
+                opt, ref, seg.chrom, seg.begin, seg.end, batches,
                 external_indel_vcfs=args.indel_candidates)
-            glines, vlines = gvcf.emit_region(opt, result, sample_names)
+            gl, vl = gvcf.emit_region(opt, result, sample_names)
+            lines_v.extend(vl)
             for si in range(n_samples):
-                if glines[si]:
-                    gvcf_writers[si].write(("\n".join(glines[si]) + "\n").encode())
-            if vlines:
-                var_writer.write(("\n".join(vlines) + "\n").encode())
-            for k, v in result.stats.items():
-                total_stats[k] = total_stats.get(k, 0) + v
+                lines_g[si].extend(gl[si])
+            stats.candidate_indels += result.stats.get("n_candidate_indels", 0)
+            stats.noncandidate_indels += (
+                result.stats.get("n_indel_records", 0)
+                - result.stats.get("n_candidate_indels", 0))
+            stats.reads_processed += sum(b.n for b in batches if b is not None)
+        return (lines_v, lines_g), stats
 
-    for w in gvcf_writers:
-        w.close()
-    var_writer.close()
+    def on_complete(gi, result):
+        lines_v, lines_g = result
+        with open(os.path.join(workspace, f"seg_{gi:06d}.variants.vcf"), "w") as f:
+            f.write("\n".join(lines_v) + ("\n" if lines_v else ""))
+        for si in range(n_samples):
+            with open(os.path.join(workspace,
+                                   f"seg_{gi:06d}.S{si+1}.gvcf"), "w") as f:
+                f.write("\n".join(lines_g[si]) + ("\n" if lines_g[si] else ""))
+
+    runner.run(groups, task_fn, on_complete)
+
+    # --- ordered concat + bgzf (merge tasks) ---------------------------
+    var_path = os.path.join(args.output_dir, "variants.vcf.gz")
+    gvcf_paths = [os.path.join(args.output_dir, f"genome.S{si+1}.vcf.gz")
+                  for si in range(n_samples)]
+    chrom0 = regions[0][0]
+    clen0 = ref.contig_length(chrom0)
+    with BgzfWriter(var_path) as w:
+        w.write(gvcf.gvcf_header(opt, chrom0, clen0, sample_names).encode())
+        for gi in range(len(groups)):
+            frag = os.path.join(workspace, f"seg_{gi:06d}.variants.vcf")
+            if os.path.exists(frag):
+                with open(frag, "rb") as f:
+                    w.write(f.read())
+    for si in range(n_samples):
+        with BgzfWriter(gvcf_paths[si]) as w:
+            w.write(gvcf.gvcf_header(opt, chrom0, clen0,
+                                     [sample_names[si]]).encode())
+            for gi in range(len(groups)):
+                frag = os.path.join(workspace, f"seg_{gi:06d}.S{si+1}.gvcf")
+                if os.path.exists(frag):
+                    with open(frag, "rb") as f:
+                        w.write(f.read())
+
+    total_stats = rn.merge_run_stats(workspace)
     elapsed = time.time() - t0
     print(f"strelka_tpu germline done in {elapsed:.1f}s; "
-          f"stats={total_stats}; outputs: {var_path}", file=sys.stderr)
+          f"stats={total_stats.to_dict()}; outputs: {var_path}",
+          file=sys.stderr)
     return 0
 
 
