@@ -115,8 +115,21 @@ class ReadBatch:
         return out
 
 
-def read_bam(path: str) -> tuple[BamHeader, ReadBatch]:
-    """Decode a whole BAM file (streaming decode of all records)."""
+def read_bam(path: str, use_native: bool = True) -> tuple[BamHeader, ReadBatch]:
+    """Decode a whole BAM file.
+
+    Prefers the native C++ decoder (parallel BGZF inflate + record
+    parse, native/bamdecoder.cpp) and falls back to the pure-Python
+    path when the shared library is unavailable.
+    """
+    if use_native:
+        try:
+            from .native import read_bam_native
+            res = read_bam_native(path)
+            if res is not None:
+                return res
+        except (ValueError, OSError):
+            pass  # fall through to Python decoder
     data = decompress_file(path)
     if data[:4] != b"BAM\x01":
         raise ValueError(f"{path}: not a BAM file")

@@ -1,0 +1,51 @@
+"""Native C++ decoder tests: bit-identical to the Python reference
+decoder, plus BGZF round trip through the native inflate path."""
+import os
+
+import numpy as np
+import pytest
+
+from strelka_tpu.io import native
+from strelka_tpu.io.bam import read_bam
+from strelka_tpu.io.bgzf import BgzfWriter
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable (no toolchain)")
+    return lib
+
+
+def test_native_matches_python(lib, demo_bams):
+    for path in demo_bams:
+        h1, b1 = read_bam(path, use_native=False)
+        h2, b2 = native.read_bam_native(path)
+        assert h1.ref_names == h2.ref_names
+        assert h1.ref_lengths == h2.ref_lengths
+        assert b1.n == b2.n
+        for fld in ("tid", "pos", "mapq", "flag", "mate_tid", "mate_pos",
+                    "tlen", "seq", "qual", "seq_off", "cig_ops",
+                    "cig_lens", "cig_off"):
+            assert np.array_equal(getattr(b1, fld), getattr(b2, fld)), fld
+        assert b1.names == b2.names
+
+
+def test_native_bgzf_roundtrip(lib, tmp_path):
+    payload = os.urandom(300_000) + b"trailing"
+    p = tmp_path / "t.bgz"
+    with BgzfWriter(str(p)) as w:
+        w.write(payload)
+    with open(p, "rb") as f:
+        raw = f.read()
+    out = native.decompress_bgzf_native(raw)
+    assert out == payload
+
+
+def test_native_rejects_garbage(lib):
+    assert native.decompress_bgzf_native(b"not a bgzf file at all") is None
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
