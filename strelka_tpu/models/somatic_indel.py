@@ -82,6 +82,8 @@ def somatic_indel_call(
     pf, gp = ss.build_joint_prior(contam_tolerance, shared,
                                   somatic_indel_rate, bindel_theta,
                                   sse_strand_fraction=0.0)
+    pf = jnp.asarray(pf)
+    gp = jnp.asarray(gp)
     nl = jnp.asarray(normal_lhood, jnp.float32)[None]
     tl = jnp.asarray(tumor_lhood, jnp.float32)[None]
     s = pf[None] + nl[:, None, None, :, None] + tl[:, None, None, None, :]

@@ -146,7 +146,9 @@ def build_joint_prior(contam_tolerance: float, shared_error_rate: float,
     lnmismatch = np.log(somatic_rate)
     gp = g[:, None] + np.array([lnmatch, lnmismatch])[None, :]  # [3, 2]
     del ln_half
-    return jnp.asarray(pf, jnp.float32), jnp.asarray(gp, jnp.float32)
+    # return numpy (NOT jnp): this function is lru_cached and may be
+    # first called inside a jit trace — caching tracers leaks them
+    return pf.astype(np.float32), gp.astype(np.float32)
 
 
 class SomaticSnvResult(NamedTuple):
@@ -175,6 +177,8 @@ def somatic_snv_call(normal_lhood, tumor_lhood,
     """
     pf, gp = build_joint_prior(contam_tolerance, shared_error_rate,
                                somatic_rate, theta, sse_strand_fraction)
+    pf = jnp.asarray(pf)
+    gp = jnp.asarray(gp)
     nl = normal_lhood[:, :PRESTRAND_SIZE]
     tl = tumor_lhood[:, :PRESTRAND_SIZE]
     # [L, 3, 2, fn, ft]

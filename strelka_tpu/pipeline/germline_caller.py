@@ -68,6 +68,11 @@ class RegionCallResult:
     samples: list[SampleSiteData]
     indels: list[IndelCall]
     stats: dict = field(default_factory=dict)
+    # read-backed phasing: (sample, pos, base) -> hap_id for SNVs,
+    # (sample, IndelKey) -> hap_id for indels; pos -> phase-set id
+    snv_hap_ids: dict = field(default_factory=dict)
+    indel_hap_ids: dict = field(default_factory=dict)
+    phase_set_of_pos: dict = field(default_factory=dict)
 
 
 def snv_hpol(ref_codes: np.ndarray, pos: int) -> int:
@@ -181,6 +186,7 @@ def call_region(
         for r in regions:
             tracker.add(r.begin, r.end)
     sync_regions = [arp.ActiveRegion(b, e) for b, e in tracker.intervals()]
+    phase_set_of_pos: dict[int, int] = {}
     for region in sync_regions:
         for s in range(n_samples):
             dv = arp.process_active_region(
@@ -192,6 +198,8 @@ def call_region(
             for pos, base, hap in dv.snvs:
                 candidate_snvs.add((pos, base))
                 snv_hap_ids[(s, pos, base)] = hap
+        for p in range(region.begin, region.end):
+            phase_set_of_pos[p] = region.begin + 1  # PS = 1-based start
 
     # external candidate indels (e.g. Manta VCF)
     if external_indel_vcfs:
@@ -271,6 +279,8 @@ def call_region(
         samples=samples, indels=indel_calls,
         stats={"n_candidate_indels": len(cand_keys),
                "n_indel_records": len(store.records)},
+        snv_hap_ids=snv_hap_ids, indel_hap_ids=indel_hap_ids,
+        phase_set_of_pos=phase_set_of_pos,
     )
 
 

@@ -169,6 +169,32 @@ def emit_region(
     var_lines: list[str] = []
     blocks = [BlockState() for _ in range(n_samples)]
 
+    # --- read-backed phasing bookkeeping (VariantPhaser.hh:37-60):
+    # count phase-informative het variants per (sample, phase set);
+    # phased GT is emitted only when a block links >= 2 variants
+    ps_counts: dict[tuple[int, int], int] = {}
+    for (s, pos, base), hap in result.snv_hap_ids.items():
+        ps = result.phase_set_of_pos.get(pos)
+        if ps is not None:
+            ps_counts[(s, ps)] = ps_counts.get((s, ps), 0) + 1
+    for (s, key), hap in result.indel_hap_ids.items():
+        ps = result.phase_set_of_pos.get(key.pos)
+        if ps is not None:
+            ps_counts[(s, ps)] = ps_counts.get((s, ps), 0) + 1
+
+    def snv_phase(s, pos, alt_base, gt_pair):
+        """(phased_gt_string, ps) or None for an 0/1 het site."""
+        if not opt.enable_read_backed_phasing:
+            return None
+        hap = result.snv_hap_ids.get((s, pos, alt_base))
+        ps = result.phase_set_of_pos.get(pos)
+        if hap is None or ps is None or ps_counts.get((s, ps), 0) < 2:
+            return None
+        a, b = gt_pair
+        if hap == 1:
+            return f"{b}|{a}", ps
+        return f"{a}|{b}", ps
+
     # precompute numpy views of snv results
     sv = []
     for s in range(n_samples):
@@ -272,11 +298,20 @@ def emit_region(
         fmt = "GT:GQ:GQX:DP:DPF:AD:ADF:ADR:SB:FT:PL"
         sample_cols = []
         any_pass_variant = False
+        any_phased = False
+        phases = []
         for s in range(n_samples):
             dp, dpf, ggt, pgt, gq, gqx, variant, sb = per_sample[s]
             a_pair = digt.ALLELES[pgt]
             gt_idx = sorted(allele_map.get(a, 0) for a in a_pair)
             gt = f"{gt_idx[0]}/{gt_idx[1]}"
+            phase = None
+            if variant and gt_idx[0] != gt_idx[1] and len(alts) == 1:
+                phase = snv_phase(s, pos, alts[0], tuple(gt_idx))
+            phases.append(phase)
+            if phase is not None:
+                gt = phase[0]
+                any_phased = True
             counts = result.samples[s].used_counts[i]
             fcounts = result.samples[s].used_fwd_counts[i]
             ads = [int(counts[ref_gt])] + [int(counts[a]) for a in alts]
@@ -297,6 +332,12 @@ def emit_region(
                    f"{','.join(map(str, adfs))}:{','.join(map(str, adrs))}:"
                    f"{sb:.1f}:{fstr}:{','.join(map(str, pls))}")
             sample_cols.append(col)
+
+        if any_phased:
+            fmt += ":PS"
+            sample_cols = [
+                col + (f":{phases[s][1]}" if phases[s] is not None else ":.")
+                for s, col in enumerate(sample_cols)]
 
         locus_filter = "PASS" if any_pass_variant else "NoPassedVariantGTs"
         line = (f"{result.chrom}\t{pos + 1}\t.\t{ref_base}\t{alt_str}\t{qual}\t"
