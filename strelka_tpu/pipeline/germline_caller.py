@@ -142,6 +142,7 @@ def call_region(
     end: int,
     batches: list[bamio.ReadBatch],
     external_indel_vcfs: list[str] | None = None,
+    forced_gt_vcfs: list[str] | None = None,
 ) -> RegionCallResult:
     """Joint germline calling for N samples over one region."""
     n_samples = len(batches)
@@ -201,22 +202,26 @@ def call_region(
         for p in range(region.begin, region.end):
             phase_set_of_pos[p] = region.begin + 1  # PS = 1-based start
 
-    # external candidate indels (e.g. Manta VCF)
-    if external_indel_vcfs:
+    # external candidate indels (e.g. Manta VCF) + forced-GT alleles
+    def _add_vcf_indels(paths, is_forced):
         from ..io.vcf import read_vcf
-        for path in external_indel_vcfs:
+        for path in paths:
             for recvcf in read_vcf(path, region=(chrom, fetch_begin, fetch_end)):
                 for alt in recvcf.alts:
-                    if not alt or alt[0] != recvcf.ref[0] and len(alt) != len(recvcf.ref):
-                        pass
                     if len(recvcf.ref) >= 1 and len(alt) >= 1 and alt[0] == recvcf.ref[0]:
                         dlen = len(recvcf.ref) - 1
                         ins = alt[1:] if len(alt) > 1 else ""
                         if dlen > 0 and ins:
                             continue  # swap; not promoted
-                        if max(dlen, len(ins)) <= opt.max_indel_size:
+                        if max(dlen, len(ins)) <= opt.max_indel_size and (dlen or ins):
                             store.add_external(
-                                cand.IndelKey(recvcf.pos + 1, dlen, ins))
+                                cand.IndelKey(recvcf.pos + 1, dlen, ins),
+                                is_forced=is_forced)
+
+    if external_indel_vcfs:
+        _add_vcf_indels(external_indel_vcfs, False)
+    if forced_gt_vcfs:
+        _add_vcf_indels(forced_gt_vcfs, True)
 
     # MMDF exemption for haplotype-confirmed SNVs
     # (create_mismatch_filter_map's candidateSnvBuffer check)

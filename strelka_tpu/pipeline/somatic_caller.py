@@ -80,6 +80,9 @@ class SomaticRegionResult:
     ref_codes: np.ndarray
     snvs: list[SomaticSnvSite]
     indels: list[SomaticIndelCall]
+    # somatic-callable track (SomaticCallableProcessor: QSS>=15 or
+    # nonsomatic Q>=15), merged [begin,end) intervals
+    callable_intervals: list[tuple[int, int]] = field(default_factory=list)
 
 
 def _grid_lhoods_for_pileup(pu: pl.PileupRegion, used: np.ndarray,
@@ -186,6 +189,17 @@ def call_somatic_region(
     qss_nt = np.minimum(qn1, qn2)
     ntype = np.where(nt1 == nt2, nt1, 3)  # 3 = conflict
     qss_nt = np.where(nt1 == nt2, qss_nt, 0)
+
+    # somatic-callable intervals from tier1 scores
+    nsq = np.asarray(r1.nonsomatic_qphred)
+    callable_mask = ((q1 >= 15) | (nsq >= 15)) & (ref_gt < 4)
+    callable_intervals = []
+    if callable_mask.any():
+        idx = np.nonzero(callable_mask)[0]
+        starts = idx[np.concatenate([[True], np.diff(idx) > 1])]
+        ends = idx[np.concatenate([np.diff(idx) > 1, [True]])]
+        callable_intervals = [(begin + int(s), begin + int(e) + 1)
+                              for s, e in zip(starts, ends)]
 
     snvs: list[SomaticSnvSite] = []
     called = np.nonzero((qss > 0) & (ref_gt < 4))[0]
@@ -319,4 +333,5 @@ def call_somatic_region(
         indels.append(callrec)
 
     return SomaticRegionResult(chrom=chrom, begin=begin, end=end,
-                               ref_codes=rc, snvs=snvs, indels=indels)
+                               ref_codes=rc, snvs=snvs, indels=indels,
+                               callable_intervals=callable_intervals)

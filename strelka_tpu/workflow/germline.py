@@ -59,6 +59,8 @@ def run_germline(argv=None) -> int:
     p.add_argument("--output-dir", required=True)
     p.add_argument("--region", action="append", default=None)
     p.add_argument("--indel-candidates", action="append", default=None)
+    p.add_argument("--forced-gt", action="append", default=None,
+                   help="VCF(s) of alleles to always genotype and report")
     p.add_argument("--min-mapping-quality", type=int, default=20)
     p.add_argument("--max-region-size", type=int, default=1_000_000)
     p.add_argument("--exome", action="store_true",
@@ -162,7 +164,8 @@ def run_germline(argv=None) -> int:
                 continue
             result = germline_caller.call_region(
                 opt, ref, seg.chrom, seg.begin, seg.end, batches,
-                external_indel_vcfs=args.indel_candidates)
+                external_indel_vcfs=args.indel_candidates,
+                forced_gt_vcfs=args.forced_gt)
             gl, vl = gvcf.emit_region(opt, result, sample_names)
             lines_v.extend(vl)
             for si in range(n_samples):

@@ -147,6 +147,10 @@ def run_somatic(argv=None) -> int:
     p.add_argument("--somatic-snv-scoring-model-file", default=None)
     p.add_argument("--somatic-indel-scoring-model-file", default=None)
     p.add_argument("--disable-evs", action="store_true")
+    p.add_argument("--output-callable-regions", action="store_true",
+                   help="write somatic.callable.regions.bed.gz")
+    p.add_argument("--noise-vcf", action="append", default=None,
+                   help="panel-of-normals site noise VCF(s)")
     args = p.parse_args(argv)
 
     t0 = time.time()
@@ -171,7 +175,23 @@ def run_somatic(argv=None) -> int:
     indel_path = os.path.join(args.output_dir, "somatic.indels.vcf.gz")
     snv_w = BgzfWriter(snv_path)
     indel_w = BgzfWriter(indel_path)
+    callable_w = None
+    if args.output_callable_regions:
+        callable_w = BgzfWriter(os.path.join(
+            args.output_dir, "somatic.callable.regions.bed.gz"))
     wrote_header = False
+
+    # panel-of-normals site noise (NoiseBuffer/SiteNoise: PNOISE =
+    # fraction of panel samples with nonref noise at the site)
+    noise_at: dict[tuple[str, int], tuple[float, float]] = {}
+    if args.noise_vcf:
+        from ..io.vcf import read_vcf
+        for path in args.noise_vcf:
+            for v in read_vcf(path):
+                info = dict(kv.split("=") for kv in v.info.split(";")
+                            if "=" in kv)
+                noise_at[(v.chrom, v.pos)] = (
+                    float(info.get("PNOISE", 0)), float(info.get("PNOISE2", 0)))
 
     n_snv = n_indel = 0
     for chrom, beg, end in regions:
@@ -225,6 +245,9 @@ def run_somatic(argv=None) -> int:
                         f"DP={sum(site.dp)};MQ={site.mq:.2f};MQ0={site.mq0};"
                         f"ReadPosRankSum={site.read_pos_ranksum:.2f};"
                         f"SNVSB={site.snv_sb:.2f}")
+                pn = noise_at.get((res.chrom, site.pos))
+                if pn is not None:
+                    info += f";PNOISE={pn[0]:.2f};PNOISE2={pn[1]:.2f}"
                 if snv_evs is not None:
                     info += f";SomaticEVS={snv_evs[si_idx]:.2f}"
                 cols = []
@@ -275,8 +298,14 @@ def run_somatic(argv=None) -> int:
                 indel_w.write((line + "\n").encode())
                 n_indel += 1
 
+            if callable_w is not None:
+                for b, e in res.callable_intervals:
+                    callable_w.write(f"{res.chrom}\t{b}\t{e}\n".encode())
+
     snv_w.close()
     indel_w.close()
+    if callable_w is not None:
+        callable_w.close()
     print(f"strelka_tpu somatic done in {time.time() - t0:.1f}s; "
           f"snvs={n_snv} indels={n_indel}", file=sys.stderr)
     return 0
