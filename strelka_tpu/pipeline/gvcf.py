@@ -104,13 +104,16 @@ def gvcf_header(opt: GermlineOptions, chrom: str, chrom_len: int,
         '##FILTER=<ID=HighSNVSB,Description="Sample SNV strand bias value (SB) exceeds threshold">',
         '##FILTER=<ID=HighDPFRatio,Description="The fraction of basecalls filtered out at a site is greater than 0.4">',
         '##FILTER=<ID=NoPassedVariantGTs,Description="No samples at this locus pass all sample filters and have a variant genotype">',
+        '##FILTER=<ID=HighDepth,Description="Locus depth is greater than 3x the mean chromosome depth">',
+        '##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase set identifier">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
         + "\t".join(sample_names),
     ]
     return "\n".join(lines) + "\n"
 
 
-def _site_sample_filters(opt: GermlineOptions, gqx, sb, dp, dpf, is_variant):
+def _site_sample_filters(opt: GermlineOptions, gqx, sb, dp, dpf, is_variant,
+                         chrom_depth: float | None = None):
     f = []
     if gqx < (opt.gvcf_min_gqx if is_variant else opt.gvcf_min_homref_gqx):
         f.append("LowGQX")
@@ -119,6 +122,8 @@ def _site_sample_filters(opt: GermlineOptions, gqx, sb, dp, dpf, is_variant):
     total = dp + dpf
     if total > 0 and dpf / total > 0.4:
         f.append("HighDPFRatio")
+    if chrom_depth and total > opt.max_depth_factor * chrom_depth:
+        f.append("HighDepth")
     return f
 
 
@@ -161,6 +166,7 @@ def emit_region(
     opt: GermlineOptions,
     result: RegionCallResult,
     sample_names: list[str],
+    chrom_depth: float | None = None,
 ):
     """Returns (per-sample gvcf line lists, variants vcf line list)."""
     n_samples = len(result.samples)
@@ -258,7 +264,7 @@ def emit_region(
                 if counts.sum() > 0 and ref_gt < 4:
                     nonref = counts.sum() - counts[ref_gt]
                     nonref_ok = nonref / counts.sum() <= opt.gvcf_block_max_nonref
-                filters = _site_sample_filters(opt, gqx, 0, dp, dpf, False)
+                filters = _site_sample_filters(opt, gqx, 0, dp, dpf, False, chrom_depth)
                 fstr = ";".join(filters) if filters else "PASS"
                 if deleted_span[i] or not covered:
                     gt, gqx_v = ("./.", 0) if not covered else ("0/0", gqx)
@@ -317,7 +323,7 @@ def emit_region(
             ads = [int(counts[ref_gt])] + [int(counts[a]) for a in alts]
             adfs = [int(fcounts[ref_gt])] + [int(fcounts[a]) for a in alts]
             adrs = [ads[j] - adfs[j] for j in range(len(ads))]
-            filters = _site_sample_filters(opt, gqx, sb, dp, dpf, variant)
+            filters = _site_sample_filters(opt, gqx, sb, dp, dpf, variant, chrom_depth)
             fstr = ";".join(filters) if filters else "PASS"
             if variant and not filters:
                 any_pass_variant = True

@@ -1,0 +1,151 @@
+"""De novo variant quality scoring for trios.
+
+Reference: src/python/deNovoQualityScore/denovo.py (1181 LoC; posterior
+re-scoring of proband gVCF sites from trio PLs). Re-designed batched:
+all trio-complete biallelic sites are scored in one vectorized pass —
+genotype likelihoods from PLs, Mendelian transmission with mutation
+rate, posterior mass on de-novo configurations -> DQ phred score added
+to the proband records.
+"""
+from __future__ import annotations
+
+import argparse
+import gzip
+import sys
+
+import numpy as np
+
+# diploid biallelic genotypes: 0=ref/ref 1=ref/alt 2=alt/alt
+_GT_ALLELES = np.array([[0, 0], [0, 1], [1, 1]])
+
+
+def transmission_matrix(mu: float = 1e-8) -> np.ndarray:
+    """P(child gt | mother gt, father gt) with mutation rate mu.
+
+    t[m, f, c]: Mendelian transmission of one allele from each parent,
+    each transmitted allele flipping with probability mu.
+    """
+    t = np.zeros((3, 3, 3))
+    for m in range(3):
+        for f in range(3):
+            # allele transmission distribution per parent
+            pm = np.zeros(2)
+            for a in _GT_ALLELES[m]:
+                pm[a] += 0.5
+            pf = np.zeros(2)
+            for a in _GT_ALLELES[f]:
+                pf[a] += 0.5
+            # mutation flips the transmitted allele
+            pm = pm * (1 - mu) + pm[::-1] * mu
+            pf = pf * (1 - mu) + pf[::-1] * mu
+            for am in range(2):
+                for af in range(2):
+                    c = am + af
+                    t[m, f, c] += pm[am] * pf[af]
+    return t
+
+
+def denovo_posterior(child_pl, mother_pl, father_pl, theta: float = 0.001,
+                     mu: float = 1e-8):
+    """[N] posterior probability that the child's alt allele is de novo.
+
+    PLs are [N, 3] phred-scaled genotype likelihoods. Parent-pair prior
+    from theta (population polymorphism rate); de-novo configurations
+    are those where the child carries an alt allele absent from the
+    combination transmitted by the parents (i.e. both parents hom-ref
+    and child non-ref under the no-mutation model).
+    """
+    def pl_to_lh(pl):
+        return np.power(10.0, -np.asarray(pl, dtype=np.float64) / 10.0)
+
+    lc = pl_to_lh(child_pl)
+    lm = pl_to_lh(mother_pl)
+    lf = pl_to_lh(father_pl)
+
+    gt_prior = np.array([1.0 - 3 * theta / 2, theta, theta / 2])
+    t = transmission_matrix(mu)
+
+    # joint[m, f, c] per site
+    joint = (lm[:, :, None, None] * gt_prior[None, :, None, None]
+             * lf[:, None, :, None] * gt_prior[None, None, :, None]
+             * lc[:, None, None, :] * t[None, :, :, :])
+    total = joint.sum(axis=(1, 2, 3))
+    # de novo: parents hom-ref, child carries alt
+    dn = joint[:, 0, 0, 1] + joint[:, 0, 0, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p_dn = np.where(total > 0, dn / np.maximum(total, 1e-300), 0.0)
+    return p_dn
+
+
+def _read_gvcf_sites(path):
+    sites = {}
+    with gzip.open(path, "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) < 10 or fields[4] in (".", ""):
+                continue
+            fmt = fields[8].split(":")
+            vals = fields[9].split(":")
+            d = dict(zip(fmt, vals))
+            if "PL" not in d:
+                continue
+            pls = [int(x) for x in d["PL"].split(",")[:3]]
+            if len(pls) < 3:
+                continue
+            sites[(fields[0], int(fields[1]))] = (fields, pls)
+    return sites
+
+
+def run_denovo(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="strelka_tpu denovo")
+    p.add_argument("--proband", required=True)
+    p.add_argument("--mother", required=True)
+    p.add_argument("--father", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-dq", type=float, default=0.0)
+    args = p.parse_args(argv)
+
+    child = _read_gvcf_sites(args.proband)
+    mother = _read_gvcf_sites(args.mother)
+    father = _read_gvcf_sites(args.father)
+
+    keys = [k for k in child if k in mother and k in father]
+    if keys:
+        cpl = np.array([child[k][1] for k in keys])
+        mpl = np.array([mother[k][1] for k in keys])
+        fpl = np.array([father[k][1] for k in keys])
+        p_dn = denovo_posterior(cpl, mpl, fpl)
+        tiny = np.finfo(np.float64).tiny
+        dq = np.minimum(np.round(-10 * np.log10(np.maximum(1 - p_dn, tiny))), 999)
+    else:
+        dq = np.zeros(0)
+
+    from ..io.bgzf import BgzfWriter
+    dq_of = dict(zip(keys, dq))
+    n_scored = 0
+    with gzip.open(args.proband, "rt") as fin, BgzfWriter(args.output) as w:
+        for line in fin:
+            if line.startswith("##"):
+                w.write(line.encode())
+                continue
+            if line.startswith("#CHROM"):
+                w.write(b'##INFO=<ID=DQ,Number=1,Type=Float,'
+                        b'Description="Phred-scaled de novo quality">\n')
+                w.write(line.encode())
+                continue
+            fields = line.rstrip("\n").split("\t")
+            key = (fields[0], int(fields[1]))
+            if key in dq_of and dq_of[key] >= args.min_dq:
+                fields[7] = (f"{fields[7]};DQ={dq_of[key]:.0f}"
+                             if fields[7] != "." else f"DQ={dq_of[key]:.0f}")
+                n_scored += 1
+            w.write(("\t".join(fields) + "\n").encode())
+    print(f"denovo: scored {n_scored} trio sites -> {args.output}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(run_denovo())

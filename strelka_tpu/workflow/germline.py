@@ -166,7 +166,8 @@ def run_germline(argv=None) -> int:
                 opt, ref, seg.chrom, seg.begin, seg.end, batches,
                 external_indel_vcfs=args.indel_candidates,
                 forced_gt_vcfs=args.forced_gt)
-            gl, vl = gvcf.emit_region(opt, result, sample_names)
+            gl, vl = gvcf.emit_region(opt, result, sample_names,
+                                      chrom_depth=chrom_depth.get(seg.chrom))
             lines_v.extend(vl)
             for si in range(n_samples):
                 lines_g[si].extend(gl[si])
