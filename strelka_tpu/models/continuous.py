@@ -57,7 +57,7 @@ def strand_bias(fwd_alt, rev_alt, fwd_other, rev_other):
     fwd_lnp = _binom_logpdf(fwd_tot, fwd_alt, fwd_freq) + _binom_logpdf(rev_tot, rev_alt, e)
     rev_lnp = _binom_logpdf(fwd_tot, fwd_alt, e) + _binom_logpdf(rev_tot, rev_alt, rev_freq)
     lnp = _binom_logpdf(fwd_tot, fwd_alt, alt_freq) + _binom_logpdf(rev_tot, rev_alt, alt_freq)
-    out = np.maximum(fwd_lnp, rev_lnp) - lnp
+    out = np.maximum(np.maximum(fwd_lnp, rev_lnp) - lnp, 0.0)
     return np.where(total == 0, 0.0, out)
 
 

@@ -72,6 +72,53 @@ class PileupRegion:
         return counts
 
 
+def build_pileup_counts(
+    batch: bamio.ReadBatch,
+    ea: rd.ExpandedAlignments,
+    map_level: np.ndarray,
+    region_begin: int,
+    region_end: int,
+    min_qscore: int,
+    mm_filter: np.ndarray | None = None,
+    mapq_adjust: bool = True,
+):
+    """Counts-only pileup (no depth axis) for arbitrarily deep data
+    (the continuous-VF caller's input; avoids dense [L, D] tiles at
+    several-thousand-fold coverage).
+
+    Returns dict with used_counts [L,4], used_fwd_counts [L,4],
+    dpf [L], depth [L].
+    """
+    L = region_end - region_begin
+    in_region = (ea.match_refpos >= region_begin) & (ea.match_refpos < region_end)
+    usable = (ea.match_readoff >= ea.read_begin[ea.match_read]) & \
+             (ea.match_readoff < ea.read_end[ea.match_read])
+    lvl = map_level[ea.match_read]
+    mapped12 = (lvl == rd.MapLevel.TIER1) | (lvl == rd.MapLevel.TIER2)
+    sel = in_region & usable & mapped12
+    r = ea.match_read[sel]
+    p = (ea.match_refpos[sel] - region_begin).astype(np.int64)
+    gidx = batch.seq_off[r] + ea.match_readoff[sel]
+    base = batch.seq[gidx].astype(np.int64)
+    rawq = batch.qual[gidx].astype(np.int32)
+    fwd = (batch.flag[r] & bamio.FLAG_REVERSE) == 0
+    filt = (base == 4) | (rawq < min_qscore)
+    if mm_filter is not None:
+        filt |= mm_filter[gidx]
+    used = ~filt & (map_level[r] == rd.MapLevel.TIER1)
+
+    counts = np.zeros((L, 4), np.int64)
+    fwd_counts = np.zeros((L, 4), np.int64)
+    np.add.at(counts, (p[used], base[used]), 1)
+    uf = used & fwd
+    np.add.at(fwd_counts, (p[uf], base[uf]), 1)
+    depth = np.zeros(L, np.int64)
+    np.add.at(depth, p, 1)
+    dpf = depth - counts.sum(axis=1)
+    return {"used_counts": counts, "used_fwd_counts": fwd_counts,
+            "dpf": dpf, "depth": depth}
+
+
 def build_pileup(
     batch: bamio.ReadBatch,
     ea: rd.ExpandedAlignments,

@@ -65,6 +65,9 @@ def run_germline(argv=None) -> int:
     p.add_argument("--max-region-size", type=int, default=1_000_000)
     p.add_argument("--exome", action="store_true",
                    help="disable depth filters (exome/targeted mode)")
+    p.add_argument("--call-continuous-vf", action="append", default=None,
+                   help="chromosome(s) to call in continuous "
+                        "variant-frequency mode (e.g. chrM)")
     p.add_argument("--estimate-sequence-error", action="store_true",
                    help="fit per-sample adaptive indel error models "
                         "before calling (EstimateSequenceError workflow)")
@@ -154,6 +157,8 @@ def run_germline(argv=None) -> int:
     runner = rn.SegmentRunner(workspace, process_index=proc_idx,
                               process_count=proc_cnt)
 
+    continuous_chroms = set(args.call_continuous_vf or [])
+
     def task_fn(group):
         lines_v = []
         lines_g = [[] for _ in range(n_samples)]
@@ -161,6 +166,18 @@ def run_germline(argv=None) -> int:
         for seg in group:
             batches = batches_per_chrom.get(seg.chrom)
             if batches is None:
+                continue
+            if seg.chrom in continuous_chroms:
+                from ..pipeline import continuous_caller as cc
+                for si in range(n_samples):
+                    res = cc.call_continuous_region(
+                        opt, ref, seg.chrom, seg.begin, seg.end, batches[si])
+                    clines = cc.emit_continuous_region(opt, res)
+                    lines_g[si].extend(clines)
+                    lines_v.extend(l for l in clines if "\t.\t.\t" not in
+                                   "\t".join(l.split("\t")[3:6]))
+                stats.reads_processed += sum(
+                    b.n for b in batches if b is not None)
                 continue
             result = germline_caller.call_region(
                 opt, ref, seg.chrom, seg.begin, seg.end, batches,
