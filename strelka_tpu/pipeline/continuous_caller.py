@@ -122,16 +122,13 @@ def _flush_cont_block(block, chrom, lines, label):
     """Block record without MIN_DP (continuous-mode layout)."""
     if block.count == 0:
         return
-    import numpy as np
     info = "."
     if block.count > 1:
         info = f"END={block.start + block.count};{label}"
-    gqx_min = int(min(block.gqx))
-    gqx_str = str(gqx_min) if block.gt != "./." else "."
-    gt = block.gt
+    gqx_str = str(block.gqx_min) if block.gt != "./." else "."
     lines.append(
         f"{chrom}\t{block.start + 1}\t.\t{block.ref_base}\t.\t.\t"
         f"{block.filters}\t{info}\tGT:GQX:DP:DPF\t"
-        f"{gt}:{gqx_str}:{round(float(np.mean(block.dp)))}:"
-        f"{round(float(np.mean(block.dpf)))}")
+        f"{block.gt}:{gqx_str}:{round(block.dp_sum / block.count)}:"
+        f"{round(block.dpf_sum / block.count)}")
     block.__init__()

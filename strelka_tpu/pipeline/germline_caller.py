@@ -225,13 +225,14 @@ def call_region(
 
     # MMDF exemption for haplotype-confirmed SNVs
     # (create_mismatch_filter_map's candidateSnvBuffer check)
+    exempt_keys = np.array([p * 4 + b for p, b in candidate_snvs],
+                           dtype=np.int64) if candidate_snvs else None
+
     def snv_exempt_mask(ref_pos, base):
-        if not candidate_snvs:
+        if exempt_keys is None:
             return np.zeros(len(ref_pos), dtype=bool)
-        keys = set(candidate_snvs)
-        return np.fromiter(((int(p), int(b)) in keys
-                            for p, b in zip(ref_pos, base)),
-                           dtype=bool, count=len(ref_pos))
+        return np.isin(np.asarray(ref_pos, dtype=np.int64) * 4
+                       + np.asarray(base, dtype=np.int64), exempt_keys)
 
     # per-sample site calling over the report range
     for s in range(n_samples):

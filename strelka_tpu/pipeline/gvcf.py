@@ -19,29 +19,37 @@ from ..options import GermlineOptions
 from .germline_caller import IndelCall, RegionCallResult, snv_hpol
 
 
-@dataclass
 class BlockState:
     """Hom-ref block accumulator (gvcf_block_site_record.hh).
 
     Sites join while every tracked value stays in the band
-    [x, max(x+abs_tol, x*(1+frac_tol))] of the block's first value."""
-    start: int = -1
-    count: int = 0
-    ref_base: str = "N"
-    gt: str = "0/0"
-    filters: str = "PASS"
-    gqx: list = field(default_factory=list)
-    dp: list = field(default_factory=list)
-    dpf: list = field(default_factory=list)
+    [lo, max(lo+abs_tol, lo*(1+frac_tol))] of the block's running
+    min/max — O(1) running accumulators instead of per-site lists."""
+
+    __slots__ = ("start", "count", "ref_base", "gt", "filters",
+                 "gqx_min", "gqx_max", "dp_min", "dp_max", "dp_sum",
+                 "dpf_min", "dpf_max", "dpf_sum")
+
+    def __init__(self):
+        self.start = -1
+        self.count = 0
+        self.ref_base = "N"
+        self.gt = "0/0"
+        self.filters = "PASS"
+        self.gqx_min = self.gqx_max = 0
+        self.dp_min = self.dp_max = self.dp_sum = 0
+        self.dpf_min = self.dpf_max = self.dpf_sum = 0
 
     def can_join(self, gqx, dp, dpf, filters, abs_tol, frac_tol):
         if self.count == 0:
             return True
         if filters != self.filters:
             return False
-        for vals, v in ((self.gqx, gqx), (self.dp, dp), (self.dpf, dpf)):
-            lo = min(min(vals), v)
-            hi = max(max(vals), v)
+        for lo0, hi0, v in ((self.gqx_min, self.gqx_max, gqx),
+                            (self.dp_min, self.dp_max, dp),
+                            (self.dpf_min, self.dpf_max, dpf)):
+            lo = v if v < lo0 else lo0
+            hi = v if v > hi0 else hi0
             if hi > max(lo + abs_tol, lo * (1 + frac_tol)):
                 return False
         return True
@@ -52,10 +60,38 @@ class BlockState:
             self.ref_base = ref_base
             self.gt = gt
             self.filters = filters
+            self.gqx_min = self.gqx_max = gqx
+            self.dp_min = self.dp_max = dp
+            self.dpf_min = self.dpf_max = dpf
+            self.dp_sum = self.dpf_sum = 0
+        else:
+            if gqx < self.gqx_min:
+                self.gqx_min = gqx
+            elif gqx > self.gqx_max:
+                self.gqx_max = gqx
+            if dp < self.dp_min:
+                self.dp_min = dp
+            elif dp > self.dp_max:
+                self.dp_max = dp
+            if dpf < self.dpf_min:
+                self.dpf_min = dpf
+            elif dpf > self.dpf_max:
+                self.dpf_max = dpf
         self.count += 1
-        self.gqx.append(gqx)
-        self.dp.append(dp)
-        self.dpf.append(dpf)
+        self.dp_sum += dp
+        self.dpf_sum += dpf
+
+    @property
+    def dp(self):  # minimal compat for continuous-mode flush
+        return [self.dp_min] if self.count else []
+
+    @property
+    def gqx(self):
+        return [self.gqx_min] if self.count else []
+
+    @property
+    def dpf(self):
+        return [self.dpf_min] if self.count else []
 
     def flush(self, chrom, out, block_label):
         if self.count == 0:
@@ -63,11 +99,10 @@ class BlockState:
         info = "."
         if self.count > 1:
             info = f"END={self.start + self.count};{block_label}"
-        gqx_min = int(min(self.gqx))
         line = (f"{chrom}\t{self.start + 1}\t.\t{self.ref_base}\t.\t.\t"
                 f"{self.filters}\t{info}\tGT:GQX:DP:DPF:MIN_DP\t"
-                f"{self.gt}:{gqx_min}:{round(float(np.mean(self.dp)))}:"
-                f"{round(float(np.mean(self.dpf)))}:{int(min(self.dp))}")
+                f"{self.gt}:{self.gqx_min}:{round(self.dp_sum / self.count)}:"
+                f"{round(self.dpf_sum / self.count)}:{self.dp_min}")
         out.append(line)
         self.__init__()
 
@@ -227,63 +262,99 @@ def emit_region(
                 deleted_span[b:e] = True
 
     ref = result.ref_codes
+    ref_list = ref.tolist()
+    ref_chars = "ACGTN"
+
+    # ---- vectorized per-position precompute (replaces the reference's
+    # per-position scalar extraction; everything becomes plain Python
+    # ints via tolist() so the emission loop has no numpy dispatch) ----
+    ref_ok = ref < 4
+    pre = []
+    any_variant_v = np.zeros(L, dtype=bool)
+    for s in range(n_samples):
+        d = sv[s]
+        sd = result.samples[s]
+        dp_v = sd.used_counts.sum(axis=1)
+        dpf_v = sd.dpf.astype(np.int64)
+        ggt_v = d["ggt"]
+        pgt_v = d["pgt"]
+        gq_v = d["gq"]
+        gqx_v = np.where(ggt_v == pgt_v, np.minimum(d["gqg"], gq_v), 0)
+        variant_v = (pgt_v != ref.astype(np.int64)) & ref_ok
+        any_variant_v |= variant_v
+        total_v = dp_v + dpf_v
+        ref_counts = sd.used_counts[np.arange(L), np.minimum(ref, 3)]
+        nonref_v = np.where(ref_ok, dp_v - ref_counts, 0)
+        nonref_ok_v = (dp_v == 0) | (nonref_v <= opt.gvcf_block_max_nonref * dp_v)
+        # homref filter string codes
+        low_v = gqx_v < opt.gvcf_min_homref_gqx
+        hdpf_v = (total_v > 0) & (dpf_v > 0.4 * total_v)
+        hdep_v = np.zeros(L, dtype=bool)
+        if chrom_depth:
+            hdep_v = total_v > opt.max_depth_factor * chrom_depth
+        fcode_v = low_v.astype(np.int8) + 2 * hdpf_v.astype(np.int8) \
+            + 4 * hdep_v.astype(np.int8)
+        pre.append({
+            "dp": dp_v.tolist(), "dpf": dpf_v.tolist(),
+            "ggt": ggt_v.tolist(), "pgt": pgt_v.tolist(),
+            "gq": gq_v.tolist(), "gqx": gqx_v.tolist(),
+            "variant": variant_v.tolist(), "sb": d["sb"].tolist(),
+            "nonref_ok": nonref_ok_v.tolist(), "fcode": fcode_v.tolist(),
+        })
+    any_variant = any_variant_v.tolist()
+    deleted_list = deleted_span.tolist()
+
+    _FSTR = ["PASS", "LowGQX", "HighDPFRatio", "LowGQX;HighDPFRatio",
+             "HighDepth", "LowGQX;HighDepth", "HighDPFRatio;HighDepth",
+             "LowGQX;HighDPFRatio;HighDepth"]
+
+    indel_positions = set(indels_at)
+    chrom = result.chrom
+    abs_tol = opt.block_abs_tol
+    frac_tol = opt.block_frac_tol
+    block_label = opt.block_label
+
     for i in range(L):
         pos = result.begin + i
         # indel records sort before the site at the same position + 1
         # (VCF indel pos is pos-1 of first changed base)
-        for call in indels_at.get(pos + 1, []):
-            _emit_indel(opt, result, call, sample_names, gvcf_lines,
-                        var_lines, blocks)
+        if pos + 1 in indel_positions:
+            for call in indels_at[pos + 1]:
+                _emit_indel(opt, result, call, sample_names, gvcf_lines,
+                            var_lines, blocks)
 
-        ref_gt = int(ref[i])
-        ref_base = decode_bases([ref[i]]) if ref_gt < 4 else "N"
-        is_variant_site = False
-        per_sample = []
-        for s in range(n_samples):
-            d = sv[s]
-            sd = result.samples[s]
-            dp = int(sd.pileup.depth[i]) - int(sd.dpf[i])
-            dp = int(sd.used_counts[i].sum())
-            dpf = int(sd.dpf[i])
-            ggt, pgt = int(d["ggt"][i]), int(d["pgt"][i])
-            gq = int(d["gq"][i])
-            gqx = min(int(d["gqg"][i]), gq) if ggt == pgt else 0
-            variant = pgt != ref_gt if ref_gt < 4 else False
-            sb = float(d["sb"][i])
-            per_sample.append((dp, dpf, ggt, pgt, gq, gqx, variant, sb))
-            if variant:
-                is_variant_site = True
+        ref_gt = ref_list[i]
+        ref_base = ref_chars[ref_gt]
 
-        if not is_variant_site:
+        if not any_variant[i]:
             # hom-ref path -> block compression per sample
             for s in range(n_samples):
-                dp, dpf, ggt, pgt, gq, gqx, variant, sb = per_sample[s]
+                ps = pre[s]
+                dp = ps["dp"][i]
+                dpf = ps["dpf"][i]
+                gqx = ps["gqx"][i]
                 covered = dp + dpf > 0
-                counts = result.samples[s].used_counts[i]
-                nonref_ok = True
-                if counts.sum() > 0 and ref_gt < 4:
-                    nonref = counts.sum() - counts[ref_gt]
-                    nonref_ok = nonref / counts.sum() <= opt.gvcf_block_max_nonref
-                filters = _site_sample_filters(opt, gqx, 0, dp, dpf, False, chrom_depth)
-                fstr = ";".join(filters) if filters else "PASS"
-                if deleted_span[i] or not covered:
-                    gt, gqx_v = ("./.", 0) if not covered else ("0/0", gqx)
-                    del gt, gqx_v
-                if not nonref_ok:
+                fstr = _FSTR[ps["fcode"][i]]
+                if not ps["nonref_ok"][i]:
                     # emit single-site record outside blocks
-                    blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)
+                    blocks[s].flush(chrom, gvcf_lines[s], block_label)
                     gvcf_lines[s].append(
-                        f"{result.chrom}\t{pos + 1}\t.\t{ref_base}\t.\t.\t{fstr}\t.\t"
+                        f"{chrom}\t{pos + 1}\t.\t{ref_base}\t.\t.\t{fstr}\t.\t"
                         f"GT:GQX:DP:DPF:MIN_DP\t0/0:{gqx}:{dp}:{dpf}:{dp}")
                     continue
                 b = blocks[s]
-                if not b.can_join(gqx, dp, dpf, fstr, opt.block_abs_tol,
-                                  opt.block_frac_tol):
-                    b.flush(result.chrom, gvcf_lines[s], opt.block_label)
+                if not b.can_join(gqx, dp, dpf, fstr, abs_tol, frac_tol):
+                    b.flush(chrom, gvcf_lines[s], block_label)
                 b.add(pos, ref_base, "0/0" if covered else "./.", gqx, dp, dpf, fstr)
             continue
 
-        # variant site record
+        # variant site record (rare path; gather per-sample scalars)
+        per_sample = []
+        for s in range(n_samples):
+            ps = pre[s]
+            per_sample.append((ps["dp"][i], ps["dpf"][i], ps["ggt"][i],
+                               ps["pgt"][i], ps["gq"][i], ps["gqx"][i],
+                               ps["variant"][i], ps["sb"][i]))
         alts = sorted({a for s in range(n_samples)
                        for a in digt.ALLELES[per_sample[s][3]]
                        if a != ref_gt and per_sample[s][6]})

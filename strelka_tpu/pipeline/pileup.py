@@ -58,6 +58,7 @@ class PileupRegion:
     mapq_n: np.ndarray       # [L] count of mapq observations
     mapq_sumsq: np.ndarray   # [L] sum of squared mapq (for RMS)
     mapq_zero: np.ndarray    # [L] count of mapq==0
+    _used_counts: np.ndarray | None = None  # cached [L, 4]
 
     @property
     def max_depth(self) -> int:
@@ -65,10 +66,13 @@ class PileupRegion:
 
     def used_counts(self):
         """[L, 4] used basecall counts per allele (snp_pos_info tallies)."""
+        if self._used_counts is not None:
+            return self._used_counts
         L, _ = self.base_id.shape
         counts = np.zeros((L, 4), dtype=np.int32)
         li, di = np.nonzero(self.used)
         np.add.at(counts, (li, self.base_id[li, di]), 1)
+        self._used_counts = counts
         return counts
 
 
@@ -174,19 +178,21 @@ def build_pileup(
     D = max(int(depth.max()) if L else 0, 1)
     D = ((D + depth_pad - 1) // depth_pad) * depth_pad
 
-    def tile(dtype, fill=0):
-        return np.full((L, D), fill, dtype=dtype)
+    def tile(dtype):
+        return np.zeros((L, D), dtype=dtype)  # calloc: cheaper than full
 
     base_t = tile(np.int32)
     qual_t = tile(np.int32)
     rawq_t = tile(np.int32)
     fwd_t = tile(bool)
-    ridx_t = tile(np.int64, -1)
+    ridx_t = tile(np.int64)
     roff_t = tile(np.int64)
     valid_t = tile(bool)
     used_t = tile(bool)
     t2used_t = tile(bool)
+    ridx_t -= 1  # invalid-lane sentinel
 
+    used_counts = np.zeros((L, 4), dtype=np.int32)
     if len(p_s):
         rows, cols = p_s, slot
         src = order
@@ -198,8 +204,11 @@ def build_pileup(
         roff_t[rows, cols] = o[src]
         valid_t[rows, cols] = True
         is_t1 = map_level[r[src]] == rd.MapLevel.TIER1
-        used_t[rows, cols] = is_t1 & ~call_filter[src]
+        used_flags = is_t1 & ~call_filter[src]
+        used_t[rows, cols] = used_flags
         t2used_t[rows, cols] = ~t2_filter[src]
+        # tally used counts at scatter time (avoids a [L, D] nonzero)
+        np.add.at(used_counts, (rows[used_flags], base[src][used_flags]), 1)
 
     # spanning deletions: non-edge deleted ref bases from tier1/2 reads
     spandel = np.zeros(L, dtype=np.int32)
@@ -230,4 +239,5 @@ def build_pileup(
         read_idx=ridx_t, read_off=roff_t, valid=valid_t, used=used_t,
         tier2_used=t2used_t, spandel=spandel, submapped=submapped,
         mapq_n=mapq_n, mapq_sumsq=mapq_sumsq, mapq_zero=mapq_zero,
+        _used_counts=used_counts,
     )

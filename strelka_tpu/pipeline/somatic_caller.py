@@ -208,11 +208,11 @@ def call_somatic_region(
     for i in called:
         pos = begin + int(i)
         # most frequent alt in tumor tier1
-        counts_t = pus[1].used_counts()[i]
+        counts_t = pus[1].used_counts()[i].copy()
         counts_t[ref_gt[i]] = 0
         alt_id = int(np.argmax(counts_t))
         if counts_t[alt_id] == 0:
-            counts_n = pus[0].used_counts()[i]
+            counts_n = pus[0].used_counts()[i].copy()
             counts_n[ref_gt[i]] = 0
             alt_id = int(np.argmax(counts_n))
             if counts_n[alt_id] == 0:

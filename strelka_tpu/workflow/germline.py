@@ -74,6 +74,14 @@ def run_germline(argv=None) -> int:
     p.add_argument("--error-count-target", type=int, default=25_000_000,
                    help="stop counting once this many context instances "
                         "are collected (dynamic early-stop)")
+    p.add_argument("--process-index", type=int, default=None,
+                   help="this worker's index for local multi-process "
+                        "fan-out (pyflow-style); run one process per "
+                        "index 0..count-1, then --merge-only")
+    p.add_argument("--process-count", type=int, default=None)
+    p.add_argument("--merge-only", action="store_true",
+                   help="skip calling; concatenate existing workspace "
+                        "fragments into final outputs")
     args = p.parse_args(argv)
 
     t0 = time.time()
@@ -147,6 +155,9 @@ def run_germline(argv=None) -> int:
 
     # --- segment tasks through the runner ------------------------------
     proc_idx, proc_cnt = rn.init_distributed()
+    if args.process_index is not None:
+        proc_idx = args.process_index
+        proc_cnt = args.process_count or 1
     segments = []
     for chrom, beg, end in regions:
         for seg_beg in range(beg, end, args.max_region_size):
@@ -204,7 +215,15 @@ def run_germline(argv=None) -> int:
                                    f"seg_{gi:06d}.S{si+1}.gvcf"), "w") as f:
                 f.write("\n".join(lines_g[si]) + ("\n" if lines_g[si] else ""))
 
-    runner.run(groups, task_fn, on_complete)
+    if not args.merge_only:
+        runner.run(groups, task_fn, on_complete)
+    if args.process_index is not None and not args.merge_only \
+            and proc_cnt > 1:
+        # worker shard done; a final --merge-only invocation concatenates
+        print(f"worker {proc_idx}/{proc_cnt} done "
+              f"({runner.stats.segments_completed} segments)",
+              file=sys.stderr)
+        return 0
 
     # --- ordered concat + bgzf (merge tasks) ---------------------------
     var_path = os.path.join(args.output_dir, "variants.vcf.gz")
