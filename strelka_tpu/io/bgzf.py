@@ -40,7 +40,11 @@ def decompress_file(path: str) -> bytes:
 
 
 class BgzfWriter:
-    """Writes BGZF blocks (<=64KB uncompressed each) + EOF marker."""
+    """Writes BGZF blocks (<=64KB uncompressed each) + EOF marker.
+
+    virtual_offset() exposes the current (coffset << 16 | uoffset)
+    virtual file offset used by tabix/BAI indexing.
+    """
 
     MAX_BLOCK = 0xFF00
 
@@ -48,6 +52,10 @@ class BgzfWriter:
         self._f = open(path, "wb")
         self._buf = bytearray()
         self._level = level
+        self._coffset = 0  # compressed bytes written so far
+
+    def virtual_offset(self) -> int:
+        return (self._coffset << 16) | len(self._buf)
 
     def write(self, data: bytes) -> None:
         self._buf.extend(data)
@@ -67,6 +75,7 @@ class BgzfWriter:
         ) + struct.pack("<H", 6) + b"BC" + struct.pack("<HH", 2, block_len - 1)
         crc = zlib.crc32(chunk) & 0xFFFFFFFF
         self._f.write(header + comp + struct.pack("<II", crc, len(chunk)))
+        self._coffset += block_len
         del bsize
 
     def close(self) -> None:

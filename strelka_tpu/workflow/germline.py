@@ -231,22 +231,27 @@ def run_germline(argv=None) -> int:
                   for si in range(n_samples)]
     chrom0 = regions[0][0]
     clen0 = ref.contig_length(chrom0)
-    with BgzfWriter(var_path) as w:
-        w.write(gvcf.gvcf_header(opt, chrom0, clen0, sample_names).encode())
-        for gi in range(len(groups)):
-            frag = os.path.join(workspace, f"seg_{gi:06d}.variants.vcf")
-            if os.path.exists(frag):
-                with open(frag, "rb") as f:
-                    w.write(f.read())
-    for si in range(n_samples):
-        with BgzfWriter(gvcf_paths[si]) as w:
-            w.write(gvcf.gvcf_header(opt, chrom0, clen0,
-                                     [sample_names[si]]).encode())
+    from ..io.tabix import IndexedVcfWriter
+    all_chroms = list(ref.contig_names)
+
+    def concat_indexed(path, header_text, frag_name_fn):
+        with IndexedVcfWriter(path, all_chroms) as w:
+            w.write_header(header_text)
             for gi in range(len(groups)):
-                frag = os.path.join(workspace, f"seg_{gi:06d}.S{si+1}.gvcf")
+                frag = os.path.join(workspace, frag_name_fn(gi))
                 if os.path.exists(frag):
-                    with open(frag, "rb") as f:
-                        w.write(f.read())
+                    with open(frag) as f:
+                        for line in f:
+                            if line.strip():
+                                w.write_record_line(line)
+
+    concat_indexed(var_path,
+                   gvcf.gvcf_header(opt, chrom0, clen0, sample_names),
+                   lambda gi: f"seg_{gi:06d}.variants.vcf")
+    for si in range(n_samples):
+        concat_indexed(gvcf_paths[si],
+                       gvcf.gvcf_header(opt, chrom0, clen0, [sample_names[si]]),
+                       lambda gi, si=si: f"seg_{gi:06d}.S{si+1}.gvcf")
 
     total_stats = rn.merge_run_stats(workspace)
     elapsed = time.time() - t0
