@@ -56,6 +56,7 @@ class IndelCall:
     sample_adf: list[np.ndarray]
     sample_adr: list[np.ndarray]
     sample_dpi: list[int]
+    sample_ploidy: list = None
     qual: int = 0
 
 
@@ -73,6 +74,8 @@ class RegionCallResult:
     snv_hap_ids: dict = field(default_factory=dict)
     indel_hap_ids: dict = field(default_factory=dict)
     phase_set_of_pos: dict = field(default_factory=dict)
+    # per-sample per-position ploidy (0/1/2) over the report range
+    ploidy: np.ndarray | None = None
 
 
 def snv_hpol(ref_codes: np.ndarray, pos: int) -> int:
@@ -106,6 +109,7 @@ def call_sample_sites(
     begin: int,
     end: int,
     candidate_snv_mask=None,
+    haploid_mask: np.ndarray | None = None,
 ) -> SampleSiteData:
     """ref_codes covers the halo'd fetch window starting at ref_offset;
     the pileup/report range is [begin, end)."""
@@ -123,7 +127,11 @@ def call_sample_sites(
         mask=jnp.asarray(pu.used),
         ref_gt=jnp.asarray(rc.astype(np.int32)),
     )
-    snv = snv_digt.call_snv_tile(tile, theta=opt.bsnp_diploid_theta)
+    snv = snv_digt.call_snv_tile(
+        tile, theta=opt.bsnp_diploid_theta,
+        is_haploid=(jnp.asarray(haploid_mask)
+                    if haploid_mask is not None and haploid_mask.any()
+                    else None))
 
     counts = pu.used_counts()
     fwd_counts = np.zeros_like(counts)
@@ -143,6 +151,7 @@ def call_region(
     batches: list[bamio.ReadBatch],
     external_indel_vcfs: list[str] | None = None,
     forced_gt_vcfs: list[str] | None = None,
+    ploidy_vcf: str | None = None,
 ) -> RegionCallResult:
     """Joint germline calling for N samples over one region."""
     n_samples = len(batches)
@@ -223,6 +232,33 @@ def call_region(
     if forced_gt_vcfs:
         _add_vcf_indels(forced_gt_vcfs, True)
 
+    # ploidy regions (reference: ploidy_util.hh — VCF records with END
+    # + per-sample CN; CN=1 -> haploid priors, CN=0 -> no-call)
+    L_report = end - begin
+    ploidy_arr = np.full((n_samples, L_report), 2, dtype=np.int8)
+    if ploidy_vcf:
+        from ..io.vcf import read_vcf
+        for v in read_vcf(ploidy_vcf):
+            if v.chrom != chrom:
+                continue
+            vend = v.pos + len(v.ref)
+            for kv in v.info.split(";"):
+                if kv.startswith("END="):
+                    vend = int(kv[4:])
+            fmt = v.format.split(":") if v.format else []
+            cn_idx = fmt.index("CN") if "CN" in fmt else -1
+            for s in range(min(n_samples, len(v.samples))):
+                cn = 2
+                if cn_idx >= 0:
+                    try:
+                        cn = int(v.samples[s].split(":")[cn_idx])
+                    except (ValueError, IndexError):
+                        continue
+                b = max(v.pos - begin, 0)
+                e = min(vend - begin, L_report)
+                if e > b and cn in (0, 1):
+                    ploidy_arr[s, b:e] = cn
+
     # MMDF exemption for haplotype-confirmed SNVs
     # (create_mismatch_filter_map's candidateSnvBuffer check)
     exempt_keys = np.array([p * 4 + b for p, b in candidate_snvs],
@@ -238,7 +274,8 @@ def call_region(
     for s in range(n_samples):
         samples.append(call_sample_sites(
             opt, kept[s], eas[s], levels[s], ref_codes, fetch_begin,
-            begin, end, candidate_snv_mask=snv_exempt_mask))
+            begin, end, candidate_snv_mask=snv_exempt_mask,
+            haploid_mask=(ploidy_arr[s] == 1)))
 
     # candidacy over pooled observations
     ests = [cand.estimated_depth(kept[s], eas[s], levels[s], fetch_begin, fetch_end)
@@ -275,7 +312,10 @@ def call_region(
         group = sorted(group)
         call = genotype_indel_locus(
             opt, group, [store.records[k] for k in group], kept, eas, levels,
-            ref_codes, fetch_begin, samples, begin, n_samples)
+            ref_codes, fetch_begin, samples, begin, n_samples,
+            sample_ploidy=[int(ploidy_arr[s, min(max(group[0].pos - begin, 0),
+                                                 L_report - 1)])
+                           for s in range(n_samples)])
         if call is not None:
             indel_calls.append(call)
 
@@ -287,11 +327,13 @@ def call_region(
                "n_indel_records": len(store.records)},
         snv_hap_ids=snv_hap_ids, indel_hap_ids=indel_hap_ids,
         phase_set_of_pos=phase_set_of_pos,
+        ploidy=ploidy_arr,
     )
 
 
 def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
-                         ref_offset, samples, region_begin, n_samples):
+                         ref_offset, samples, region_begin, n_samples,
+                         sample_ploidy=None):
     """Genotype one multi-sample indel locus from read x hap scores."""
     A = len(keys) + 1
     info = ig.AlleleInfo(
@@ -303,17 +345,23 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
     if not top.repeat_unit:
         cand.set_repeat_info(top, ref_codes, ref_offset, decode_bases)
     priors = ig.context_priors_for(top.repeat_unit_length, top.ref_repeat_count)
-    ploidy = 1 if opt.is_haploid else 2
-    tri_g = ig.ag_genotype_priors_to_triangular(priors.diploid, A, ploidy)
-    tri_p = ig.ag_genotype_priors_to_triangular(priors.diploid_poly, A, ploidy)
+    default_ploidy = 1 if opt.is_haploid else 2
+    if sample_ploidy is None:
+        sample_ploidy = [default_ploidy] * n_samples
 
     call = IndelCall(pos=min(k.pos for k in keys), keys=keys, records=recs,
                      sample_gt=[], sample_gq=[], sample_gqx=[], sample_pl=[],
                      sample_ad=[], sample_adf=[], sample_adr=[],
-                     sample_dpi=[])
+                     sample_dpi=[], sample_ploidy=list(sample_ploidy))
     any_variant = False
     max_qual = 0
     for s in range(n_samples):
+        ploidy = max(sample_ploidy[s], 1)  # ploidy-0: emit as haploid no-call
+        tri_g = ig.ag_genotype_priors_to_triangular(
+            priors.diploid if ploidy == 2 else priors.haploid, A, ploidy)
+        tri_p = ig.ag_genotype_priors_to_triangular(
+            priors.diploid_poly if ploidy == 2 else priors.haploid_poly,
+            A, ploidy)
         scores = realign.score_locus(kept[s], eas[s], levels[s], ref_codes,
                                      ref_offset, list(keys))
         if scores is None:

@@ -294,12 +294,15 @@ def emit_region(
             hdep_v = total_v > opt.max_depth_factor * chrom_depth
         fcode_v = low_v.astype(np.int8) + 2 * hdpf_v.astype(np.int8) \
             + 4 * hdep_v.astype(np.int8)
+        ploidy_l = (result.ploidy[s].tolist() if result.ploidy is not None
+                    else None)
         pre.append({
             "dp": dp_v.tolist(), "dpf": dpf_v.tolist(),
             "ggt": ggt_v.tolist(), "pgt": pgt_v.tolist(),
             "gq": gq_v.tolist(), "gqx": gqx_v.tolist(),
             "variant": variant_v.tolist(), "sb": d["sb"].tolist(),
             "nonref_ok": nonref_ok_v.tolist(), "fcode": fcode_v.tolist(),
+            "ploidy": ploidy_l,
         })
     any_variant = any_variant_v.tolist()
     deleted_list = deleted_span.tolist()
@@ -345,7 +348,14 @@ def emit_region(
                 b = blocks[s]
                 if not b.can_join(gqx, dp, dpf, fstr, abs_tol, frac_tol):
                     b.flush(chrom, gvcf_lines[s], block_label)
-                b.add(pos, ref_base, "0/0" if covered else "./.", gqx, dp, dpf, fstr)
+                pl_s = ps["ploidy"][i] if ps["ploidy"] is not None else 2
+                if pl_s == 0:
+                    gt = "."
+                elif pl_s == 1:
+                    gt = "0" if covered else "."
+                else:
+                    gt = "0/0" if covered else "./."
+                b.add(pos, ref_base, gt, gqx, dp, dpf, fstr)
             continue
 
         # variant site record (rare path; gather per-sample scalars)
@@ -381,9 +391,16 @@ def emit_region(
             dp, dpf, ggt, pgt, gq, gqx, variant, sb = per_sample[s]
             a_pair = digt.ALLELES[pgt]
             gt_idx = sorted(allele_map.get(a, 0) for a in a_pair)
-            gt = f"{gt_idx[0]}/{gt_idx[1]}"
+            pl_s = (pre[s]["ploidy"][i] if pre[s]["ploidy"] is not None
+                    else 2)
+            if pl_s == 0:
+                gt = "."
+            elif pl_s == 1:
+                gt = str(gt_idx[1])  # haploid single-allele call
+            else:
+                gt = f"{gt_idx[0]}/{gt_idx[1]}"
             phase = None
-            if variant and gt_idx[0] != gt_idx[1] and len(alts) == 1:
+            if pl_s == 2 and variant and gt_idx[0] != gt_idx[1] and len(alts) == 1:
                 phase = snv_phase(s, pos, alts[0], tuple(gt_idx))
             phases.append(phase)
             if phase is not None:
@@ -435,7 +452,6 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
     n_samples = len(sample_names)
     pos0, ref_str, alts, cigars = vcf_indel_strings(result, call)
     A = len(call.keys) + 1
-    ploidy = 2
     rus, refreps, idreps = [], [], []
     for rec in call.records:
         ru = rec.repeat_unit if rec.repeat_unit and len(rec.repeat_unit) <= 20 else "."
@@ -448,7 +464,12 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
     cols = []
     any_pass_variant = False
     for s in range(n_samples):
-        gt = _gt_string_indel(call.sample_gt[s], ploidy, A)
+        ploidy = (call.sample_ploidy[s] if call.sample_ploidy is not None
+                  else 2)
+        if ploidy == 0:
+            gt = "."
+        else:
+            gt = _gt_string_indel(call.sample_gt[s], max(ploidy, 1), A)
         gqx = call.sample_gqx[s]
         filters = []
         if gqx < opt.gvcf_min_gqx:

@@ -61,6 +61,9 @@ def run_germline(argv=None) -> int:
     p.add_argument("--indel-candidates", action="append", default=None)
     p.add_argument("--forced-gt", action="append", default=None,
                    help="VCF(s) of alleles to always genotype and report")
+    p.add_argument("--ploidy-region-vcf", default=None,
+                   help="VCF with per-sample CN (0/1) regions for "
+                        "non-diploid calling")
     p.add_argument("--min-mapping-quality", type=int, default=20)
     p.add_argument("--max-region-size", type=int, default=1_000_000)
     p.add_argument("--exome", action="store_true",
@@ -193,7 +196,8 @@ def run_germline(argv=None) -> int:
             result = germline_caller.call_region(
                 opt, ref, seg.chrom, seg.begin, seg.end, batches,
                 external_indel_vcfs=args.indel_candidates,
-                forced_gt_vcfs=args.forced_gt)
+                forced_gt_vcfs=args.forced_gt,
+                ploidy_vcf=args.ploidy_region_vcf)
             gl, vl = gvcf.emit_region(opt, result, sample_names,
                                       chrom_depth=chrom_depth.get(seg.chrom))
             lines_v.extend(vl)

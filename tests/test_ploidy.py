@@ -1,0 +1,50 @@
+"""Ploidy-region VCF tests (ploidy_util analog): haploid priors and
+no-call regions flow through to gVCF output."""
+import gzip
+import os
+
+import pytest
+
+from strelka_tpu.workflow.germline import run_germline
+
+
+def test_ploidy_regions(tmp_path):
+    # declare demo20:1-2000 haploid and 3000-3500 ploidy-0 for sample 1
+    pvcf = tmp_path / "ploidy.vcf"
+    pvcf.write_text(
+        "##fileformat=VCFv4.1\n"
+        '##FORMAT=<ID=CN,Number=1,Type=Integer,Description="copy number">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "demo20\t1\t.\tN\t<CNV>\t.\tPASS\tEND=2000\tCN\t1\n"
+        "demo20\t3000\t.\tN\t<CNV>\t.\tPASS\tEND=3500\tCN\t0\n")
+    out = str(tmp_path / "run")
+    rc = run_germline([
+        "--reference", "/root/reference/src/demo/data/demo20.fa",
+        "--align-file", "/root/reference/src/demo/data/NA12891_demo20.bam",
+        "--output-dir", out,
+        "--ploidy-region-vcf", str(pvcf),
+    ])
+    assert rc == 0
+    lines = [l.rstrip().split("\t") for l in
+             gzip.open(os.path.join(out, "genome.S1.vcf.gz"), "rt")
+             if not l.startswith("#")]
+    # haploid region: variant at 1706 (hom C->T) called as single-allele GT
+    v1706 = next(l for l in lines if l[1] == "1706")
+    gt = v1706[9].split(":")[0]
+    assert gt == "1", v1706
+    # het sites inside haploid region should not call het GTs
+    for l in lines:
+        pos = int(l[1])
+        if pos < 2000 and l[4] != ".":
+            assert "/" not in l[9].split(":")[0], l
+    # ploidy-0 region: blocks report GT '.'
+    p0 = [l for l in lines if 3000 <= int(l[1]) < 3500 and l[4] == "."]
+    assert p0
+    assert all(l[9].split(":")[0] == "." for l in p0)
+    # diploid region unaffected
+    v2455 = next(l for l in lines if l[1] == "2455")
+    assert v2455[9].split(":")[0] == "1/1"
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
