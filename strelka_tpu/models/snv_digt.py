@@ -222,13 +222,57 @@ def _result_set(lhood, ln_prior, ref_gt):
     return p, max_gt, q_ref.astype(jnp.int32), q_max.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("theta",))
+def _het_vf_extension_lhoods(base_id, qual, mask, extension: float,
+                             increment: float):
+    """Het-ratio extension terms for RNA mode.
+
+    Vectorized increment_het_ratio_lhood
+    (position_snp_call_pprob_digt.cpp:262-385): for each het-ratio step
+    r in (0.5, 0.5+extension], accumulate the biased-het likelihoods
+    lhood_high/lhood_low for every het genotype. Returns [n_ratio*2, L,
+    10] stacked log-lhood terms (to be logsumexp'd with the base
+    lhood), plus the subgenotype count 1+2*n_steps.
+    """
+    n_steps = 1 + int(extension / increment)
+    ratio_inc = extension / n_steps
+    e = jnp.power(10.0, -qual.astype(jnp.float32) / 10.0)
+    e = jnp.clip(e, 1e-35, None)
+    ce = 1.0 - e
+    bias = jnp.asarray(digt.EXPECT2_BIAS, dtype=jnp.int32)   # [10, 4]
+    key = bias[:, base_id]                                    # [10, L, D]
+    terms = []
+    for i in range(n_steps):
+        r = 0.5 + (i + 1) * ratio_inc
+        cr = 1.0 - r
+        v0 = jnp.log(e) + LN_ONE_THIRD
+        v1 = jnp.log(ce * r + (1.0 - ce) / 3.0 * cr)
+        v2 = jnp.log(ce * cr + (1.0 - ce) / 3.0 * r)
+        v3 = jnp.log(ce)
+        vals4 = jnp.stack([v0, v1, v2, v3], axis=0)           # [4, L, D]
+        low_remap = jnp.asarray([0, 2, 1, 3], dtype=jnp.int32)
+        Ld, Dd = base_id.shape
+        li = jnp.arange(Ld)[None, :, None]
+        di = jnp.arange(Dd)[None, None, :]
+        vh = vals4[key, li, di]                                # [10, L, D]
+        vl = vals4[low_remap[key], li, di]
+        m = mask[None].astype(vh.dtype)
+        terms.append(jnp.sum(vh * m, axis=-1).T)              # [L, 10]
+        terms.append(jnp.sum(vl * m, axis=-1).T)
+    return jnp.stack(terms, axis=0), 1 + 2 * n_steps
+
+
+@functools.partial(jax.jit, static_argnames=("theta", "het_vf_extension",
+                                             "het_vf_increment"))
 def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
-                  is_haploid: jnp.ndarray | None = None) -> SnvCallResult:
+                  is_haploid: jnp.ndarray | None = None,
+                  het_vf_extension: float = 0.0,
+                  het_vf_increment: float = 0.0501) -> SnvCallResult:
     """Batched equivalent of position_snp_call_pprob_digt over a tile.
 
     is_haploid: optional [L] bool selecting haploid priors per locus
     (ploidy regions, ploidy_util.hh).
+    het_vf_extension: RNA-mode het variant-frequency extension
+    (workflow passes 0.45 for RNA; 0 disables).
     """
     priors = make_ln_priors(theta)
     ref_gt = tile.ref_gt.astype(jnp.int32)
@@ -236,6 +280,16 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
     mask = tile.mask
 
     lhood = _masked_lhood(tile.base_id.astype(jnp.int32), vals, mask)
+
+    if het_vf_extension > 0:
+        ext_terms, n_subgt = _het_vf_extension_lhoods(
+            tile.base_id.astype(jnp.int32), tile.qual, mask,
+            het_vf_extension, het_vf_increment)
+        stacked = jnp.concatenate([lhood[None], ext_terms], axis=0)
+        het_lhood = jax.scipy.special.logsumexp(stacked, axis=0) \
+            - jnp.log(jnp.float32(n_subgt))
+        is_het = jnp.asarray(digt.IS_HET)
+        lhood = jnp.where(is_het[None, :], het_lhood, lhood)
 
     gen_prior = jnp.asarray(priors["genome"])[ref_gt]
     poly_prior = jnp.asarray(priors["poly"])[ref_gt]

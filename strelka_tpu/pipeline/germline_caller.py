@@ -39,6 +39,7 @@ class SampleSiteData:
     used_counts: np.ndarray       # [L, 4]
     used_fwd_counts: np.ndarray   # [L, 4]
     dpf: np.ndarray               # [L] filtered basecalls
+    mean_edge_dist: np.ndarray | None = None  # [L] mean min-dist from read edge
 
 
 @dataclass
@@ -131,15 +132,29 @@ def call_sample_sites(
         tile, theta=opt.bsnp_diploid_theta,
         is_haploid=(jnp.asarray(haploid_mask)
                     if haploid_mask is not None and haploid_mask.any()
-                    else None))
+                    else None),
+        het_vf_extension=opt.het_variant_frequency_extension,
+        het_vf_increment=opt.max_het_variant_frequency_increment)
 
     counts = pu.used_counts()
     fwd_counts = np.zeros_like(counts)
     li, di = np.nonzero(pu.used & pu.is_fwd)
     np.add.at(fwd_counts, (li, pu.base_id[li, di]), 1)
     dpf = (pu.valid & ~pu.used).sum(axis=1).astype(np.int32)
+    # mean min-distance from read edge over used calls (EVS feature
+    # SampleMeanDistanceFromReadEdge)
+    rlens = np.diff(batch.seq_off) if batch.n else np.zeros(0, np.int64)
+    ridx = np.maximum(pu.read_idx, 0)
+    rl_t = rlens[ridx] if batch.n else np.zeros_like(ridx)
+    dist_t = np.minimum(pu.read_off, np.maximum(rl_t - 1 - pu.read_off, 0))
+    used_n = pu.used.sum(axis=1)
+    with np.errstate(invalid="ignore"):
+        mean_dist = np.where(
+            used_n > 0,
+            (dist_t * pu.used).sum(axis=1) / np.maximum(used_n, 1), 0.0)
     return SampleSiteData(pileup=pu, snv=snv, used_counts=counts,
-                          used_fwd_counts=fwd_counts, dpf=dpf)
+                          used_fwd_counts=fwd_counts, dpf=dpf,
+                          mean_edge_dist=mean_dist)
 
 
 def call_region(

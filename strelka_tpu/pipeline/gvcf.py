@@ -197,11 +197,34 @@ def _gt_string_indel(gt_index: int, ploidy: int, n_alleles: int) -> str:
     return f"{int(a0)}/{int(a1)}"
 
 
+def germline_snv_features(forest, sd, i, hpol, qual, alt_id, sb):
+    """Feature vector by name for a germline/RNA SNV scoring model
+    (germlineVariantEmpiricalScoringFeatures.hh /
+    rnaVariantEmpiricalScoringFeatures.hh subset)."""
+    counts = sd.used_counts[i]
+    dp = int(counts.sum())
+    alt_depth = int(counts[alt_id])
+    vals = {
+        "SiteHomopolymerLength": hpol,
+        "SampleStrandBias": sb,
+        "SamplePrimaryAltAlleleDepth": alt_depth,
+        "VariantAlleleQuality": qual,
+        "SampleMeanDistanceFromReadEdge": (
+            float(sd.mean_edge_dist[i]) if sd.mean_edge_dist is not None else 0.0),
+        "SamplePrimaryAltAlleleDepthFraction": alt_depth / max(dp, 1),
+        "SampleRMSMappingQuality": float(
+            np.sqrt(sd.pileup.mapq_sumsq[i] / max(sd.pileup.mapq_n[i], 1))),
+        "SampleUsedDepthFraction": dp / max(dp + int(sd.dpf[i]), 1),
+    }
+    return np.array([vals.get(name, 0.0) for name in forest.features])
+
+
 def emit_region(
     opt: GermlineOptions,
     result: RegionCallResult,
     sample_names: list[str],
     chrom_depth: float | None = None,
+    snv_forest=None,
 ):
     """Returns (per-sample gvcf line lists, variants vcf line list)."""
     n_samples = len(result.samples)
@@ -411,7 +434,20 @@ def emit_region(
             ads = [int(counts[ref_gt])] + [int(counts[a]) for a in alts]
             adfs = [int(fcounts[ref_gt])] + [int(fcounts[a]) for a in alts]
             adrs = [ads[j] - adfs[j] for j in range(len(ads))]
-            filters = _site_sample_filters(opt, gqx, sb, dp, dpf, variant, chrom_depth)
+            if snv_forest is not None and variant:
+                # EVS replaces GQX and drives the LowGQX filter
+                # (ScoringModelManager.hh classify_site semantics)
+                feats = germline_snv_features(
+                    snv_forest, result.samples[s], i, snv_hpol(ref, i),
+                    int(sv[s]["q"][i]), alts[0] if alts else 0, sb)
+                evs = float(snv_forest.score_phred(feats[None])[0])
+                gqx = int(round(evs))
+                filters = ["LowGQX"] if evs < snv_forest.filter_cutoff else []
+                if chrom_depth and dp + dpf > opt.max_depth_factor * chrom_depth:
+                    filters.append("HighDepth")
+            else:
+                filters = _site_sample_filters(opt, gqx, sb, dp, dpf, variant,
+                                               chrom_depth)
             fstr = ";".join(filters) if filters else "PASS"
             if variant and not filters:
                 any_pass_variant = True

@@ -64,6 +64,11 @@ def run_germline(argv=None) -> int:
     p.add_argument("--ploidy-region-vcf", default=None,
                    help="VCF with per-sample CN (0/1) regions for "
                         "non-diploid calling")
+    p.add_argument("--rna", action="store_true",
+                   help="RNA-seq mode: het variant-frequency extension "
+                        "0.45 + RNA scoring models")
+    p.add_argument("--snv-scoring-model-file", default=None,
+                   help="germline SNV EVS model JSON")
     p.add_argument("--min-mapping-quality", type=int, default=20)
     p.add_argument("--max-region-size", type=int, default=1_000_000)
     p.add_argument("--exome", action="store_true",
@@ -89,6 +94,21 @@ def run_germline(argv=None) -> int:
 
     t0 = time.time()
     opt = GermlineOptions(min_mapping_quality=args.min_mapping_quality)
+    snv_forest = None
+    if args.rna:
+        # strelkaGermlineWorkflow.py RNA branch: het-VF extension 0.45
+        # + RNA scoring models
+        opt = GermlineOptions(min_mapping_quality=args.min_mapping_quality,
+                              het_variant_frequency_extension=0.45)
+        rna_model = (args.snv_scoring_model_file
+                     or "/root/reference/src/config/empiricalVariantScoring/"
+                        "models/RNASNVScoringModels.json")
+        if os.path.exists(rna_model):
+            from ..ops.rf import load_scoring_model
+            snv_forest = load_scoring_model(rna_model, "SNV", "RNAseq")
+    elif args.snv_scoring_model_file:
+        from ..ops.rf import load_scoring_model
+        snv_forest = load_scoring_model(args.snv_scoring_model_file, "SNV")
     ref = FastaReference(args.reference)
     os.makedirs(args.output_dir, exist_ok=True)
     workspace = os.path.join(args.output_dir, "workspace")
@@ -199,7 +219,8 @@ def run_germline(argv=None) -> int:
                 forced_gt_vcfs=args.forced_gt,
                 ploidy_vcf=args.ploidy_region_vcf)
             gl, vl = gvcf.emit_region(opt, result, sample_names,
-                                      chrom_depth=chrom_depth.get(seg.chrom))
+                                      chrom_depth=chrom_depth.get(seg.chrom),
+                                      snv_forest=snv_forest)
             lines_v.extend(vl)
             for si in range(n_samples):
                 lines_g[si].extend(gl[si])
