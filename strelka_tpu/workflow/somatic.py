@@ -133,6 +133,105 @@ def interrupted_hpol(ref_codes: np.ndarray, begin: int, pos: int, right: int) ->
     return best
 
 
+def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
+                          noise_at):
+    """Record lines for one called segment (snv, indel, callable)."""
+    from ..models import evs
+    from ..pipeline import candidates as cnd, reads as rdm
+
+    # normal chrom depth (GetChromDepth analog: median spanned depth)
+    keepn, leveln = rdm.filter_and_classify_reads(nb, 20)
+    nbk = nb.select(keepn)
+    ean = rdm.expand_alignments(nbk)
+    dep = cnd.estimated_depth(nbk, ean, leveln[keepn], res.begin, res.end)
+    covered = dep[dep > 0]
+    norm_chrom_depth = float(np.median(covered)) if len(covered) else None
+
+    snv_evs = None
+    if snv_forest is not None and res.snvs:
+        rows = [evs.somatic_snv_features(s, norm_chrom_depth)
+                for s in res.snvs]
+        snv_evs = evs.score_sites(snv_forest, rows)
+    indel_evs = None
+    if indel_forest is not None and res.indels:
+        rows = [evs.somatic_indel_features(
+            c, interrupted_hpol(res.ref_codes, res.begin, c.key.pos,
+                                c.key.right_pos), norm_chrom_depth)
+            for c in res.indels]
+        indel_evs = evs.score_sites(indel_forest, rows)
+
+    snv_lines = []
+    for si_idx, site in enumerate(res.snvs):
+        if snv_evs is not None:
+            filt = ("PASS" if snv_evs[si_idx] >= snv_forest.filter_cutoff
+                    else "LowEVS")
+        else:
+            filt = ("PASS" if site.qss_nt >= args.min_qss_filter
+                    else "LowQscore")
+        info = (f"SOMATIC;QSS={site.qss};TQSS={site.tier_qss + 1};"
+                f"NT={sc.NTYPE_LABELS[site.ntype]};QSS_NT={site.qss_nt};"
+                f"TQSS_NT={site.tier_qss_nt + 1};SGT={_sgt_snv(site)};"
+                f"DP={sum(site.dp)};MQ={site.mq:.2f};MQ0={site.mq0};"
+                f"ReadPosRankSum={site.read_pos_ranksum:.2f};"
+                f"SNVSB={site.snv_sb:.2f}")
+        pn = noise_at.get((res.chrom, site.pos))
+        if pn is not None:
+            info += f";PNOISE={pn[0]:.2f};PNOISE2={pn[1]:.2f}"
+        if snv_evs is not None:
+            info += f";SomaticEVS={snv_evs[si_idx]:.2f}"
+        cols = []
+        for s in range(2):
+            au = [f"{site.acgt_tier1[s][b]},{site.acgt_tier2[s][b]}"
+                  for b in range(4)]
+            cols.append(f"{site.dp[s]}:{site.fdp[s]}:{site.sdp[s]}:"
+                        f"{site.subdp[s]}:" + ":".join(au))
+        snv_lines.append(
+            f"{res.chrom}\t{site.pos + 1}\t.\t{BASES[site.ref_gt]}\t"
+            f"{BASES[site.alt_id]}\t.\t{filt}\t{info}\t"
+            f"DP:FDP:SDP:SUBDP:AU:CU:GU:TU\t" + "\t".join(cols))
+
+    indel_lines = []
+    for ci_idx, call in enumerate(res.indels):
+        key = call.key
+        pos0 = key.pos - 1
+        left = pos0 - res.begin
+        ref_str = decode_bases(
+            res.ref_codes[left:left + 1 + key.delete_length])
+        alt_str = ref_str[0] + key.insert_seq
+        if indel_evs is not None:
+            filt = ("PASS" if indel_evs[ci_idx] >= indel_forest.filter_cutoff
+                    else "LowEVS")
+        else:
+            filt = ("PASS" if call.qsi_nt >= args.min_qsi_filter
+                    else "LowQscore")
+        ihp = interrupted_hpol(res.ref_codes, res.begin, key.pos,
+                               key.right_pos)
+        info = (f"SOMATIC;QSI={call.qsi};TQSI={call.tier + 1};"
+                f"NT={sc.NTYPE_LABELS[call.ntype]};QSI_NT={call.qsi_nt};"
+                f"TQSI_NT={call.tier + 1};"
+                f"SGT=ref->{'het' if call.sgt_tumor_is_som else sc.NTYPE_LABELS[call.ntype]};"
+                f"MQ={call.mq:.2f};MQ0={call.mq0};"
+                f"RU={call.rec.repeat_unit or '.'};"
+                f"RC={call.rec.ref_repeat_count};"
+                f"IC={call.rec.indel_repeat_count};IHP={ihp}")
+        if indel_evs is not None:
+            info += f";SomaticEVS={indel_evs[ci_idx]:.2f}"
+        cols = []
+        for s in range(2):
+            cols.append(
+                f"{call.dp[s]}:{call.dp[s]}:"
+                f"{call.tar[s][0]},{call.tar[s][1]}:"
+                f"{call.tir[s][0]},{call.tir[s][1]}:"
+                f"{call.tor[s][0]},{call.tor[s][1]}")
+        indel_lines.append(
+            f"{res.chrom}\t{pos0 + 1}\t.\t{ref_str}\t{alt_str}\t.\t"
+            f"{filt}\t{info}\tDP:DP2:TAR:TIR:TOR\t" + "\t".join(cols))
+
+    callable_lines = [f"{res.chrom}\t{b}\t{e}"
+                      for b, e in res.callable_intervals]
+    return snv_lines, indel_lines, callable_lines
+
+
 def run_somatic(argv=None) -> int:
     p = argparse.ArgumentParser(prog="strelka_tpu somatic")
     p.add_argument("--reference", required=True)
@@ -173,13 +272,7 @@ def run_somatic(argv=None) -> int:
 
     snv_path = os.path.join(args.output_dir, "somatic.snvs.vcf.gz")
     indel_path = os.path.join(args.output_dir, "somatic.indels.vcf.gz")
-    snv_w = BgzfWriter(snv_path)
-    indel_w = BgzfWriter(indel_path)
-    callable_w = None
-    if args.output_callable_regions:
-        callable_w = BgzfWriter(os.path.join(
-            args.output_dir, "somatic.callable.regions.bed.gz"))
-    wrote_header = False
+    workspace = os.path.join(args.output_dir, "workspace")
 
     # panel-of-normals site noise (NoiseBuffer/SiteNoise: PNOISE =
     # fraction of panel samples with nonref noise at the site)
@@ -193,119 +286,81 @@ def run_somatic(argv=None) -> int:
                 noise_at[(v.chrom, v.pos)] = (
                     float(info.get("PNOISE", 0)), float(info.get("PNOISE2", 0)))
 
-    n_snv = n_indel = 0
+    from ..parallel import runner as rn
+    proc_idx, proc_cnt = rn.init_distributed()
+    segments = []
     for chrom, beg, end in regions:
-        if not wrote_header:
-            clen = ref.contig_length(chrom)
-            snv_w.write(snv_header(chrom, clen).encode())
-            indel_w.write(indel_header(chrom, clen).encode())
-            wrote_header = True
+        for seg_beg in range(beg, end, args.max_region_size):
+            segments.append(rn.GenomeSegment(
+                chrom, seg_beg, min(seg_beg + args.max_region_size, end)))
+    groups = rn.group_segments(segments, min_group=1)
+    runner = rn.SegmentRunner(workspace, process_index=proc_idx,
+                              process_count=proc_cnt)
+
+    batches_of = {}
+    for chrom, _b, _e in regions:
         ntid = nhdr.ref_names.index(chrom) if chrom in nhdr.ref_names else -1
         ttid = thdr.ref_names.index(chrom) if chrom in thdr.ref_names else -1
-        nb = nbatch_all.select(np.asarray(nbatch_all.tid == ntid))
-        tb = tbatch_all.select(np.asarray(tbatch_all.tid == ttid))
-        for seg in range(beg, end, args.max_region_size):
-            seg_end = min(seg + args.max_region_size, end)
-            res = sc.call_somatic_region(opt, ref, chrom, seg, seg_end,
-                                         nb, tb,
-                                         external_indel_vcfs=args.indel_candidates)
-            # normal chrom depth (GetChromDepth analog: median spanned
-            # depth over covered positions)
-            from ..pipeline import candidates as cnd, reads as rdm
-            keepn, leveln = rdm.filter_and_classify_reads(nb, 20)
-            nbk = nb.select(keepn)
-            ean = rdm.expand_alignments(nbk)
-            dep = cnd.estimated_depth(nbk, ean, leveln[keepn], seg, seg_end)
-            covered = dep[dep > 0]
-            norm_chrom_depth = float(np.median(covered)) if len(covered) else None
+        batches_of[chrom] = (
+            nbatch_all.select(np.asarray(nbatch_all.tid == ntid)),
+            tbatch_all.select(np.asarray(tbatch_all.tid == ttid)))
 
-            snv_evs = None
-            if snv_forest is not None and res.snvs:
-                rows = [evs.somatic_snv_features(s, norm_chrom_depth)
-                        for s in res.snvs]
-                snv_evs = evs.score_sites(snv_forest, rows)
-            indel_evs = None
-            if indel_forest is not None and res.indels:
-                rows = [evs.somatic_indel_features(
-                    c, interrupted_hpol(res.ref_codes, res.begin, c.key.pos,
-                                        c.key.right_pos), norm_chrom_depth)
-                    for c in res.indels]
-                indel_evs = evs.score_sites(indel_forest, rows)
+    def task_fn(group):
+        snv_lines, indel_lines, callable_lines = [], [], []
+        stats = rn.RunStats()
+        for seg in group:
+            nb, tb = batches_of[seg.chrom]
+            res = sc.call_somatic_region(
+                opt, ref, seg.chrom, seg.begin, seg.end, nb, tb,
+                external_indel_vcfs=args.indel_candidates)
+            sv, il, cl = _emit_somatic_segment(
+                args, opt, res, nb, snv_forest, indel_forest, noise_at)
+            snv_lines.extend(sv)
+            indel_lines.extend(il)
+            callable_lines.extend(cl)
+            stats.reads_processed += nb.n + tb.n
+        return (snv_lines, indel_lines, callable_lines), stats
 
-            for si_idx, site in enumerate(res.snvs):
-                if snv_evs is not None:
-                    ev = snv_evs[si_idx]
-                    filt = "PASS" if ev >= snv_forest.filter_cutoff else "LowEVS"
-                else:
-                    filt = ("PASS" if site.qss_nt >= args.min_qss_filter
-                            else "LowQscore")
-                info = (f"SOMATIC;QSS={site.qss};TQSS={site.tier_qss + 1};"
-                        f"NT={sc.NTYPE_LABELS[site.ntype]};QSS_NT={site.qss_nt};"
-                        f"TQSS_NT={site.tier_qss_nt + 1};SGT={_sgt_snv(site)};"
-                        f"DP={sum(site.dp)};MQ={site.mq:.2f};MQ0={site.mq0};"
-                        f"ReadPosRankSum={site.read_pos_ranksum:.2f};"
-                        f"SNVSB={site.snv_sb:.2f}")
-                pn = noise_at.get((res.chrom, site.pos))
-                if pn is not None:
-                    info += f";PNOISE={pn[0]:.2f};PNOISE2={pn[1]:.2f}"
-                if snv_evs is not None:
-                    info += f";SomaticEVS={snv_evs[si_idx]:.2f}"
-                cols = []
-                for s in range(2):
-                    au = [f"{site.acgt_tier1[s][b]},{site.acgt_tier2[s][b]}"
-                          for b in range(4)]
-                    cols.append(f"{site.dp[s]}:{site.fdp[s]}:{site.sdp[s]}:"
-                                f"{site.subdp[s]}:" + ":".join(au))
-                line = (f"{res.chrom}\t{site.pos + 1}\t.\t{BASES[site.ref_gt]}\t"
-                        f"{BASES[site.alt_id]}\t.\t{filt}\t{info}\t"
-                        f"DP:FDP:SDP:SUBDP:AU:CU:GU:TU\t" + "\t".join(cols))
-                snv_w.write((line + "\n").encode())
-                n_snv += 1
-            for ci_idx, call in enumerate(res.indels):
-                key = call.key
-                pos0 = key.pos - 1
-                left = pos0 - res.begin
-                ref_str = decode_bases(
-                    res.ref_codes[left:left + 1 + key.delete_length])
-                alt_str = ref_str[0] + key.insert_seq
-                if indel_evs is not None:
-                    filt = ("PASS" if indel_evs[ci_idx] >= indel_forest.filter_cutoff
-                            else "LowEVS")
-                else:
-                    filt = ("PASS" if call.qsi_nt >= args.min_qsi_filter
-                            else "LowQscore")
-                ihp = interrupted_hpol(res.ref_codes, res.begin, key.pos,
-                                       key.right_pos)
-                info = (f"SOMATIC;QSI={call.qsi};TQSI={call.tier + 1};"
-                        f"NT={sc.NTYPE_LABELS[call.ntype]};QSI_NT={call.qsi_nt};"
-                        f"TQSI_NT={call.tier + 1};"
-                        f"SGT=ref->{'het' if call.sgt_tumor_is_som else sc.NTYPE_LABELS[call.ntype]};"
-                        f"MQ={call.mq:.2f};MQ0={call.mq0};"
-                        f"RU={call.rec.repeat_unit or '.'};"
-                        f"RC={call.rec.ref_repeat_count};"
-                        f"IC={call.rec.indel_repeat_count};IHP={ihp}")
-                if indel_evs is not None:
-                    info += f";SomaticEVS={indel_evs[ci_idx]:.2f}"
-                cols = []
-                for s in range(2):
-                    cols.append(
-                        f"{call.dp[s]}:{call.dp[s]}:"
-                        f"{call.tar[s][0]},{call.tar[s][1]}:"
-                        f"{call.tir[s][0]},{call.tir[s][1]}:"
-                        f"{call.tor[s][0]},{call.tor[s][1]}")
-                line = (f"{res.chrom}\t{pos0 + 1}\t.\t{ref_str}\t{alt_str}\t.\t"
-                        f"{filt}\t{info}\tDP:DP2:TAR:TIR:TOR\t" + "\t".join(cols))
-                indel_w.write((line + "\n").encode())
-                n_indel += 1
+    def on_complete(gi, result):
+        sv, il, cl = result
+        for suffix, lines in (("snvs", sv), ("indels", il), ("callable", cl)):
+            with open(os.path.join(workspace,
+                                   f"seg_{gi:06d}.{suffix}"), "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
 
-            if callable_w is not None:
-                for b, e in res.callable_intervals:
-                    callable_w.write(f"{res.chrom}\t{b}\t{e}\n".encode())
+    runner.run(groups, task_fn, on_complete)
 
-    snv_w.close()
-    indel_w.close()
-    if callable_w is not None:
-        callable_w.close()
+    # ordered concat + tabix-indexed bgzf
+    from ..io.tabix import IndexedVcfWriter
+    all_chroms = list(ref.contig_names)
+    chrom0 = regions[0][0]
+    clen0 = ref.contig_length(chrom0)
+    n_snv = n_indel = 0
+    for path, header_text, suffix in (
+            (snv_path, snv_header(chrom0, clen0), "snvs"),
+            (indel_path, indel_header(chrom0, clen0), "indels")):
+        with IndexedVcfWriter(path, all_chroms) as w:
+            w.write_header(header_text)
+            for gi in range(len(groups)):
+                frag = os.path.join(workspace, f"seg_{gi:06d}.{suffix}")
+                if os.path.exists(frag):
+                    with open(frag) as f:
+                        for line in f:
+                            if line.strip():
+                                w.write_record_line(line)
+                                if suffix == "snvs":
+                                    n_snv += 1
+                                else:
+                                    n_indel += 1
+    if args.output_callable_regions:
+        with BgzfWriter(os.path.join(
+                args.output_dir, "somatic.callable.regions.bed.gz")) as w:
+            for gi in range(len(groups)):
+                frag = os.path.join(workspace, f"seg_{gi:06d}.callable")
+                if os.path.exists(frag):
+                    with open(frag, "rb") as f:
+                        w.write(f.read())
+
     print(f"strelka_tpu somatic done in {time.time() - t0:.1f}s; "
           f"snvs={n_snv} indels={n_indel}", file=sys.stderr)
     return 0
