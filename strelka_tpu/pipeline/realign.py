@@ -68,6 +68,7 @@ def score_locus(
     alt_keys: list[IndelKey],
     window_flank: int = 70,
     max_reads: int = 512,
+    tiers=(rd.MapLevel.TIER1,),
 ) -> LocusReadScores | None:
     """Score all spanning reads against {ref} + alt haplotypes."""
     from ..io.fasta import encode_bases
@@ -75,7 +76,8 @@ def score_locus(
     key0 = alt_keys[0]
     locus_begin = min(k.pos for k in alt_keys)
     locus_end = max(k.right_pos for k in alt_keys)
-    rows = select_overlapping_reads(ea, map_level, key0.pos, key0.right_pos)
+    rows = select_overlapping_reads(ea, map_level, key0.pos, key0.right_pos,
+                                    tiers=tiers)
     if len(rows) == 0:
         return None
     if len(rows) > max_reads:

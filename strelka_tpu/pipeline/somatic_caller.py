@@ -275,55 +275,86 @@ def call_somatic_region(
         if not rec.repeat_unit:
             cand.set_repeat_info(rec, ref_all, fetch_begin, decode_bases)
         # per-sample scores
-        grid = []
-        t1_ref = []
-        t1_ind = []
-        tor = []
+        # two evidence tiers (somatic_indel_grid.cpp n_tier loop):
+        # tier1 = tier1-mapped reads only; tier2 adds tier2 mappings
+        tier_results = []
+        grids_t1 = None
+        t1_ref = t1_ind = tor = None
         skip = False
-        for s in range(2):
-            sc = realign.score_locus(kept[s], eas[s], levels[s], ref_all,
-                                     fetch_begin, [key])
-            if sc is None:
-                skip = True
-                break
-            ref_lnp = sc.allele_lhoods[:, 0]
-            ind_lnp = sc.allele_lhoods[:, 1]
-            grid.append(si.indel_freq_grid_lhoods(
-                ref_lnp, ind_lnp, sc.read_len, sc.n_nonambig,
-                np.ones(len(ref_lnp), bool), key.insert_length,
-                key.delete_length,
-                opt.normal_sample_min_read_bp_flank if s == 0
-                else opt.default_min_read_bp_flank))
-            # confident read counts (TAR/TIR): posterior >= 0.51 over
-            # {ref, indel}
-            p = ref_lnp - np.logaddexp(ref_lnp, ind_lnp)
-            t1_ref.append(int((np.exp(p) >= 0.51).sum()))
-            t1_ind.append(int((np.exp(p) <= 0.49).sum()))
-            tor.append(len(ref_lnp) - t1_ref[-1] - t1_ind[-1])
-        if skip:
-            continue
         _, ind_to_ref = em.get_rates(
             1, rec.repeat_unit_length, rec.ref_repeat_count,
             rec.indel_repeat_count, key.is_insertion)
-        q, qn, ntype_i, max_gt = si.somatic_indel_call(
-            grid[0], grid[1], float(ind_to_ref),
-            contam_tolerance=0.15,
-            somatic_indel_rate=opt.somatic_indel_rate,
-            bindel_theta=opt.bindel_diploid_theta,
-            shared_indel_error_factor=opt.shared_indel_error_factor)
+        for tier_i, tiers in enumerate([(rd.MapLevel.TIER1,),
+                                        (rd.MapLevel.TIER1, rd.MapLevel.TIER2)]):
+            grid = []
+            c_ref, c_ind, c_tor = [], [], []
+            for s in range(2):
+                sc = realign.score_locus(kept[s], eas[s], levels[s], ref_all,
+                                         fetch_begin, [key], tiers=tiers)
+                if sc is None:
+                    skip = True
+                    break
+                ref_lnp = sc.allele_lhoods[:, 0]
+                ind_lnp = sc.allele_lhoods[:, 1]
+                grid.append(si.indel_freq_grid_lhoods(
+                    ref_lnp, ind_lnp, sc.read_len, sc.n_nonambig,
+                    np.ones(len(ref_lnp), bool), key.insert_length,
+                    key.delete_length,
+                    opt.normal_sample_min_read_bp_flank if s == 0
+                    else opt.default_min_read_bp_flank))
+                # confident read counts (TAR/TIR): posterior >= 0.51
+                p = ref_lnp - np.logaddexp(ref_lnp, ind_lnp)
+                c_ref.append(int((np.exp(p) >= 0.51).sum()))
+                c_ind.append(int((np.exp(p) <= 0.49).sum()))
+                c_tor.append(len(ref_lnp) - c_ref[-1] - c_ind[-1])
+            if skip:
+                break
+            if tier_i == 0:
+                grids_t1 = grid
+                t1_ref, t1_ind, tor = c_ref, c_ind, c_tor
+            tier_results.append(
+                (si.somatic_indel_call(
+                    grid[0], grid[1], float(ind_to_ref),
+                    contam_tolerance=0.15,
+                    somatic_indel_rate=opt.somatic_indel_rate,
+                    bindel_theta=opt.bindel_diploid_theta,
+                    shared_indel_error_factor=opt.shared_indel_error_factor),
+                 (c_ref, c_ind, c_tor)))
+            if tier_i == 0 and tier_results[0][0][0] == 0:
+                break  # tier1 Q==0: skip tier2 (reference early-out)
+        if skip or not tier_results:
+            continue
+        (q1, qn1, nt1, mg1), _ = tier_results[0]
+        if len(tier_results) > 1:
+            (q2, qn2, nt2, mg2), t2counts = tier_results[1]
+        else:
+            q2, qn2, nt2, mg2 = q1, qn1, nt1, mg1
+            t2counts = (t1_ref, t1_ind, tor)
+        tier = 1 if q1 > q2 else 0
+        tier_nt = 1 if qn1 > qn2 else 0
+        q = min(q1, q2)
+        if nt1 != nt2:
+            ntype_i = 3  # conflict
+            qn = 0
+        else:
+            ntype_i = nt1
+            qn = min(qn1, qn2)
+        max_gt = mg1 if tier_nt == 0 else mg2
+        del grids_t1
         if q == 0:
             continue
         callrec = SomaticIndelCall(
-            key=key, rec=rec, qsi=q, qsi_nt=qn, ntype=ntype_i, tier=0,
+            key=key, rec=rec, qsi=q, qsi_nt=qn, ntype=ntype_i, tier=tier,
             sgt_tumor_is_som=bool(max_gt % 2))
+        t2_ref, t2_ind, t2_tor = t2counts
         mqn = mqss = mq0 = 0
         for s, pu in enumerate(pus):
             dpos = key.pos - 1 - begin
             dp = int(pu.depth[dpos]) if 0 <= dpos < L else 0
             callrec.dp.append(dp)
-            callrec.tar.append((t1_ref[s], t1_ref[s]))
-            callrec.tir.append((t1_ind[s], t1_ind[s]))
-            callrec.tor.append((tor[s], tor[s]))
+            callrec.tar.append((t1_ref[s], t2_ref[s]))
+            callrec.tir.append((t1_ind[s], t2_ind[s]))
+            callrec.tor.append((tor[s], t2_tor[s]))
             if 0 <= dpos < L:
                 mqn += int(pu.mapq_n[dpos])
                 mqss += float(pu.mapq_sumsq[dpos])
