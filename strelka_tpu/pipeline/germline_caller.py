@@ -319,18 +319,32 @@ def call_region(
         else:
             loci.append([k])
 
-    indel_calls: list[IndelCall] = []
+    # trim each locus group to its top-2 supported alleles
+    groups_trimmed = []
     for group in loci:
         group = sorted(group, key=lambda k: (
             -max(len(store.records[k].samples[s].tier1_reads)
                  for s in range(n_samples)), k))[:2]
-        group = sorted(group)
+        groups_trimmed.append(sorted(group))
+
+    # batched read x haplotype scoring across all loci per sample
+    # (fixed-shape buckets; one kernel launch per bucket)
+    from . import realign_batch as rb
+    sample_scores = [
+        rb.score_loci_batched(kept[s], eas[s], levels[s], ref_codes,
+                              fetch_begin, groups_trimmed)
+        for s in range(n_samples)]
+
+    indel_calls: list[IndelCall] = []
+    for gi, group in enumerate(groups_trimmed):
         call = genotype_indel_locus(
             opt, group, [store.records[k] for k in group], kept, eas, levels,
             ref_codes, fetch_begin, samples, begin, n_samples,
             sample_ploidy=[int(ploidy_arr[s, min(max(group[0].pos - begin, 0),
                                                  L_report - 1)])
-                           for s in range(n_samples)])
+                           for s in range(n_samples)],
+            precomputed_scores=[sample_scores[s].get(gi)
+                                for s in range(n_samples)])
         if call is not None:
             indel_calls.append(call)
 
@@ -348,7 +362,7 @@ def call_region(
 
 def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
                          ref_offset, samples, region_begin, n_samples,
-                         sample_ploidy=None):
+                         sample_ploidy=None, precomputed_scores=None):
     """Genotype one multi-sample indel locus from read x hap scores."""
     A = len(keys) + 1
     info = ig.AlleleInfo(
@@ -377,8 +391,11 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
         tri_p = ig.ag_genotype_priors_to_triangular(
             priors.diploid_poly if ploidy == 2 else priors.haploid_poly,
             A, ploidy)
-        scores = realign.score_locus(kept[s], eas[s], levels[s], ref_codes,
-                                     ref_offset, list(keys))
+        if precomputed_scores is not None:
+            scores = precomputed_scores[s]
+        else:
+            scores = realign.score_locus(kept[s], eas[s], levels[s],
+                                         ref_codes, ref_offset, list(keys))
         if scores is None:
             lh = np.zeros(ig.genotype_count(ploidy, A))
             ad = np.zeros(A, np.int32)

@@ -1,0 +1,180 @@
+"""Batched multi-locus realignment scoring.
+
+The per-locus path (realign.score_locus) jits once per distinct shape —
+fine for demo scale, hostile at WGS scale. Here all (locus, haplotype)
+pairs in a region are padded into fixed-size buckets and scored in a
+few kernel launches:
+
+    codes  [B, R, L]  read base codes      (B = locus-hap pairs)
+    delta  [B, R, L]  per-base ln(1-e)-ln(e/3)
+    win    [B, W, L]  haplotype window codes per offset
+
+On TPU the Pallas kernel (ops/pallas_readlik.py) fuses the offset
+reduction; on CPU the XLA reference path is used. Shapes are fixed per
+bucket, so compiles amortize across the whole run.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.bam import FLAG_REVERSE, ReadBatch
+from . import reads as rd
+from .candidates import IndelKey
+from .realign import (LocusReadScores, apply_indel_to_window,
+                      select_overlapping_reads)
+
+# fixed bucket shapes (R reads, L read length, W offsets)
+R_BUCKETS = (32, 128, 512)
+L_PAD = 32     # read length padded to multiple
+W_PAD = 64     # offset window padded to multiple
+
+
+def _round_up(x, m):
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+@dataclass
+class _LocusWork:
+    locus_idx: int
+    rows: np.ndarray
+    win_begin: int
+    haps: list[np.ndarray]   # [H] code arrays (ref first)
+    read_len_max: int
+
+
+def score_loci_batched(
+    batch: ReadBatch,
+    ea: rd.ExpandedAlignments,
+    map_level: np.ndarray,
+    ref_codes: np.ndarray,
+    ref_offset: int,
+    loci: list[list[IndelKey]],
+    window_flank: int = 70,
+    max_reads: int = 512,
+    tiers=(rd.MapLevel.TIER1,),
+    use_pallas: bool | None = None,
+) -> dict[int, LocusReadScores]:
+    """Score every locus's spanning reads against {ref}+alts.
+
+    Returns {locus_index: LocusReadScores} (loci with no spanning reads
+    are absent).
+    """
+    from ..io.fasta import encode_bases
+
+    if use_pallas is None:
+        import jax
+        use_pallas = jax.default_backend() == "tpu"
+
+    work: list[_LocusWork] = []
+    for li, alt_keys in enumerate(loci):
+        key0 = alt_keys[0]
+        rows = select_overlapping_reads(ea, map_level, key0.pos,
+                                        key0.right_pos, tiers=tiers)
+        if len(rows) == 0:
+            continue
+        rows = rows[:max_reads]
+        read_lens = np.diff(batch.seq_off)[rows]
+        Lr = int(read_lens.max())
+        locus_begin = min(k.pos for k in alt_keys)
+        locus_end = max(k.right_pos for k in alt_keys)
+        win_begin = max(locus_begin - (Lr + window_flank), ref_offset)
+        win_end = min(locus_end + (Lr + window_flank),
+                      ref_offset + len(ref_codes))
+        ref_window = ref_codes[win_begin - ref_offset:win_end - ref_offset]
+        haps = [ref_window]
+        for k in alt_keys:
+            haps.append(apply_indel_to_window(ref_window, win_begin, k,
+                                              encode_bases))
+        work.append(_LocusWork(li, rows, win_begin, haps, Lr))
+
+    if not work:
+        return {}
+
+    # bucket (locus, hap) pairs by padded shapes
+    buckets: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
+    for wi, w in enumerate(work):
+        Rb = next((r for r in R_BUCKETS if len(w.rows) <= r), R_BUCKETS[-1])
+        Lb = _round_up(w.read_len_max, L_PAD)
+        for hi in range(len(w.haps)):
+            Wb = _round_up(len(w.haps[hi]) - w.read_len_max + 1, W_PAD)
+            buckets.setdefault((Rb, Lb, Wb), []).append((wi, hi))
+
+    # per-work read tensors built once (shared across its haps)
+    read_cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def read_tensors(wi, Rb, Lb):
+        cached = read_cache.get(wi)
+        if cached is not None and cached[0].shape == (Rb, Lb):
+            return cached
+        w = work[wi]
+        codes = np.full((Rb, Lb), 4, dtype=np.int8)
+        delta = np.zeros((Rb, Lb), dtype=np.float32)
+        lnmis = np.zeros(Rb, dtype=np.float32)
+        nvalid = np.zeros(Rb, dtype=np.int32)
+        for i, r in enumerate(w.rows):
+            s = batch.get_seq(r)
+            q = batch.get_qual(r).astype(np.float32)
+            n = len(s)
+            e = np.clip(np.power(10.0, -q / 10.0), 1e-35, 0.75)
+            lm = np.log1p(-e)
+            lmis = np.log(e / 3.0)
+            isb = s < 4
+            codes[i, :n] = np.where(isb, s, 4)
+            delta[i, :n] = np.where(isb, lm - lmis, 0.0)
+            lnmis[i] = np.where(isb, lmis, 0.0).sum()
+            nvalid[i] = int(isb.sum())
+        out = (codes, delta, lnmis, nvalid)
+        read_cache[wi] = out
+        return out
+
+    results: dict[int, np.ndarray] = {}  # work idx -> [R, H] lhoods
+    for (Rb, Lb, Wb), pairs in buckets.items():
+        B = len(pairs)
+        codes_b = np.full((B, Rb, Lb), 4, dtype=np.int8)
+        delta_b = np.zeros((B, Rb, Lb), dtype=np.float32)
+        lnmis_b = np.zeros((B, Rb), dtype=np.float32)
+        win_b = np.full((B, Wb, Lb), 4, dtype=np.int8)
+        for bi, (wi, hi) in enumerate(pairs):
+            c, d, ln, nv = read_tensors(wi, Rb, Lb)
+            codes_b[bi] = c
+            delta_b[bi] = d
+            lnmis_b[bi] = ln
+            hap = work[wi].haps[hi]
+            n_off = min(len(hap) - work[wi].read_len_max + 1, Wb)
+            n_off = max(n_off, 1)
+            for o in range(n_off):
+                seg = hap[o:o + Lb]
+                win_b[bi, o, :len(seg)] = seg
+        import jax.numpy as jnp
+
+        from ..ops import pallas_readlik as pk
+        if use_pallas:
+            best, _off = pk.score_best_offsets(
+                jnp.asarray(codes_b), jnp.asarray(delta_b),
+                jnp.asarray(lnmis_b), jnp.asarray(win_b))
+        else:
+            best, _off = pk.reference_best_offsets(
+                jnp.asarray(codes_b.astype(np.int32)), jnp.asarray(delta_b),
+                jnp.asarray(lnmis_b), jnp.asarray(win_b.astype(np.int32)))
+        best = np.asarray(best, dtype=np.float64)
+        for bi, (wi, hi) in enumerate(pairs):
+            arr = results.setdefault(
+                wi, np.zeros((len(work[wi].rows), len(work[wi].haps))))
+            arr[:, hi] = best[bi, :len(work[wi].rows)]
+
+    out: dict[int, LocusReadScores] = {}
+    for wi, w in enumerate(work):
+        c, d, ln, nvalid = read_cache.get(wi) or read_tensors(
+            wi, next(r for r in R_BUCKETS if len(w.rows) <= r),
+            _round_up(w.read_len_max, L_PAD))
+        read_lens = np.diff(batch.seq_off)[w.rows]
+        out[w.locus_idx] = LocusReadScores(
+            read_rows=w.rows,
+            allele_lhoods=results[wi],
+            read_len=read_lens.astype(np.int64),
+            n_nonambig=nvalid[:len(w.rows)],
+            is_fwd=(batch.flag[w.rows] & FLAG_REVERSE) == 0,
+        )
+    return out
