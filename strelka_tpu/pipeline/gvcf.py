@@ -275,14 +275,37 @@ def emit_region(
     # VariantOverlapResolver)
     indels_at = {}
     deleted_span = np.zeros(L, dtype=bool)
+    # VariantOverlapResolver site modification inputs: qual/gqx caps and
+    # per-sample ploidy reduction over variant-indel spans
+    # (modifySiteOverlappingNonconflictingVariantIndel:390-442 + the
+    # "change ploidy of overlapped sites" role)
+    site_qual_cap = np.full(L, 10 ** 9, dtype=np.int64)
+    site_gqx_cap = [np.full(L, 10 ** 9, dtype=np.int64)
+                    for _ in range(n_samples)]
+    site_ploidy_red = [np.zeros(L, dtype=np.int8) for _ in range(n_samples)]
+    from ..models.indel_genotype import genotype_alleles as _ga
     for call in result.indels:
         indels_at.setdefault(call.pos, []).append(call)
-        for k in call.keys:
+        if not any(g > 0 for g in call.sample_gt):
+            continue
+        ga2 = _ga(2, len(call.keys) + 1)
+        for ki, k in enumerate(call.keys):
+            if k.delete_length == 0:
+                continue
             b = max(k.pos - result.begin, 0)
             e = min(k.right_pos - result.begin, L)
-            # genotyped deletion shadows contained sites only if variant GT
-            if e > b and any(g > 0 for g in call.sample_gt):
-                deleted_span[b:e] = True
+            if e <= b:
+                continue
+            deleted_span[b:e] = True
+            site_qual_cap[b:e] = np.minimum(site_qual_cap[b:e], call.qual)
+            for s in range(n_samples):
+                a0, a1 = ga2[call.sample_gt[s]]
+                n_del_alleles = int(a0 == ki + 1) + int(a1 == ki + 1)
+                if n_del_alleles:
+                    site_gqx_cap[s][b:e] = np.minimum(
+                        site_gqx_cap[s][b:e], call.sample_gqx[s])
+                    site_ploidy_red[s][b:e] = np.maximum(
+                        site_ploidy_red[s][b:e], n_del_alleles)
 
     ref = result.ref_codes
     ref_list = ref.tolist()
@@ -303,6 +326,7 @@ def emit_region(
         pgt_v = d["pgt"]
         gq_v = d["gq"]
         gqx_v = np.where(ggt_v == pgt_v, np.minimum(d["gqg"], gq_v), 0)
+        gqx_v = np.minimum(gqx_v, site_gqx_cap[s])
         variant_v = (pgt_v != ref.astype(np.int64)) & ref_ok
         any_variant_v |= variant_v
         total_v = dp_v + dpf_v
@@ -326,6 +350,7 @@ def emit_region(
             "variant": variant_v.tolist(), "sb": d["sb"].tolist(),
             "nonref_ok": nonref_ok_v.tolist(), "fcode": fcode_v.tolist(),
             "ploidy": ploidy_l,
+            "ploidy_red": site_ploidy_red[s].tolist(),
         })
     any_variant = any_variant_v.tolist()
     deleted_list = deleted_span.tolist()
@@ -398,6 +423,7 @@ def emit_region(
         for j, a in enumerate(alts):
             allele_map[a] = j + 1
         qual = max(int(sv[s]["q"][i]) for s in range(n_samples))
+        qual = min(qual, int(site_qual_cap[i]))
         hpol = snv_hpol(ref, i)
         info = f"SNVHPOL={hpol}"
         mq_n = sum(int(result.samples[s].pileup.mapq_n[i]) for s in range(n_samples))
@@ -416,6 +442,9 @@ def emit_region(
             gt_idx = sorted(allele_map.get(a, 0) for a in a_pair)
             pl_s = (pre[s]["ploidy"][i] if pre[s]["ploidy"] is not None
                     else 2)
+            # sites inside genotyped deletions lose the deleted allele's
+            # ploidy (VariantOverlapResolver role 2)
+            pl_s = max(pl_s - pre[s]["ploidy_red"][i], 0)
             if pl_s == 0:
                 gt = "."
             elif pl_s == 1:
