@@ -285,13 +285,6 @@ def call_region(
         return np.isin(np.asarray(ref_pos, dtype=np.int64) * 4
                        + np.asarray(base, dtype=np.int64), exempt_keys)
 
-    # per-sample site calling over the report range
-    for s in range(n_samples):
-        samples.append(call_sample_sites(
-            opt, kept[s], eas[s], levels[s], ref_codes, fetch_begin,
-            begin, end, candidate_snv_mask=snv_exempt_mask,
-            haploid_mask=(ploidy_arr[s] == 1)))
-
     # candidacy over pooled observations
     ests = [cand.estimated_depth(kept[s], eas[s], levels[s], fetch_begin, fetch_end)
             for s in range(n_samples)]
@@ -335,6 +328,27 @@ def call_region(
                               fetch_begin, groups_trimmed)
         for s in range(n_samples)]
 
+    # apply realignments (finishRealignment semantics): reads that
+    # confidently support an indel haplotype get the indel embedded in
+    # their alignment; site calling then runs on the realigned pileup
+    from . import realign_apply as ra
+    n_realigned_total = 0
+    for s in range(n_samples):
+        new_batch, n_re = ra.apply_realignments(
+            kept[s], sample_scores[s], groups_trimmed)
+        if n_re:
+            kept[s] = new_batch
+            eas[s] = rd.expand_alignments(new_batch)
+            n_realigned_total += n_re
+
+    # per-sample site calling over the report range (post-realignment,
+    # matching the reference's align -> pileup stage order)
+    for s in range(n_samples):
+        samples.append(call_sample_sites(
+            opt, kept[s], eas[s], levels[s], ref_codes, fetch_begin,
+            begin, end, candidate_snv_mask=snv_exempt_mask,
+            haploid_mask=(ploidy_arr[s] == 1)))
+
     indel_calls: list[IndelCall] = []
     for gi, group in enumerate(groups_trimmed):
         call = genotype_indel_locus(
@@ -353,7 +367,8 @@ def call_region(
         ref_codes=ref_codes[begin - fetch_begin:end - fetch_begin],
         samples=samples, indels=indel_calls,
         stats={"n_candidate_indels": len(cand_keys),
-               "n_indel_records": len(store.records)},
+               "n_indel_records": len(store.records),
+               "n_realigned_reads": n_realigned_total},
         snv_hap_ids=snv_hap_ids, indel_hap_ids=indel_hap_ids,
         phase_set_of_pos=phase_set_of_pos,
         ploidy=ploidy_arr,

@@ -124,17 +124,9 @@ def call_somatic_region(
         batch = raw.select(keep)
         level = level[keep]
         ea = rd.expand_alignments(batch)
-        mmf, t2mmf = rd.mismatch_density_filter(
-            batch, ea, ref_all, fetch_begin, opt.max_win_mismatch_flank_size,
-            opt.max_win_mismatch,
-            tier2_max_mismatch=opt.tier2_mismatch_density_filter_count)
-        pu = pl.build_pileup(batch, ea, level, rc, begin, end,
-                             min_qscore=opt.min_qscore, mm_filter=mmf,
-                             tier2_mm_filter=t2mmf)
         kept.append(batch)
         eas.append(ea)
         levels.append(level)
-        pus.append(pu)
         cand.extract_read_indels(batch, ea, level, ref_all, fetch_begin,
                                  store, s, opt.max_indel_size)
 
@@ -152,6 +144,41 @@ def call_somatic_region(
                             store.add_external(cand.IndelKey(v.pos + 1, dlen, ins))
 
     ref_gt = rc.astype(np.int32)
+
+    # --- candidate indel loci (needed before realignment) ---
+    ests = [cand.estimated_depth(kept[s], eas[s], levels[s], fetch_begin,
+                                 fetch_end) for s in range(2)]
+    est_sum = np.maximum(ests[0], ests[1])
+    candidacy = cand.evaluate_candidacy(
+        store, est_sum, fetch_begin, em, ref_all, fetch_begin,
+        alpha=opt.indel_candidate_signal_test_alpha)
+    cand_keys = sorted(k for k, ok in candidacy.items()
+                       if ok and begin <= k.pos < end)
+
+    # apply realignments before pileup (reference stage order)
+    from . import realign_batch as rb
+    from . import realign_apply as ra
+    loci_single = [[k] for k in cand_keys]
+    for s in range(2):
+        if not loci_single:
+            break
+        sscores = rb.score_loci_batched(kept[s], eas[s], levels[s], ref_all,
+                                        fetch_begin, loci_single)
+        new_batch, n_re = ra.apply_realignments(kept[s], sscores, loci_single)
+        if n_re:
+            kept[s] = new_batch
+            eas[s] = rd.expand_alignments(new_batch)
+
+    # --- pileups (post-realignment) ---
+    for s in range(2):
+        mmf, t2mmf = rd.mismatch_density_filter(
+            kept[s], eas[s], ref_all, fetch_begin,
+            opt.max_win_mismatch_flank_size, opt.max_win_mismatch,
+            tier2_max_mismatch=opt.tier2_mismatch_density_filter_count)
+        pus.append(pl.build_pileup(
+            kept[s], eas[s], levels[s], rc, begin, end,
+            min_qscore=opt.min_qscore, mm_filter=mmf,
+            tier2_mm_filter=t2mmf))
 
     # --- SNVs: tier1 + tier2 grid lhoods over all positions ---
     lh = []
@@ -262,15 +289,8 @@ def call_somatic_region(
         snvs.append(site)
 
     # --- indels ---
-    ests = [cand.estimated_depth(kept[s], eas[s], levels[s], fetch_begin,
-                                 fetch_end) for s in range(2)]
-    est_sum = np.maximum(ests[0], ests[1])
-    candidacy = cand.evaluate_candidacy(
-        store, est_sum, fetch_begin, em, ref_all, fetch_begin,
-        alpha=opt.indel_candidate_signal_test_alpha)
     indels: list[SomaticIndelCall] = []
-    for key in sorted(k for k, ok in candidacy.items()
-                      if ok and begin <= k.pos < end):
+    for key in cand_keys:
         rec = store.records[key]
         if not rec.repeat_unit:
             cand.set_repeat_info(rec, ref_all, fetch_begin, decode_bases)
