@@ -18,10 +18,12 @@ from .candidates import IndelKey
 
 
 def _aligned_span(batch: ReadBatch, r: int):
-    """(clip_left, clip_right, ref_start) for read r's input alignment.
-    Returns None when the alignment contains internal indels already
-    matching the realignment machinery's span (those reads are left
-    unchanged: their input alignment already encodes the indel)."""
+    """(clip_left, clip_right, has_complex_interior) for read r.
+
+    has_complex_interior is True when the interior of the alignment
+    already contains indels or splice skips — such reads are left
+    unchanged (their input alignment already encodes structure the
+    simple rewrite below would destroy)."""
     ops, lens = batch.get_cigar(r)
     clip_left = clip_right = 0
     i = 0
@@ -35,26 +37,29 @@ def _aligned_span(batch: ReadBatch, r: int):
             clip_right += int(lens[j])
         j -= 1
     interior = ops[i:j + 1]
-    has_indel = any(o in (cg.INSERT, cg.DELETE) for o in interior)
-    return clip_left, clip_right, has_indel
+    has_complex = any(o in (cg.INSERT, cg.DELETE, cg.SKIP) for o in interior)
+    return clip_left, clip_right, has_complex
 
 
 def realign_read_to_indel(batch: ReadBatch, r: int, key: IndelKey):
-    """New (pos, ops, lens) embedding `key` into read r's alignment,
-    anchoring the longer flank (the higher-confidence side).
+    """New (pos, ops, lens) embedding `key` into read r's alignment.
 
-    Returns None if the read doesn't cleanly bracket the indel.
+    The read start stays anchored (left-anchored placement); only
+    primitive insertions/deletions are handled. Returns None if the
+    read doesn't cleanly bracket the indel, the key is a complex
+    (swap) allele, or the input alignment already carries structure.
     """
-    clip_left, clip_right, has_indel = _aligned_span(batch, r)
-    if has_indel:
-        return None  # input alignment already carries indels
+    if not key.is_primitive:
+        return None  # swaps (del+ins) are not rewritten
+    clip_left, clip_right, has_complex = _aligned_span(batch, r)
+    if has_complex:
+        return None
     read_len = batch.read_len(r)
     aligned_len = read_len - clip_left - clip_right
     if aligned_len <= 0:
         return None
     pos = int(batch.pos[r])
 
-    # choose anchor side by flank length relative to the indel
     left_flank = key.pos - pos
     if left_flank <= 0 or left_flank >= aligned_len:
         return None
@@ -72,7 +77,6 @@ def realign_read_to_indel(batch: ReadBatch, r: int, key: IndelKey):
         ops_out += [cg.MATCH, cg.INSERT, cg.MATCH]
         lens_out += [left_flank, ins, right_flank - ins]
         new_pos = pos
-        del right_flank
     else:
         ops_out += [cg.MATCH, cg.DELETE, cg.MATCH]
         lens_out += [left_flank, key.delete_length, aligned_len - left_flank]
@@ -111,25 +115,34 @@ def apply_realignments(
     if not new_cigars:
         return batch, 0
 
-    # rebuild cigar arrays with updated entries
-    op_parts, len_parts, cig_off = [], [], [0]
+    # rebuild cigar arrays: untouched runs stay as bulk slices of the
+    # original arrays (O(k) segments for k realigned reads)
     pos = batch.pos.copy()
-    for r in range(batch.n):
-        if r in new_cigars:
-            p, o, l = new_cigars[r]
-            pos[r] = p
-        else:
-            o, l = batch.get_cigar(r)
+    touched = sorted(new_cigars)
+    op_parts, len_parts = [], []
+    new_nseg = np.diff(batch.cig_off).copy()
+    prev = 0
+    for r in touched:
+        if r > prev:
+            op_parts.append(batch.cig_ops[batch.cig_off[prev]:batch.cig_off[r]])
+            len_parts.append(batch.cig_lens[batch.cig_off[prev]:batch.cig_off[r]])
+        p, o, l = new_cigars[r]
+        pos[r] = p
         op_parts.append(o)
         len_parts.append(l)
-        cig_off.append(cig_off[-1] + len(o))
+        new_nseg[r] = len(o)
+        prev = r + 1
+    if prev < batch.n:
+        op_parts.append(batch.cig_ops[batch.cig_off[prev]:])
+        len_parts.append(batch.cig_lens[batch.cig_off[prev]:])
+    cig_off = np.concatenate([[0], np.cumsum(new_nseg)]).astype(np.int64)
     out = ReadBatch(
         n=batch.n, names=batch.names, tid=batch.tid, pos=pos,
         mapq=batch.mapq, flag=batch.flag, mate_tid=batch.mate_tid,
         mate_pos=batch.mate_pos, tlen=batch.tlen, seq=batch.seq,
         qual=batch.qual, seq_off=batch.seq_off,
-        cig_ops=np.concatenate(op_parts) if op_parts else batch.cig_ops,
-        cig_lens=np.concatenate(len_parts) if len_parts else batch.cig_lens,
-        cig_off=np.array(cig_off, dtype=np.int64),
+        cig_ops=np.concatenate(op_parts),
+        cig_lens=np.concatenate(len_parts),
+        cig_off=cig_off,
     )
     return out, len(new_cigars)

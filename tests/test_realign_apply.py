@@ -1,0 +1,74 @@
+"""Realignment-application unit tests (finishRealignment analog)."""
+import numpy as np
+import pytest
+
+from strelka_tpu.pipeline import candidates as cand
+from strelka_tpu.pipeline import realign_apply as ra
+from strelka_tpu.pipeline.realign import LocusReadScores
+from strelka_tpu.utils import cigar as cg
+
+from tests.test_pileup import make_batch
+
+
+def test_realign_embeds_deletion():
+    batch = make_batch([(100, "10S80M", "A" * 90, [30] * 90, 0, 60)])
+    res = ra.realign_read_to_indel(batch, 0, cand.IndelKey(130, 2, ""))
+    assert res is not None
+    pos, ops, lens = res
+    assert pos == 100
+    assert cg.cigar_to_string(ops, lens) == "10S30M2D50M"
+    assert cg.read_span(ops, lens) == 90
+
+
+def test_realign_embeds_insertion():
+    batch = make_batch([(100, "80M", "A" * 80, [30] * 80, 0, 60)])
+    res = ra.realign_read_to_indel(batch, 0, cand.IndelKey(140, 0, "ACG"))
+    pos, ops, lens = res
+    assert cg.cigar_to_string(ops, lens) == "40M3I37M"
+    assert cg.read_span(ops, lens) == 80
+    assert cg.ref_span(ops, lens) == 77
+
+
+def test_realign_skips_complex_cases():
+    # spliced read (N skip) must not be rewritten
+    batch = make_batch([(100, "30M1000N30M", "A" * 60, [30] * 60, 0, 60)])
+    assert ra.realign_read_to_indel(batch, 0, cand.IndelKey(110, 2, "")) is None
+    # read already carrying an indel
+    batch2 = make_batch([(100, "30M2D30M", "A" * 60, [30] * 60, 0, 60)])
+    assert ra.realign_read_to_indel(batch2, 0, cand.IndelKey(110, 1, "")) is None
+    # swap allele is not rewritten
+    batch3 = make_batch([(100, "60M", "A" * 60, [30] * 60, 0, 60)])
+    assert ra.realign_read_to_indel(batch3, 0, cand.IndelKey(110, 2, "GG")) is None
+    # indel outside the aligned span
+    assert ra.realign_read_to_indel(batch3, 0, cand.IndelKey(300, 2, "")) is None
+
+
+def test_apply_realignments_batch_rebuild():
+    batch = make_batch([
+        (100, "50M", "A" * 50, [30] * 50, 0, 60),
+        (120, "50M", "A" * 50, [30] * 50, 0, 60),
+        (140, "50M", "A" * 50, [30] * 50, 0, 60),
+    ])
+    key = cand.IndelKey(145, 2, "")
+    scores = LocusReadScores(
+        read_rows=np.array([0, 1, 2]),
+        allele_lhoods=np.array([[0.0, -10.0],   # read 0 prefers ref
+                                [-10.0, 0.0],   # read 1 prefers indel
+                                [-10.0, 0.0]]), # read 2 prefers indel
+        read_len=np.array([50, 50, 50]),
+        n_nonambig=np.array([50, 50, 50]),
+        is_fwd=np.array([True, True, True]),
+    )
+    out, n_re = ra.apply_realignments(batch, {0: scores}, [[key]])
+    assert n_re == 2
+    # read 0 untouched
+    assert cg.cigar_to_string(*out.get_cigar(0)) == "50M"
+    assert cg.cigar_to_string(*out.get_cigar(1)) == "25M2D25M"
+    assert cg.cigar_to_string(*out.get_cigar(2)) == "5M2D45M"
+    # offsets consistent
+    assert out.cig_off[-1] == len(out.cig_ops)
+    assert np.array_equal(out.seq, batch.seq)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
