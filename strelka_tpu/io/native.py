@@ -203,3 +203,126 @@ def read_bam_native(path: str, n_threads: int = 8):
     if data is None:
         return None
     return parse_bam_native(data)
+
+
+def pileup_native(batch, level, ref_codes, ref_offset,
+                  region_begin, region_end, min_qscore,
+                  mapq_adjust=True, mm_flank=20, mm_max=2, t2_mm_max=None,
+                  exempt_keys=None, depth_pad=8):
+    """Native single-pass pileup build (native/pileup.cpp).
+
+    Returns a pipeline.pileup.PileupRegion or None when the library is
+    unavailable. Matches the Python expand+MMDF+scatter pipeline.
+    """
+    lib = get_lib()
+    if lib is None or batch.n == 0:
+        return None
+    from ..pipeline.pileup import PileupRegion
+
+    if not hasattr(lib, "_pileup_bound"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.pileup_scan.restype = ctypes.c_int64
+        lib.pileup_scan.argtypes = [
+            i64p, u8p, u16p, i8p, i64p, u8p, u8p, i64p, i8p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p]
+        lib.pileup_fill.restype = ctypes.c_int32
+        lib.pileup_fill.argtypes = [
+            i64p, u8p, u16p, i8p, i64p, u8p, u8p, i64p, i8p, i32p,
+            ctypes.c_int64,
+            u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i64p, ctypes.c_int64,
+            ctypes.c_int32, i32p,
+            i32p, i32p, i32p, u8p, i64p, i64p, u8p, u8p, u8p,
+            i32p, i32p, i32p, f64p, i32p, i32p, i32p]
+        lib._pileup_bound = True
+
+    L = region_end - region_begin
+    level = np.ascontiguousarray(level, dtype=np.int8)
+    ref_codes = np.ascontiguousarray(ref_codes, dtype=np.uint8)
+    pos = np.ascontiguousarray(batch.pos, dtype=np.int64)
+    mapq = np.ascontiguousarray(batch.mapq, dtype=np.uint8)
+    flag = np.ascontiguousarray(batch.flag, dtype=np.uint16)
+    seq_off = np.ascontiguousarray(batch.seq_off, dtype=np.int64)
+    cig_off = np.ascontiguousarray(batch.cig_off, dtype=np.int64)
+    cig_ops = np.ascontiguousarray(batch.cig_ops, dtype=np.int8)
+    cig_lens = np.ascontiguousarray(batch.cig_lens, dtype=np.int32)
+    seq = np.ascontiguousarray(batch.seq, dtype=np.uint8)
+    qual = np.ascontiguousarray(batch.qual, dtype=np.uint8)
+
+    depth = np.zeros(L, np.int32)
+    args1 = (
+        _p(pos, ctypes.c_int64), _p(mapq, ctypes.c_uint8),
+        _p(flag, ctypes.c_uint16), _p(level, ctypes.c_int8),
+        _p(seq_off, ctypes.c_int64), _p(seq, ctypes.c_uint8),
+        _p(qual, ctypes.c_uint8), _p(cig_off, ctypes.c_int64),
+        _p(cig_ops, ctypes.c_int8), _p(cig_lens, ctypes.c_int32),
+        batch.n, region_begin, region_end, _p(depth, ctypes.c_int32))
+    max_d = lib.pileup_scan(*args1)
+    D = max(int(max_d), 1)
+    D = ((D + depth_pad - 1) // depth_pad) * depth_pad
+
+    if exempt_keys is None or len(exempt_keys) == 0:
+        ek = np.zeros(1, np.int64)
+        n_ek = 0
+    else:
+        ek = np.ascontiguousarray(np.sort(np.asarray(exempt_keys, np.int64)))
+        n_ek = len(ek)
+
+    def tile(dtype):
+        return np.zeros((L, D), dtype=dtype)
+
+    t_base = tile(np.int32)
+    t_qual = tile(np.int32)
+    t_rawq = tile(np.int32)
+    t_fwd = tile(np.uint8)
+    t_ridx = tile(np.int64)
+    t_roff = tile(np.int64)
+    t_valid = tile(np.uint8)
+    t_used = tile(np.uint8)
+    t_t2used = tile(np.uint8)
+    spandel = np.zeros(L, np.int32)
+    submapped = np.zeros(L, np.int32)
+    mapq_n = np.zeros(L, np.int32)
+    mapq_sumsq = np.zeros(L, np.float64)
+    mapq_zero = np.zeros(L, np.int32)
+    used_counts = np.zeros((L, 4), np.int32)
+    used_fwd = np.zeros((L, 4), np.int32)
+    slot = np.zeros(L, np.int32)
+
+    rc = lib.pileup_fill(
+        *args1[:11],
+        _p(ref_codes, ctypes.c_uint8), ref_offset, len(ref_codes),
+        region_begin, region_end,
+        min_qscore, 1 if mapq_adjust else 0,
+        mm_flank, mm_max, -1 if t2_mm_max is None else t2_mm_max,
+        _p(ek, ctypes.c_int64), n_ek,
+        D, _p(slot, ctypes.c_int32),
+        _p(t_base, ctypes.c_int32), _p(t_qual, ctypes.c_int32),
+        _p(t_rawq, ctypes.c_int32), _p(t_fwd, ctypes.c_uint8),
+        _p(t_ridx, ctypes.c_int64), _p(t_roff, ctypes.c_int64),
+        _p(t_valid, ctypes.c_uint8), _p(t_used, ctypes.c_uint8),
+        _p(t_t2used, ctypes.c_uint8),
+        _p(spandel, ctypes.c_int32), _p(submapped, ctypes.c_int32),
+        _p(mapq_n, ctypes.c_int32), _p(mapq_sumsq, ctypes.c_double),
+        _p(mapq_zero, ctypes.c_int32),
+        _p(used_counts, ctypes.c_int32), _p(used_fwd, ctypes.c_int32))
+    if rc != 0:
+        return None
+    t_ridx[t_valid == 0] = -1
+    return PileupRegion(
+        begin=region_begin, end=region_end, depth=depth,
+        base_id=t_base, qual=t_qual, raw_qual=t_rawq,
+        is_fwd=t_fwd.astype(bool), read_idx=t_ridx, read_off=t_roff,
+        valid=t_valid.astype(bool), used=t_used.astype(bool),
+        tier2_used=t_t2used.astype(bool), spandel=spandel,
+        submapped=submapped, mapq_n=mapq_n, mapq_sumsq=mapq_sumsq,
+        mapq_zero=mapq_zero, _used_counts=used_counts,
+    ), used_fwd

@@ -111,15 +111,30 @@ def call_sample_sites(
     end: int,
     candidate_snv_mask=None,
     haploid_mask: np.ndarray | None = None,
+    exempt_snv_keys: np.ndarray | None = None,
 ) -> SampleSiteData:
     """ref_codes covers the halo'd fetch window starting at ref_offset;
     the pileup/report range is [begin, end)."""
-    mmf, _t2 = rd.mismatch_density_filter(
-        batch, ea, ref_codes, ref_offset, opt.max_win_mismatch_flank_size,
-        opt.max_win_mismatch,
-        candidate_snv_mask=candidate_snv_mask) if batch.n else (None, None)
-    pu = pl.build_pileup(batch, ea, level, ref_codes, begin, end,
-                         min_qscore=opt.min_qscore, mm_filter=mmf)
+    pu = None
+    native_fwd = None
+    if batch.n:
+        # native single-pass pileup (exact match to the Python path)
+        from ..io.native import pileup_native
+        res = pileup_native(
+            batch, level, ref_codes, ref_offset, begin, end,
+            min_qscore=opt.min_qscore,
+            mm_flank=opt.max_win_mismatch_flank_size,
+            mm_max=opt.max_win_mismatch,
+            exempt_keys=exempt_snv_keys)
+        if res is not None:
+            pu, native_fwd = res
+    if pu is None:
+        mmf, _t2 = rd.mismatch_density_filter(
+            batch, ea, ref_codes, ref_offset, opt.max_win_mismatch_flank_size,
+            opt.max_win_mismatch,
+            candidate_snv_mask=candidate_snv_mask) if batch.n else (None, None)
+        pu = pl.build_pileup(batch, ea, level, ref_codes, begin, end,
+                             min_qscore=opt.min_qscore, mm_filter=mmf)
     rc = ref_codes[begin - ref_offset:end - ref_offset]
     tile = snv_digt.SnvPileupTile(
         base_id=jnp.asarray(np.where(pu.used, pu.base_id, 0)),
@@ -137,9 +152,12 @@ def call_sample_sites(
         het_vf_increment=opt.max_het_variant_frequency_increment)
 
     counts = pu.used_counts()
-    fwd_counts = np.zeros_like(counts)
-    li, di = np.nonzero(pu.used & pu.is_fwd)
-    np.add.at(fwd_counts, (li, pu.base_id[li, di]), 1)
+    if native_fwd is not None:
+        fwd_counts = native_fwd
+    else:
+        fwd_counts = np.zeros_like(counts)
+        li, di = np.nonzero(pu.used & pu.is_fwd)
+        np.add.at(fwd_counts, (li, pu.base_id[li, di]), 1)
     dpf = (pu.valid & ~pu.used).sum(axis=1).astype(np.int32)
     # mean min-distance from read edge over used calls (EVS feature
     # SampleMeanDistanceFromReadEdge)
@@ -347,7 +365,8 @@ def call_region(
         samples.append(call_sample_sites(
             opt, kept[s], eas[s], levels[s], ref_codes, fetch_begin,
             begin, end, candidate_snv_mask=snv_exempt_mask,
-            haploid_mask=(ploidy_arr[s] == 1)))
+            haploid_mask=(ploidy_arr[s] == 1),
+            exempt_snv_keys=exempt_keys))
 
     indel_calls: list[IndelCall] = []
     for gi, group in enumerate(groups_trimmed):

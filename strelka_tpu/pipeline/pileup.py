@@ -164,9 +164,12 @@ def build_pileup(
     if mm_filter is not None:
         mmf = mm_filter[gidx]
         call_filter = call_filter | mmf
-    t2_filter = is_any | (rawq < min_qscore)
+    # tier2 filter: with no tier2 MMDF configured it mirrors the full
+    # tier1 filter incl. MMDF (pileup_read_segment:1325-1335)
     if tier2_mm_filter is not None:
-        t2_filter = t2_filter | tier2_mm_filter[gidx]
+        t2_filter = is_any | (rawq < min_qscore) | tier2_mm_filter[gidx]
+    else:
+        t2_filter = call_filter
 
     # depth slot per (position, insertion order): stable sort by pos
     order = np.argsort(p, kind="stable")

@@ -170,7 +170,17 @@ def call_somatic_region(
             eas[s] = rd.expand_alignments(new_batch)
 
     # --- pileups (post-realignment) ---
+    from ..io.native import pileup_native
     for s in range(2):
+        res = pileup_native(
+            kept[s], levels[s], ref_all, fetch_begin, begin, end,
+            min_qscore=opt.min_qscore,
+            mm_flank=opt.max_win_mismatch_flank_size,
+            mm_max=opt.max_win_mismatch,
+            t2_mm_max=opt.tier2_mismatch_density_filter_count)
+        if res is not None:
+            pus.append(res[0])
+            continue
         mmf, t2mmf = rd.mismatch_density_filter(
             kept[s], eas[s], ref_all, fetch_begin,
             opt.max_win_mismatch_flank_size, opt.max_win_mismatch,
