@@ -113,7 +113,10 @@ def call_somatic_region(
     ref_all = ref.fetch(chrom, fetch_begin, fetch_end)
     rc = ref_all[begin - fetch_begin:end - fetch_begin]
     L = end - begin
-    em = error_model.IndelErrorModel(2)
+    # the somatic app runs with the compiled-in default error model
+    # "logLinear" (starling_base_shared.hh:233) — the workflow passes
+    # no indel-error-models-file for tumor/normal calling
+    em = error_model.IndelErrorModel(2, model_name="logLinear")
 
     pus, t2_pus, eas, levels, kept = [], [], [], [], []
     store = cand.IndelObservationStore(2)

@@ -76,8 +76,11 @@ def test_somatic_indels_vs_expected(somatic_output):
         m = mine[pos]
         assert m["ref"] == e["ref"] and m["alt"] == e["alt"], pos
         assert m["nt"] == e["nt"], pos
-        # indel Q-model still converging; require correct call + sane Q
-        assert m["q"] > 10
+        assert abs(m["q"] - e["q"]) <= 5, (pos, m["q"], e["q"])
+        assert abs(m["q_nt"] - e["q_nt"]) <= 5, (pos, m["q_nt"], e["q_nt"])
+    # the TAT insertion matches the reference exactly
+    assert mine[1148]["q"] == exp[1148]["q"]
+    assert mine[1148]["q_nt"] == exp[1148]["q_nt"]
 
 
 if __name__ == "__main__":
