@@ -1,0 +1,142 @@
+"""Small workflow utility tools.
+
+Reference: src/python/libexec/ — extractSmallIndelCandidates.py,
+sortVcf.py, mergeChromDepth.py, updateNoPassedVariantGTsFilter.py,
+vcfCmdlineSwapper.py, cat.py. These support the workflow's merge and
+candidate-ingestion steps.
+"""
+from __future__ import annotations
+
+import gzip
+import sys
+
+
+def _open_text(path):
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    return gzip.open(path, "rt") if magic == b"\x1f\x8b" else open(path)
+
+
+def extract_small_indel_candidates(in_vcf: str, out_vcf: str,
+                                   max_size: int = 49) -> int:
+    """Manta (or other SV) VCF -> small-indel candidate VCF
+    (extractSmallIndelCandidates.py: keep non-symbolic indels <=49bp)."""
+    from ..io.bgzf import BgzfWriter
+    n = 0
+    with _open_text(in_vcf) as fin, BgzfWriter(out_vcf) as w:
+        for line in fin:
+            if line.startswith("#"):
+                w.write(line.encode())
+                continue
+            fields = line.split("\t")
+            ref, alts = fields[3], fields[4].split(",")
+            keep = []
+            for alt in alts:
+                if alt.startswith("<") or ":" in alt or alt == ".":
+                    continue  # symbolic / breakend
+                if len(ref) == len(alt):
+                    continue  # not an indel
+                if max(len(ref), len(alt)) - 1 <= max_size:
+                    keep.append(alt)
+            if keep:
+                fields[4] = ",".join(keep)
+                w.write("\t".join(fields).encode())
+                n += 1
+    return n
+
+
+def sort_vcf(in_vcf: str, out_vcf: str) -> None:
+    """Coordinate-sort a VCF preserving headers (sortVcf.py)."""
+    from ..io.bgzf import BgzfWriter
+    headers, records = [], []
+    with _open_text(in_vcf) as f:
+        for line in f:
+            (headers if line.startswith("#") else records).append(line)
+    chrom_order: dict[str, int] = {}
+    for h in headers:
+        if h.startswith("##contig=<ID="):
+            name = h.split("ID=")[1].split(",")[0].split(">")[0]
+            chrom_order[name] = len(chrom_order)
+
+    def key(line):
+        f = line.split("\t", 2)
+        return (chrom_order.get(f[0], len(chrom_order)), f[0], int(f[1]))
+
+    records.sort(key=key)
+    with BgzfWriter(out_vcf) as w:
+        for line in headers + records:
+            w.write(line.encode())
+
+
+def update_no_passed_variant_gts_filter(in_vcf: str, out_vcf: str) -> int:
+    """Re-evaluate the NoPassedVariantGTs locus filter after merges
+    (updateNoPassedVariantGTsFilter.py): a locus passes when any sample
+    has a variant GT with FT=PASS."""
+    from ..io.bgzf import BgzfWriter
+    n_changed = 0
+    with _open_text(in_vcf) as fin, BgzfWriter(out_vcf) as w:
+        for line in fin:
+            if line.startswith("#") or not line.strip():
+                w.write(line.encode())
+                continue
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) < 10 or fields[4] in (".", ""):
+                w.write(line.encode())
+                continue
+            fmt = fields[8].split(":")
+            gt_i = fmt.index("GT") if "GT" in fmt else -1
+            ft_i = fmt.index("FT") if "FT" in fmt else -1
+            any_pass = False
+            for col in fields[9:]:
+                vals = col.split(":")
+                gt = vals[gt_i] if gt_i >= 0 and gt_i < len(vals) else "."
+                ft = vals[ft_i] if ft_i >= 0 and ft_i < len(vals) else "PASS"
+                is_var = any(a not in ("0", ".", "") for a in
+                             gt.replace("|", "/").split("/"))
+                if is_var and ft == "PASS":
+                    any_pass = True
+                    break
+            new_filter = "PASS" if any_pass else "NoPassedVariantGTs"
+            if fields[6] in ("PASS", "NoPassedVariantGTs") and \
+                    fields[6] != new_filter:
+                fields[6] = new_filter
+                n_changed += 1
+            w.write(("\t".join(fields) + "\n").encode())
+    return n_changed
+
+
+def merge_chrom_depth(in_paths: list[str], out_path: str) -> None:
+    """Merge per-chromosome depth files (mergeChromDepth.py)."""
+    with open(out_path, "w") as out:
+        for p in in_paths:
+            with open(p) as f:
+                out.write(f.read())
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print("tools: extract-indel-candidates | sort-vcf | "
+              "update-nopassed-filter | merge-chrom-depth", file=sys.stderr)
+        return 2
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "extract-indel-candidates":
+        n = extract_small_indel_candidates(rest[0], rest[1])
+        print(f"kept {n} candidate records", file=sys.stderr)
+        return 0
+    if cmd == "sort-vcf":
+        sort_vcf(rest[0], rest[1])
+        return 0
+    if cmd == "update-nopassed-filter":
+        n = update_no_passed_variant_gts_filter(rest[0], rest[1])
+        print(f"updated {n} records", file=sys.stderr)
+        return 0
+    if cmd == "merge-chrom-depth":
+        merge_chrom_depth(rest[:-1], rest[-1])
+        return 0
+    print(f"unknown tool: {cmd}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
