@@ -29,7 +29,7 @@ def allele_error_qscore(allele_count, total_count,
     tiny = np.finfo(np.float64).tiny
     q = np.where(p <= 0, max_qscore,
                  np.minimum(max_qscore,
-                            np.round(-10 * np.log10(np.maximum(p, tiny)))))
+                            np.floor(-10 * np.log10(np.maximum(p, tiny)) + 0.5)))
     return q.astype(np.int32)
 
 
@@ -84,7 +84,9 @@ def call_continuous_sites(used_counts, used_fwd_counts, ref_gt,
         fwd_other = used_fwd_counts.sum(axis=1) - fwd_alt
         rev_other = (total - count) - fwd_other
         sb = strand_bias(fwd_alt, rev_alt, fwd_other, rev_other)
-        variant = (~is_ref) & (vf >= min_vf) & (q > 0) & (count > 0)
+        # reportability: strictly above min VF, no quality gate
+        # (starling_pos_processor.cpp:968)
+        variant = (~is_ref) & (vf > min_vf) & (count > 0)
         results.append({"vf": vf, "q": q, "sb": sb, "variant": variant})
     del L
     return results

@@ -66,7 +66,7 @@ def somatic_snv_features(site, norm_chrom_depth: float | None) -> np.ndarray:
         normal_depth_rate,
         alt_frac,
         site.mq,
-        safe_frac(site.mq0, site.mq0 + max(site.dp[0] + site.dp[1], 1)),
+        safe_frac(site.mq0, max(site.mapq_n, 1)),
         site.snv_sb,
         site.read_pos_ranksum,
         log_odds,
@@ -80,24 +80,37 @@ def somatic_indel_features(call, ihp: int,
     """Somatic indel feature vector (somatic_indel_scoring_features.cpp
     calculateScoringFeatures). Rank-sum/odds features computed from the
     batched per-read scores where available."""
+    min_freq = 1e-4  # somatic_indel_scoring_features.cpp:38
     pc = 0.5
     t_tar = call.tar[1][0]
     t_tir = call.tir[1][0]
+    t_tor = call.tor[1][0]
     n_tar = call.tar[0][0]
     n_tir = call.tir[0][0]
+    n_tor = call.tor[0][0]
     from_ref_q = call.qsi_nt if call.ntype == 0 else 0
-    # TumorSampleIndelNoiseLogOdds: ln(tier1 indel / other) in tumor
-    t_tor = call.tor[1][0]
-    noise_odds = np.log((t_tir + pc) / (t_tor + pc))
-    # TumorNormalIndelAlleleLogOdds: tumor indel vs normal indel fractions
-    tn_odds = np.log(((t_tir + pc) * (n_tar + pc)) /
-                     ((n_tir + pc) * (t_tar + pc)))
+
+    def indel_freq(tir, tar):
+        tot = tir + tar
+        return tir / tot if tot > 0 else 0.0
+
+    def other_freq(tor, tir, tar):
+        tot = tor + tir + tar
+        return tor / tot if tot > 0 else 0.0
+
+    t_if = indel_freq(t_tir, t_tar)
+    n_if = indel_freq(n_tir, n_tar)
+    # TumorSampleIndelNoiseLogOdds: ln(indelFreq / otherFreq), floored
+    noise_odds = np.log(max(t_if, min_freq)
+                        / max(other_freq(t_tor, t_tir, t_tar), min_freq))
+    # TumorNormalIndelAlleleLogOdds: ln(tumorFreq / normalFreq), floored
+    tn_odds = np.log(max(t_if, min_freq) / max(n_if, min_freq))
     log_odds = np.log(((t_tar + pc) * (n_tir + pc)) /
                       ((t_tir + pc) * (n_tar + pc)))
     return np.array([
         from_ref_q,
-        getattr(call, "read_pos_ranksum", 0.0),
-        getattr(call, "strand_odds", 0.0),
+        call.read_pos_ranksum,
+        call.strand_odds,
         call.rec.indel_repeat_count,
         ihp,
         call.rec.ref_repeat_count,

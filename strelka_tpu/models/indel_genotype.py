@@ -229,7 +229,7 @@ def genotype_posteriors(genotype_lhood: np.ndarray, ln_priors: np.ndarray):
     p /= p.sum()
     max_gt = int(np.argmax(pp))
     tiny = np.finfo(np.float64).tiny
-    q_ref = int(min(999, round(-10 * np.log10(max(p[0], tiny)))))
+    q_ref = int(min(999, np.floor(-10 * np.log10(max(p[0], tiny)) + 0.5)))
     comp = max(p.sum() - p[max_gt], 0.0)
-    q_max = int(min(999, round(-10 * np.log10(max(comp, tiny)))))
+    q_max = int(min(999, np.floor(-10 * np.log10(max(comp, tiny)) + 0.5)))
     return p, max_gt, q_ref, q_max

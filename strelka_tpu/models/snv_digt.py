@@ -217,13 +217,14 @@ def _result_set(lhood, ln_prior, ref_gt):
     pmax = jnp.take_along_axis(p, max_gt[:, None], axis=-1)[:, 0]
     comp = jnp.maximum(total - pmax, 0.0)
     tiny = jnp.finfo(jnp.float64).tiny
-    q_ref = jnp.minimum(jnp.round(-10.0 * jnp.log10(jnp.maximum(ref_pprob, tiny))), 999)
-    q_max = jnp.minimum(jnp.round(-10.0 * jnp.log10(jnp.maximum(comp, tiny))), 999)
+    # round-half-up (reference error_prob_to_qphred uses floor(x+0.5))
+    q_ref = jnp.minimum(jnp.floor(-10.0 * jnp.log10(jnp.maximum(ref_pprob, tiny)) + 0.5), 999)
+    q_max = jnp.minimum(jnp.floor(-10.0 * jnp.log10(jnp.maximum(comp, tiny)) + 0.5), 999)
     return p, max_gt, q_ref.astype(jnp.int32), q_max.astype(jnp.int32)
 
 
 def _het_vf_extension_lhoods(base_id, qual, mask, extension: float,
-                             increment: float):
+                             increment: float, force_ref=None, ref_gt=None):
     """Het-ratio extension terms for RNA mode.
 
     Vectorized increment_het_ratio_lhood
@@ -240,6 +241,12 @@ def _het_vf_extension_lhoods(base_id, qual, mask, extension: float,
     ce = 1.0 - e
     bias = jnp.asarray(digt.EXPECT2_BIAS, dtype=jnp.int32)   # [10, 4]
     key = bias[:, base_id]                                    # [10, L, D]
+    if force_ref is not None:
+        # strand-specific recomputation: forced calls key against the
+        # reference genotype (increment_het_ratio_lhood:305-311)
+        ref_clamped = jnp.minimum(ref_gt, digt.N_BASE - 1)
+        key_forced = bias[ref_clamped[:, None], base_id]      # [L, D]
+        key = jnp.where(force_ref[None], key_forced[None], key)
     terms = []
     for i in range(n_steps):
         r = 0.5 + (i + 1) * ratio_inc
@@ -303,15 +310,32 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
     g_p, g_max, g_qref, g_qmax = _result_set(lhood, gen_prior, ref_clamped)
     p_p, p_max, _p_qref, p_qmax = _result_set(lhood, poly_prior, ref_clamped)
 
-    # PLs (position_snp_call_pprob_digt.cpp:498-511)
+    # PLs (position_snp_call_pprob_digt.cpp:498-511); haploid loci
+    # normalize against the hom-only max (gtcount=N_BASE, :501)
     lmax = jnp.max(lhood, axis=-1, keepdims=True)
-    pl = jnp.clip(jnp.round(-10.0 * (lhood - lmax) / np.log(10.0)), 0, 999).astype(jnp.int32)
+    if is_haploid is not None:
+        hom_max = jnp.max(lhood[:, :digt.N_BASE], axis=-1, keepdims=True)
+        lmax = jnp.where(is_haploid[:, None], hom_max, lmax)
+    pl = jnp.clip(jnp.floor(-10.0 * (lhood - lmax) / np.log(10.0) + 0.5),
+                  0, 999).astype(jnp.int32)
 
-    # strand bias: forced-ref recomputation per strand (:520-534)
-    lhood_fwd = _masked_lhood(tile.base_id.astype(jnp.int32), vals, mask,
-                              force_ref=~tile.is_fwd, ref_gt=ref_clamped)
-    lhood_rev = _masked_lhood(tile.base_id.astype(jnp.int32), vals, mask,
-                              force_ref=tile.is_fwd, ref_gt=ref_clamped)
+    # strand bias: forced-ref recomputation per strand (:520-534),
+    # including the het-VF extension when enabled (:525-527)
+    def strand_lhood(force_ref):
+        lh = _masked_lhood(tile.base_id.astype(jnp.int32), vals, mask,
+                           force_ref=force_ref, ref_gt=ref_clamped)
+        if het_vf_extension > 0:
+            ext, n_sub = _het_vf_extension_lhoods(
+                tile.base_id.astype(jnp.int32), tile.qual, mask,
+                het_vf_extension, het_vf_increment,
+                force_ref=force_ref, ref_gt=ref_clamped)
+            het_lh = jax.scipy.special.logsumexp(
+                jnp.concatenate([lh[None], ext], axis=0), axis=0) \
+                - jnp.log(jnp.float32(n_sub))
+            lh = jnp.where(jnp.asarray(digt.IS_HET)[None, :], het_lh, lh)
+        return lh
+    lhood_fwd = strand_lhood(~tile.is_fwd)
+    lhood_rev = strand_lhood(tile.is_fwd)
     tgt = g_max
     lf = jnp.take_along_axis(lhood_fwd, tgt[:, None], axis=-1)[:, 0]
     lr = jnp.take_along_axis(lhood_rev, tgt[:, None], axis=-1)[:, 0]

@@ -82,22 +82,27 @@ def somatic_indel_call(
     pf, gp = ss.build_joint_prior(contam_tolerance, shared,
                                   somatic_indel_rate, bindel_theta,
                                   sse_strand_fraction=0.0)
-    pf = jnp.asarray(pf)
-    gp = jnp.asarray(gp)
-    nl = jnp.asarray(normal_lhood, jnp.float32)[None]
-    tl = jnp.asarray(tumor_lhood, jnp.float32)[None]
-    s = pf[None] + nl[:, None, None, :, None] + tl[:, None, None, None, :]
-    lse = jax.scipy.special.logsumexp(s.reshape(1, 3, 2, -1), axis=-1)
-    log_post = np.asarray(lse + gp[None])[0]                   # [3, 2]
+    # posterior math in float64 (reference post_prob is double,
+    # qscore_calculator.cpp:183-207; f32 cannot hold 1-1e-12 complements)
+    pf = np.asarray(pf, dtype=np.float64)
+    gp = np.asarray(gp, dtype=np.float64)
+    nl = np.asarray(normal_lhood, dtype=np.float64)
+    tl = np.asarray(tumor_lhood, dtype=np.float64)
+    s = pf + nl[None, None, :, None] + tl[None, None, None, :]
+    flat = s.reshape(3, 2, -1)
+    mxs = flat.max(axis=-1, keepdims=True)
+    lse = mxs[..., 0] + np.log(np.exp(flat - mxs).sum(axis=-1))
+    log_post = lse + gp                                        # [3, 2]
     mx = log_post.max()
     p = np.exp(log_post - mx)
     p /= p.sum()
     nonsom = p[:, ss.NON_SOMATIC].sum()
     som_given_n = p[:, ss.SOMATIC]
-    err = 1.0 - som_given_n
+    # complement-sum for precision
+    err = nonsom + (som_given_n.sum() - som_given_n)
     ntype = int(np.argmin(err))
     tiny = np.finfo(np.float64).tiny
-    q = int(min(999, round(-10 * np.log10(max(nonsom, tiny)))))
-    qn = int(min(999, round(-10 * np.log10(max(err[ntype], tiny)))))
+    q = int(min(999, np.floor(-10 * np.log10(max(nonsom, tiny)) + 0.5)))
+    qn = int(min(999, np.floor(-10 * np.log10(max(err[ntype], tiny)) + 0.5)))
     max_gt = int(np.argmax(log_post))
     return q, qn, ntype, max_gt

@@ -205,8 +205,8 @@ def somatic_snv_call(normal_lhood, tumor_lhood,
     min_err = jnp.min(err_som_and_ngt, axis=-1)
 
     tiny = jnp.finfo(jnp.float64).tiny
-    q = jnp.minimum(jnp.round(-10 * jnp.log10(jnp.maximum(nonsom, tiny))), 999)
-    qn = jnp.minimum(jnp.round(-10 * jnp.log10(jnp.maximum(min_err, tiny))), 999)
+    q = jnp.minimum(jnp.floor(-10 * jnp.log10(jnp.maximum(nonsom, tiny)) + 0.5), 999)
+    qn = jnp.minimum(jnp.floor(-10 * jnp.log10(jnp.maximum(min_err, tiny)) + 0.5), 999)
 
     max_flat = jnp.argmax(log_post.reshape(-1, 6), axis=-1)
 
@@ -235,8 +235,8 @@ def somatic_snv_call(normal_lhood, tumor_lhood,
                       pp_off).reshape(pp_off.shape[0], -1), axis=-1))
     num = jax.scipy.special.logsumexp(pp_diag, axis=-1)
     nonsom_frac = jnp.exp(num - denom)
-    qns = jnp.minimum(jnp.round(-10 * jnp.log10(
-        jnp.maximum(1.0 - nonsom_frac, tiny))), 999)
+    qns = jnp.minimum(jnp.floor(-10 * jnp.log10(
+        jnp.maximum(1.0 - nonsom_frac, tiny)) + 0.5), 999)
 
     return SomaticSnvResult(
         qphred=q.astype(jnp.int32),

@@ -52,6 +52,7 @@ class SomaticSnvSite:
     read_pos_ranksum: float = 0.0
     mq: float = 0.0
     mq0: int = 0
+    mapq_n: int = 0
 
 
 @dataclass
@@ -70,6 +71,8 @@ class SomaticIndelCall:
     tor: list = field(default_factory=list)   # other
     mq: float = 0.0
     mq0: int = 0
+    read_pos_ranksum: float = 0.0
+    strand_odds: float = 0.0
 
 
 @dataclass
@@ -289,6 +292,7 @@ def call_somatic_region(
             mq0 += int(pu.mapq_zero[i])
         site.mq = float(np.sqrt(mqss / mqn)) if mqn else 0.0
         site.mq0 = mq0
+        site.mapq_n = mqn
         # ReadPosRankSum: alt vs ref read positions in the tumor
         pu = pus[1]
         um = pu.used[i] & pu.valid[i]
@@ -312,6 +316,7 @@ def call_somatic_region(
         # tier1 = tier1-mapped reads only; tier2 adds tier2 mappings
         tier_results = []
         grids_t1 = None
+        sc_t1_tumor = None
         t1_ref = t1_ind = tor = None
         skip = False
         _, ind_to_ref = em.get_rates(
@@ -345,6 +350,7 @@ def call_somatic_region(
             if tier_i == 0:
                 grids_t1 = grid
                 t1_ref, t1_ind, tor = c_ref, c_ind, c_tor
+                sc_t1_tumor = sc
             tier_results.append(
                 (si.somatic_indel_call(
                     grid[0], grid[1], float(ind_to_ref),
@@ -380,6 +386,30 @@ def call_somatic_region(
             key=key, rec=rec, qsi=q, qsi_nt=qn, ntype=ntype_i, tier=tier,
             sgt_tumor_is_som=bool(max_gt % 2))
         t2_ref, t2_ind, t2_tor = t2counts
+        # tumor-sample EVS feature inputs from tier1 per-read scores:
+        # read-position ranksum of the indel site (ref vs indel reads)
+        # and symmetric strand odds ratio (somatic_indel_scoring_
+        # features.cpp getSampleStrandOddsRatio, pseudocount 0.5)
+        sc_t = sc_t1_tumor
+        if sc_t is not None and len(sc_t.read_rows):
+            p_t = sc_t.allele_lhoods[:, 0] - np.logaddexp(
+                sc_t.allele_lhoods[:, 0], sc_t.allele_lhoods[:, 1])
+            conf_ref_m = np.exp(p_t) >= 0.51
+            conf_ind_m = np.exp(p_t) <= 0.49
+            rpos = (key.pos - kept[1].pos[sc_t.read_rows]).astype(np.float64)
+            from ..utils.stats import mann_whitney_u_from_groups
+            callrec.read_pos_ranksum = mann_whitney_u_from_groups(
+                rpos[conf_ind_m], rpos[conf_ref_m]) \
+                if conf_ind_m.any() and conf_ref_m.any() else 0.0
+            fwd = sc_t.is_fwd
+            pc = 0.5
+            fwd_alt = float((conf_ind_m & fwd).sum())
+            rev_alt = float((conf_ind_m & ~fwd).sum())
+            fwd_other = float((~conf_ind_m & fwd).sum())
+            rev_other = float((~conf_ind_m & ~fwd).sum())
+            sor = ((fwd_other + pc) * (rev_alt + pc)) / \
+                  ((rev_other + pc) * (fwd_alt + pc))
+            callrec.strand_odds = float(np.log(max(sor, 1.0 / sor)))
         mqn = mqss = mq0 = 0
         for s, pu in enumerate(pus):
             dpos = key.pos - 1 - begin
