@@ -30,6 +30,7 @@ def indel_freq_grid_lhoods(
     insert_len: int,
     delete_len: int,
     min_read_bp_flank: int,
+    ln_random_base_match: float = ig.LN_RANDOM_BASE_MATCH,
 ) -> np.ndarray:
     """[PRESTRAND_SIZE] log likelihoods over the somatic freq grid.
 
@@ -60,7 +61,7 @@ def indel_freq_grid_lhoods(
     raw = np.logaddexp(ref_lnp[:, None] + log_ref_p,
                        indel_lnp[:, None] + log_ind_p)       # [R, F]
     integ = np.logaddexp(raw + ig.CORRECT_MAPPING_LOG_PRIOR,
-                         (n_nonambig * ig.LN_RANDOM_BASE_MATCH)[:, None])
+                         (n_nonambig * ln_random_base_match)[:, None])
     integ = np.where(mask[:, None], integ, 0.0)
     return integ.sum(axis=0)
 

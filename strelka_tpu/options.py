@@ -81,6 +81,13 @@ class SomaticOptions(StarlingBaseOptions):
     workflow-effective values from configureStrelkaSomaticWorkflow.py.ini
     (ssnvPrior=1e-4, ssnvNoise=5e-10, ssnvNoiseStrandBiasFrac=0,
     sindelNoiseFactor=2.2) which override the compiled defaults."""
+    # the somatic app relaxes the tier1 mismatch density filter to 3
+    # (strelka_shared.hh:70; germline starling keeps 2), disables
+    # low-basecall-quality filtering (minBasecallErrorPhredProb=0) and
+    # uses randomBaseMatchProb=0.5 for noisy-read mapping integration
+    max_win_mismatch: int = 3
+    min_qscore: int = 0
+    random_base_match_prob: float = 0.5
     somatic_snv_rate: float = 0.0001           # ini ssnvPrior
     shared_site_error_rate: float = 5e-10      # ini ssnvNoise
     shared_site_error_strand_bias_fraction: float = 0.0  # ini

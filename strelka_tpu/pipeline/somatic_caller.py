@@ -151,6 +151,11 @@ def call_somatic_region(
 
     ref_gt = rc.astype(np.int32)
 
+    # the somatic app disables active-region haplotyping
+    # (strelka_shared.hh isHaplotypingEnabled=false), so the candidate
+    # SNV buffer stays empty and no MMDF exemptions apply
+    exempt_keys = None
+
     # --- candidate indel loci (needed before realignment) ---
     ests = [cand.estimated_depth(kept[s], eas[s], levels[s], fetch_begin,
                                  fetch_end) for s in range(2)]
@@ -183,14 +188,21 @@ def call_somatic_region(
             min_qscore=opt.min_qscore,
             mm_flank=opt.max_win_mismatch_flank_size,
             mm_max=opt.max_win_mismatch,
-            t2_mm_max=opt.tier2_mismatch_density_filter_count)
+            t2_mm_max=opt.tier2_mismatch_density_filter_count,
+            exempt_keys=exempt_keys)
         if res is not None:
             pus.append(res[0])
             continue
+        def _snv_exempt(ref_pos, base):
+            if exempt_keys is None:
+                return np.zeros(len(ref_pos), dtype=bool)
+            return np.isin(np.asarray(ref_pos, np.int64) * 4
+                           + np.asarray(base, np.int64), exempt_keys)
         mmf, t2mmf = rd.mismatch_density_filter(
             kept[s], eas[s], ref_all, fetch_begin,
             opt.max_win_mismatch_flank_size, opt.max_win_mismatch,
-            tier2_max_mismatch=opt.tier2_mismatch_density_filter_count)
+            tier2_max_mismatch=opt.tier2_mismatch_density_filter_count,
+            candidate_snv_mask=_snv_exempt)
         pus.append(pl.build_pileup(
             kept[s], eas[s], levels[s], rc, begin, end,
             min_qscore=opt.min_qscore, mm_filter=mmf,
@@ -339,7 +351,9 @@ def call_somatic_region(
                     np.ones(len(ref_lnp), bool), key.insert_length,
                     key.delete_length,
                     opt.normal_sample_min_read_bp_flank if s == 0
-                    else opt.default_min_read_bp_flank))
+                    else opt.default_min_read_bp_flank,
+                    ln_random_base_match=float(
+                        np.log(opt.random_base_match_prob))))
                 # confident read counts (TAR/TIR): posterior >= 0.51
                 p = ref_lnp - np.logaddexp(ref_lnp, ind_lnp)
                 c_ref.append(int((np.exp(p) >= 0.51).sum()))

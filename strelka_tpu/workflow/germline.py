@@ -39,17 +39,13 @@ def parse_region(text: str, ref: FastaReference):
 
 
 def estimate_chrom_depth(batch, min_mapq: int, chrom_len: int) -> float:
-    """GetChromDepth analog: median spanned depth over covered
-    positions (ReadChromDepthUtil.cpp median-of-sampled-depth)."""
-    from ..pipeline import candidates as cnd, reads as rdm
-    if batch is None or batch.n == 0:
-        return 0.0
-    keep, level = rdm.filter_and_classify_reads(batch, min_mapq)
-    bk = batch.select(keep)
-    ea = rdm.expand_alignments(bk)
-    dep = cnd.estimated_depth(bk, ea, level[keep], 0, chrom_len)
-    covered = dep[dep > 0]
-    return float(np.median(covered)) if len(covered) else 0.0
+    """GetChromDepth equivalent (ReadChromDepthUtil.cpp): perfect
+    in-place read spans, 16-position cell compression, zero-removed
+    median. min_mapq is unused (the reference applies no MAPQ filter
+    here) and kept for call-site compatibility."""
+    del min_mapq
+    from .tools import chrom_depth_estimate
+    return chrom_depth_estimate(batch, chrom_len)
 
 
 def run_germline(argv=None) -> int:

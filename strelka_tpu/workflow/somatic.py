@@ -137,15 +137,16 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
                           noise_at):
     """Record lines for one called segment (snv, indel, callable)."""
     from ..models import evs
-    from ..pipeline import candidates as cnd, reads as rdm
 
-    # normal chrom depth (GetChromDepth analog: median spanned depth)
-    keepn, leveln = rdm.filter_and_classify_reads(nb, 20)
-    nbk = nb.select(keepn)
-    ean = rdm.expand_alignments(nbk)
-    dep = cnd.estimated_depth(nbk, ean, leveln[keepn], res.begin, res.end)
-    covered = dep[dep > 0]
-    norm_chrom_depth = float(np.median(covered)) if len(covered) else None
+    # normal chrom depth: only when the high-depth filter is active
+    # (strelkaSharedWorkflow.py isHighDepthFilter = not exome/rna;
+    # without it is_max_depth() is false and the EVS depth-rate
+    # feature pins to 1.0, position_somatic_snv_strand_grid_vcf.cpp
+    # :100-110)
+    norm_chrom_depth = None
+    if not getattr(args, "exome", False):
+        from .tools import chrom_depth_estimate
+        norm_chrom_depth = chrom_depth_estimate(nb, res.end) or None
 
     snv_evs = None
     if snv_forest is not None and res.snvs:
@@ -246,6 +247,9 @@ def run_somatic(argv=None) -> int:
     p.add_argument("--somatic-snv-scoring-model-file", default=None)
     p.add_argument("--somatic-indel-scoring-model-file", default=None)
     p.add_argument("--disable-evs", action="store_true")
+    p.add_argument("--exome", action="store_true",
+                   help="targeted/exome input: disable the high-depth "
+                        "filter and chrom-depth estimation")
     p.add_argument("--output-callable-regions", action="store_true",
                    help="write somatic.callable.regions.bed.gz")
     p.add_argument("--noise-vcf", action="append", default=None,

@@ -17,7 +17,7 @@ def demo_output(tmp_path_factory):
         "--reference", "/root/reference/src/demo/data/demo20.fa",
         "--align-file", "/root/reference/src/demo/data/NA12891_demo20.bam",
         "--align-file", "/root/reference/src/demo/data/NA12892_demo20.bam",
-        "--output-dir", out,
+        "--output-dir", out, "--exome",
     ])
     assert rc == 0
     return out
