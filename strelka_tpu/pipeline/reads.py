@@ -25,6 +25,21 @@ class MapLevel:
     UNMAPPED = 3
 
 
+def unclipped_read_starts(batch: bamio.ReadBatch) -> np.ndarray:
+    """[n] reference position of each read's first SEQ base when its
+    soft clips are unrolled (candidate alignments realign the whole
+    read, so breakpoint-overlap tests run in unclipped coordinates:
+    starling_read_align_score_indels.cpp
+    get_alignment_indel_bp_overlap :136-145)."""
+    lead = np.zeros(batch.n, dtype=np.int64)
+    first = batch.cig_off[:-1]
+    has = np.diff(batch.cig_off) > 0
+    fi = first[has]
+    is_clip = batch.cig_ops[fi] == cg.SOFT_CLIP
+    lead[np.nonzero(has)[0][is_clip]] = batch.cig_lens[fi[is_clip]]
+    return batch.pos - lead
+
+
 def filter_and_classify_reads(batch: bamio.ReadBatch, min_mapq: int,
                               tier2_min_mapq: int | None = None):
     """Hard filters + mapping tier per read.

@@ -34,6 +34,9 @@ class LocusReadScores:
     read_len: np.ndarray       # [R]
     n_nonambig: np.ndarray     # [R]
     is_fwd: np.ndarray         # [R]
+    # reads with nonzero but insufficient breakpoint overlap (feeds
+    # the reference's n_other_reads tally)
+    n_suboverlap: int = 0
 
 
 def apply_indel_to_window(ref_window: np.ndarray, window_begin: int,
@@ -48,15 +51,58 @@ def apply_indel_to_window(ref_window: np.ndarray, window_begin: int,
 
 def select_overlapping_reads(ea: rd.ExpandedAlignments, map_level: np.ndarray,
                              key_pos: int, right_pos: int,
-                             tiers=(rd.MapLevel.TIER1,)) -> np.ndarray:
-    """Reads whose aligned span brackets the indel (these are the reads
-    that receive ReadPathScores in the reference)."""
-    span = (ea.ref_begin < key_pos) & (ea.ref_end > right_pos)
-    # insertions at pos: read must span the insertion point
-    point = (ea.ref_begin < key_pos) & (ea.ref_end >= key_pos + 1)
-    ok = np.where(right_pos > key_pos, span, point)
-    ok &= np.isin(map_level, tiers)
-    return np.nonzero(ok)[0]
+                             tiers=(rd.MapLevel.TIER1,),
+                             min_bp_flank: int | None = None,
+                             insert_len: int = 0,
+                             unclipped_begin: np.ndarray | None = None,
+                             read_len: np.ndarray | None = None):
+    """Reads eligible for ReadPathScores at this indel.
+
+    With min_bp_flank set, applies the reference's breakpoint-overlap
+    rule (starling_read_align_score_indels.cpp
+    get_alignment_indel_bp_overlap :136-230 + the bpo >=
+    min_read_bp_flank gate :610-626): a read is scored when either
+    indel breakpoint is straddled with at least `min_bp_flank` read
+    bases on its thinner side, measured in unclipped coordinates
+    (candidate alignments realign the full read, unrolling soft
+    clips); reads with a nonzero-but-insufficient overlap are tallied
+    separately (the reference's suboverlap / n_other_reads input).
+    Returns (rows, n_suboverlap).
+
+    With min_bp_flank None, keeps the stricter legacy rule (read span
+    brackets the whole indel; used for realignment read collection)
+    and returns the rows array only.
+    """
+    in_tier = np.isin(map_level, tiers)
+    if min_bp_flank is None:
+        span = (ea.ref_begin < key_pos) & (ea.ref_end > right_pos)
+        # insertions at pos: read must span the insertion point
+        point = (ea.ref_begin < key_pos) & (ea.ref_end >= key_pos + 1)
+        ok = np.where(right_pos > key_pos, span, point)
+        ok &= in_tier
+        return np.nonzero(ok)[0]
+
+    assert unclipped_begin is not None and read_len is not None
+    alen = read_len
+
+    def bpo_for(begin):
+        # read offset of the left breakpoint in the with-indel
+        # candidate alignment (approximation: no other indel precedes
+        # the breakpoint within the read)
+        lrp = key_pos - begin
+        rrp = lrp + insert_len
+        left_ov = np.maximum(0, np.minimum(lrp, alen - lrp))
+        right_ov = np.maximum(0, np.minimum(rrp, alen - rrp))
+        return np.maximum(left_ov, right_ov)
+
+    # candidate alignments may either keep the input placement or
+    # unroll soft clips across the indel; admit a read when EITHER
+    # placement clears the flank (the scored best offset re-tests the
+    # overlap afterwards, score_locus)
+    bpo = np.maximum(bpo_for(unclipped_begin), bpo_for(ea.ref_begin))
+    rows = np.nonzero(in_tier & (bpo >= min_bp_flank))[0]
+    n_suboverlap = int((in_tier & (bpo > 0) & (bpo < min_bp_flank)).sum())
+    return rows, n_suboverlap
 
 
 def score_locus(
@@ -69,15 +115,24 @@ def score_locus(
     window_flank: int = 70,
     max_reads: int = 512,
     tiers=(rd.MapLevel.TIER1,),
+    min_bp_flank: int | None = None,
 ) -> LocusReadScores | None:
-    """Score all spanning reads against {ref} + alt haplotypes."""
+    """Score all eligible reads against {ref} + alt haplotypes."""
     from ..io.fasta import encode_bases
 
     key0 = alt_keys[0]
     locus_begin = min(k.pos for k in alt_keys)
     locus_end = max(k.right_pos for k in alt_keys)
-    rows = select_overlapping_reads(ea, map_level, key0.pos, key0.right_pos,
-                                    tiers=tiers)
+    n_suboverlap = 0
+    if min_bp_flank is None:
+        rows = select_overlapping_reads(ea, map_level, key0.pos,
+                                        key0.right_pos, tiers=tiers)
+    else:
+        rows, n_suboverlap = select_overlapping_reads(
+            ea, map_level, key0.pos, key0.right_pos, tiers=tiers,
+            min_bp_flank=min_bp_flank, insert_len=key0.insert_length,
+            unclipped_begin=rd.unclipped_read_starts(batch),
+            read_len=np.diff(batch.seq_off))
     if len(rows) == 0:
         return None
     if len(rows) > max_reads:
@@ -117,13 +172,31 @@ def score_locus(
     tile = readlik.build_read_tile(seqs, quals, mask)
     hap_onehot = readlik.build_hap_onehot(hap_codes)
 
-    lhoods, _best_off = readlik.score_reads_vs_haps(tile, hap_onehot)
+    lhoods, best_off = readlik.score_reads_vs_haps(tile, hap_onehot)
     lhoods = np.asarray(lhoods, dtype=np.float64)
+    keep = np.ones(R, dtype=bool)
+    if min_bp_flank is not None:
+        # re-test breakpoint overlap on the scored placement of the
+        # with-indel haplotype (the reference runs the bpo gate on the
+        # most likely candidate alignment containing the indel,
+        # starling_read_align_score_indels.cpp :577-626)
+        alt_off = np.asarray(best_off)[:, 1].astype(np.int64)
+        p = key0.pos - win_begin
+        lrp = p - alt_off
+        rrp = lrp + key0.insert_length
+        lo = np.maximum(0, np.minimum(lrp, read_lens - lrp))
+        ro = np.maximum(0, np.minimum(rrp, read_lens - rrp))
+        bpo = np.maximum(lo, ro)
+        keep = bpo >= min_bp_flank
+        n_suboverlap += int((~keep & (bpo > 0)).sum())
+        if not keep.all() and keep.sum() == 0:
+            return None
 
     return LocusReadScores(
-        read_rows=rows,
-        allele_lhoods=lhoods,
-        read_len=read_lens,
-        n_nonambig=np.asarray(tile.n_valid),
-        is_fwd=(batch.flag[rows] & FLAG_REVERSE) == 0,
+        read_rows=rows[keep],
+        allele_lhoods=lhoods[keep],
+        read_len=read_lens[keep],
+        n_nonambig=np.asarray(tile.n_valid)[keep],
+        is_fwd=(batch.flag[rows[keep]] & FLAG_REVERSE) == 0,
+        n_suboverlap=n_suboverlap,
     )

@@ -73,6 +73,11 @@ class SomaticIndelCall:
     mq0: int = 0
     read_pos_ranksum: float = 0.0
     strand_odds: float = 0.0
+    # per-sample 50bp-window stats (DP50, FDP50, SUBDP50, BCN50):
+    # means over the +/-indelRegionFlankSize window around the record
+    # position (LocalRegionStats + SomaticIndelVcfWriter
+    # write_vcf_isri_tiers :61-72)
+    win: list = field(default_factory=list)
 
 
 @dataclass
@@ -98,6 +103,26 @@ def _grid_lhoods_for_pileup(pu: pl.PileupRegion, used: np.ndarray,
         jnp.asarray(pu.is_fwd),
         jnp.asarray(ref_gt.astype(np.int32)),
     ))
+
+
+def _classify_indel_reads(ref_lnp, ind_lnp, n_nonambig, ln_rbm):
+    """(n_confident_ref, n_confident_indel, p_ref array): per-read
+    posteriors over {incorrectly-mapped, ref, indel} with uniform
+    allele prior (indel_lnp_to_pprob)."""
+    from ..models.indel_genotype import CORRECT_MAPPING_LOG_PRIOR
+    ln_half = float(np.log(0.5))
+    a_ref = ref_lnp + CORRECT_MAPPING_LOG_PRIOR + ln_half
+    a_ind = ind_lnp + CORRECT_MAPPING_LOG_PRIOR + ln_half
+    a_im = np.asarray(n_nonambig, np.float64) * ln_rbm
+    mx = np.maximum(np.maximum(a_ref, a_ind), a_im)
+    e_ref = np.exp(a_ref - mx)
+    e_ind = np.exp(a_ind - mx)
+    tot = e_ref + e_ind + np.exp(a_im - mx)
+    p_ref = e_ref / tot
+    p_ind = e_ind / tot
+    thresh = 0.51  # readConfidentSupportThreshold
+    return (int((p_ref >= thresh).sum()), int((p_ind >= thresh).sum()),
+            p_ref, p_ind)
 
 
 def call_somatic_region(
@@ -336,11 +361,19 @@ def call_somatic_region(
             rec.indel_repeat_count, key.is_insertion)
         for tier_i, tiers in enumerate([(rd.MapLevel.TIER1,),
                                         (rd.MapLevel.TIER1, rd.MapLevel.TIER2)]):
+            # tier2 evidence passes use the tier2 random-base-match
+            # probability (Tier2Options.hh:49, isRandomBaseMatchProb)
+            rbm = (opt.random_base_match_prob if tier_i == 0
+                   else opt.tier2_random_base_match_prob)
+            ln_rbm = float(np.log(rbm))
             grid = []
             c_ref, c_ind, c_tor = [], [], []
             for s in range(2):
+                flank = (opt.normal_sample_min_read_bp_flank if s == 0
+                         else opt.default_min_read_bp_flank)
                 sc = realign.score_locus(kept[s], eas[s], levels[s], ref_all,
-                                         fetch_begin, [key], tiers=tiers)
+                                         fetch_begin, [key], tiers=tiers,
+                                         min_bp_flank=flank)
                 if sc is None:
                     skip = True
                     break
@@ -349,16 +382,20 @@ def call_somatic_region(
                 grid.append(si.indel_freq_grid_lhoods(
                     ref_lnp, ind_lnp, sc.read_len, sc.n_nonambig,
                     np.ones(len(ref_lnp), bool), key.insert_length,
-                    key.delete_length,
-                    opt.normal_sample_min_read_bp_flank if s == 0
-                    else opt.default_min_read_bp_flank,
-                    ln_random_base_match=float(
-                        np.log(opt.random_base_match_prob))))
-                # confident read counts (TAR/TIR): posterior >= 0.51
-                p = ref_lnp - np.logaddexp(ref_lnp, ind_lnp)
-                c_ref.append(int((np.exp(p) >= 0.51).sum()))
-                c_ind.append(int((np.exp(p) <= 0.49).sum()))
-                c_tor.append(len(ref_lnp) - c_ref[-1] - c_ind[-1])
+                    key.delete_length, flank,
+                    ln_random_base_match=ln_rbm))
+                # confident read counts (TAR/TIR/TOR): normalized read
+                # posterior over {incorrect-mapping, ref, indel} with
+                # threshold 0.51 (AlleleReportInfoUtil.cpp
+                # indel_lnp_to_pprob :220-297 + readConfident-
+                # SupportThreshold, starling_base_shared.hh:245);
+                # reads with insufficient breakpoint overlap feed
+                # n_other_reads (:400-415)
+                nr, ni_, _, _ = _classify_indel_reads(
+                    ref_lnp, ind_lnp, sc.n_nonambig, ln_rbm)
+                c_ref.append(nr)
+                c_ind.append(ni_)
+                c_tor.append(len(ref_lnp) - nr - ni_ + sc.n_suboverlap)
             if skip:
                 break
             if tier_i == 0:
@@ -406,10 +443,12 @@ def call_somatic_region(
         # features.cpp getSampleStrandOddsRatio, pseudocount 0.5)
         sc_t = sc_t1_tumor
         if sc_t is not None and len(sc_t.read_rows):
-            p_t = sc_t.allele_lhoods[:, 0] - np.logaddexp(
-                sc_t.allele_lhoods[:, 0], sc_t.allele_lhoods[:, 1])
-            conf_ref_m = np.exp(p_t) >= 0.51
-            conf_ind_m = np.exp(p_t) <= 0.49
+            ln_rbm1 = float(np.log(opt.random_base_match_prob))
+            _, _, p_ref_t, p_ind_t = _classify_indel_reads(
+                sc_t.allele_lhoods[:, 0], sc_t.allele_lhoods[:, 1],
+                sc_t.n_nonambig, ln_rbm1)
+            conf_ref_m = p_ref_t >= 0.51
+            conf_ind_m = p_ind_t >= 0.51
             rpos = (key.pos - kept[1].pos[sc_t.read_rows]).astype(np.float64)
             from ..utils.stats import mann_whitney_u_from_groups
             callrec.read_pos_ranksum = mann_whitney_u_from_groups(
@@ -438,6 +477,21 @@ def call_somatic_region(
                 mq0 += int(pu.mapq_zero[dpos])
         callrec.mq = float(np.sqrt(mqss / mqn)) if mqn else 0.0
         callrec.mq0 = mq0
+        # 50bp window stats around the VCF record position
+        flank50 = opt.indel_region_flank_size
+        c0 = key.pos - 1 - begin
+        wa = max(0, c0 - flank50 + 1)
+        wb = min(L, c0 + flank50 + 1)
+        for s, pu in enumerate(pus):
+            used_pp = pu.used[wa:wb].sum(axis=1)
+            filt_pp = (pu.valid[wa:wb] & ~pu.used[wa:wb]).sum(axis=1)
+            sub_pp = pu.submapped[wa:wb]
+            u = float(used_pp.mean()) if wb > wa else 0.0
+            f = float(filt_pp.mean()) if wb > wa else 0.0
+            sb_ = float(sub_pp.mean()) if wb > wa else 0.0
+            denom = int(f) + int(u)
+            bcn = (int(f) / denom) if denom > 0 else 0.0
+            callrec.win.append((u + f, f, sb_, bcn))
         indels.append(callrec)
 
     return SomaticRegionResult(chrom=chrom, begin=begin, end=end,

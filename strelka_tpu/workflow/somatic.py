@@ -74,12 +74,17 @@ def indel_header(chrom, clen):
         '##INFO=<ID=RC,Number=1,Type=Integer,Description="Number of times RU repeats in the reference allele">',
         '##INFO=<ID=IC,Number=1,Type=Integer,Description="Number of times RU repeats in the indel allele">',
         '##INFO=<ID=IHP,Number=1,Type=Integer,Description="Largest reference interrupted homopolymer length intersecting with the indel">',
-        '##FILTER=<ID=LowQscore,Description="Somatic Quality Score (QSI_NT) is below threshold">',
+        '##FILTER=<ID=QSI_ref,Description="Normal sample is not homozygous ref or sindel Q-score < 40, ie calls with NT!=ref or QSI_NT < 40">',
+        '##FILTER=<ID=IndelBCNoise,Description="Average fraction of filtered basecalls within 50 bases of the indel exceeds 0.3">',
         '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Tier1 read depth at this locus">',
         '##FORMAT=<ID=DP2,Number=1,Type=Integer,Description="Tier2 read depth at this locus">',
         '##FORMAT=<ID=TAR,Number=2,Type=Integer,Description="Reads strongly supporting alternate allele for tiers 1,2">',
         '##FORMAT=<ID=TIR,Number=2,Type=Integer,Description="Reads strongly supporting indel allele for tiers 1,2">',
         '##FORMAT=<ID=TOR,Number=2,Type=Integer,Description="Other reads (weak support or insufficient indel breakpoint overlap) for tiers 1,2">',
+        '##FORMAT=<ID=DP50,Number=1,Type=Float,Description="Average tier1 read depth within 50 bases">',
+        '##FORMAT=<ID=FDP50,Number=1,Type=Float,Description="Average tier1 number of basecalls filtered from original read depth within 50 bases">',
+        '##FORMAT=<ID=SUBDP50,Number=1,Type=Float,Description="Average number of reads below tier1 mapping quality threshold aligned across sites within 50 bases">',
+        '##FORMAT=<ID=BCN50,Number=1,Type=Float,Description="Fraction of filtered reads within 50 bases of the indel">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNORMAL\tTUMOR",
     ]) + "\n"
 
@@ -203,8 +208,14 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
             filt = ("PASS" if indel_evs[ci_idx] >= indel_forest.filter_cutoff
                     else "LowEVS")
         else:
-            filt = ("PASS" if call.qsi_nt >= args.min_qsi_filter
-                    else "LowQscore")
+            # non-EVS filters (SomaticIndelVcfWriter.cpp :109-127)
+            filters = []
+            if any(w[3] >= opt.somatic_indel_max_window_filtered_basecall_frac
+                   for w in call.win):
+                filters.append("IndelBCNoise")
+            if call.ntype != 0 or call.qsi_nt < args.min_qsi_filter:
+                filters.append("QSI_ref")
+            filt = ";".join(filters) if filters else "PASS"
         ihp = interrupted_hpol(res.ref_codes, res.begin, key.pos,
                                key.right_pos)
         info = (f"SOMATIC;QSI={call.qsi};TQSI={call.tier + 1};"
@@ -219,14 +230,17 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
             info += f";SomaticEVS={indel_evs[ci_idx]:.2f}"
         cols = []
         for s in range(2):
+            w = call.win[s] if s < len(call.win) else (0.0, 0.0, 0.0, 0.0)
             cols.append(
                 f"{call.dp[s]}:{call.dp[s]}:"
                 f"{call.tar[s][0]},{call.tar[s][1]}:"
                 f"{call.tir[s][0]},{call.tir[s][1]}:"
-                f"{call.tor[s][0]},{call.tor[s][1]}")
+                f"{call.tor[s][0]},{call.tor[s][1]}:"
+                f"{w[0]:.2f}:{w[1]:.2f}:{w[2]:.2f}:{w[3]:.2f}")
         indel_lines.append(
             f"{res.chrom}\t{pos0 + 1}\t.\t{ref_str}\t{alt_str}\t.\t"
-            f"{filt}\t{info}\tDP:DP2:TAR:TIR:TOR\t" + "\t".join(cols))
+            f"{filt}\t{info}\tDP:DP2:TAR:TIR:TOR:DP50:FDP50:SUBDP50:BCN50\t"
+            + "\t".join(cols))
 
     callable_lines = [f"{res.chrom}\t{b}\t{e}"
                       for b, e in res.callable_intervals]

@@ -67,15 +67,10 @@ def test_somatic_indels_vs_expected(somatic_output):
         m = mine[pos]
         assert m["ref"] == e["ref"] and m["alt"] == e["alt"], pos
         assert m["nt"] == e["nt"], pos
-        # 1148 exact; 3664 within phred tolerance (remaining diff is
-        # locus read selection: the reference keeps ~4 more reads in
-        # its TIR/TOR tallies at this locus)
-        assert abs(m["q"] - e["q"]) <= 8, (pos, m["q"], e["q"])
-        assert abs(m["q_nt"] - e["q_nt"]) <= 8, (pos, m["q_nt"], e["q_nt"])
+        # both demo indels match the reference scores exactly
+        assert m["q"] == e["q"], (pos, m["q"], e["q"])
+        assert m["q_nt"] == e["q_nt"], (pos, m["q_nt"], e["q_nt"])
         assert m["filter"] == e["filter"], pos
-    # the TAT insertion matches the reference exactly
-    assert mine[1148]["q"] == exp[1148]["q"]
-    assert mine[1148]["q_nt"] == exp[1148]["q_nt"]
 
 
 if __name__ == "__main__":
