@@ -225,6 +225,7 @@ def emit_region(
     sample_names: list[str],
     chrom_depth: float | None = None,
     snv_forest=None,
+    indel_forest=None,
 ):
     """Returns (per-sample gvcf line lists, variants vcf line list)."""
     n_samples = len(result.samples)
@@ -372,7 +373,8 @@ def emit_region(
         if pos + 1 in indel_positions:
             for call in indels_at[pos + 1]:
                 _emit_indel(opt, result, call, sample_names, gvcf_lines,
-                            var_lines, blocks)
+                            var_lines, blocks, indel_forest=indel_forest,
+                            chrom_depth=chrom_depth)
 
         ref_gt = ref_list[i]
         ref_base = ref_chars[ref_gt]
@@ -512,8 +514,104 @@ def emit_region(
     return gvcf_lines, var_lines
 
 
+def germline_indel_features(forest, result, call: IndelCall, s: int,
+                            chrom_depth: float | None):
+    """Feature vector by name for a germline indel scoring model
+    (gvcf_locus_info.cpp computeEmpiricalScoringFeatures :586-632,
+    getAlleleBiasFeatures :219-247)."""
+    from math import log
+
+    from scipy import stats as spstats
+
+    from ..models.indel_genotype import genotype_alleles
+    from ..utils.refcontext import (context_compressability,
+                                    indel_interrupted_hpol)
+
+    A = len(call.keys) + 1
+    ploidy = call.sample_ploidy[s] if call.sample_ploidy is not None else 2
+    ga = genotype_alleles(max(ploidy, 1), A)
+    a0, a1 = (int(x) for x in ga[call.sample_gt[s]])
+    primary_alt = a0 if a0 > 0 else (a1 if a1 > 0 else 1)
+    rec = call.records[primary_alt - 1]
+    key = call.keys[primary_alt - 1]
+
+    ad = np.asarray(call.sample_ad[s], dtype=np.float64)
+    adf = np.asarray(call.sample_adf[s], dtype=np.float64)
+    adr = ad - adf
+    conf_depth = float(ad.sum())
+
+    # genotype category (getEVSGenotypeCode: HET=0, HOM=1, HETALT=2)
+    if ploidy == 2 and a0 != a1:
+        gt_cat = 2.0 if (a0 > 0 and a1 > 0) else 0.0
+    else:
+        gt_cat = 1.0
+
+    fudge = 1e-30
+    bias_lower = 0.0
+    bias = 0.0
+    if ploidy == 2 and a0 != a1:
+        r0, r1 = float(ad[a0]), float(ad[a1])
+        lo = float(spstats.binom.cdf(r0, r0 + r1, 0.5))
+        hi = float(spstats.binom.cdf(r1, r0 + r1, 0.5))
+        bias_lower = -log(lo + fudge)
+        bias = -log(min(1.0, 2.0 * min(lo, hi)) + fudge)
+    else:
+        bias_lower = -log(fudge)
+        bias = -log(fudge)
+
+    # locus mapq RMS from the pileup at the record position
+    sd = result.samples[s]
+    i = call.pos - 1 - result.begin
+    mq_n = int(sd.pileup.mapq_n[i]) if 0 <= i < len(sd.pileup.mapq_n) else 0
+    mq_rms = (float(np.sqrt(sd.pileup.mapq_sumsq[i] / mq_n))
+              if mq_n > 0 else 0.0)
+
+    rel_depth = 1.0
+    if chrom_depth and chrom_depth > 0:
+        total_depth = sum(
+            int(r.pileup.mapq_n[i]) if 0 <= i < len(r.pileup.mapq_n) else 0
+            for r in result.samples)
+        rel_depth = total_depth / chrom_depth
+
+    alt_fwd = float(adf[primary_alt])
+    alt_rev = float(adr[primary_alt])
+    from ..models.continuous import strand_bias
+    sb_raw = float(strand_bias(alt_fwd, alt_rev,
+                               float(adf.sum()) - alt_fwd,
+                               float(adr.sum()) - alt_rev))
+    sb = float(np.clip(sb_raw, -99.0, 99.0))
+
+    rc = result.ref_codes
+    b0 = call.pos - result.begin
+    b1 = b0 + key.delete_length
+    vals = {
+        "GenotypeCategory": gt_cat,
+        "SampleIndelRepeatCount": float(rec.indel_repeat_count),
+        "SampleIndelRepeatUnitSize": float(len(rec.repeat_unit or "")),
+        "SampleIndelAlleleBiasLower": bias_lower,
+        "SampleIndelAlleleBias": bias,
+        "SampleProxyRMSMappingQuality": mq_rms,
+        "RelativeTotalLocusDepth": rel_depth,
+        "SamplePrimaryAltAlleleDepthFraction":
+            float(ad[primary_alt]) / max(conf_depth, 1.0),
+        "ConservativeGenotypeQuality": float(call.sample_gqx[s]),
+        "InterruptedHomopolymerLength":
+            float(indel_interrupted_hpol(rc, b0, b1)),
+        "ContextCompressability":
+            float(context_compressability(rc, b0, b1, 5)),
+        "IndelCategory":
+            1.0 if (key.delete_length > 0 and not key.insert_seq) else 0.0,
+        "SampleAlleleCountStrandBias": sb,
+        # not in an active region (haplotype count ratios are not
+        # tracked per locus yet)
+        "NormalizedAltHaplotypeCountRatio": -1.0,
+    }
+    return np.array([vals.get(name, 0.0) for name in forest.features])
+
+
 def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
-                var_lines, blocks):
+                var_lines, blocks, indel_forest=None,
+                chrom_depth: float | None = None):
     n_samples = len(sample_names)
     pos0, ref_str, alts, cigars = vcf_indel_strings(result, call)
     A = len(call.keys) + 1
@@ -537,7 +635,21 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
             gt = _gt_string_indel(call.sample_gt[s], max(ploidy, 1), A)
         gqx = call.sample_gqx[s]
         filters = []
-        if gqx < opt.gvcf_min_gqx:
+        is_var_gt = (ploidy > 0 and
+                     any(int(a) > 0 for a in
+                         _gt_string_indel(call.sample_gt[s], max(ploidy, 1),
+                                          A).replace("|", "/").split("/")
+                         if a != "."))
+        if indel_forest is not None and is_var_gt:
+            # EVS replaces GQX and drives the LowGQX filter
+            # (ScoringModelManager classify_indel semantics)
+            feats = germline_indel_features(indel_forest, result, call, s,
+                                            chrom_depth)
+            evs = float(indel_forest.score_phred(feats[None])[0])
+            gqx = int(round(evs))
+            if evs < indel_forest.filter_cutoff:
+                filters.append("LowGQX")
+        elif gqx < opt.gvcf_min_gqx:
             filters.append("LowGQX")
         fstr = ";".join(filters) if filters else "PASS"
         is_var = any(int(a) > 0 for a in gt.replace("|", "/").split("/"))

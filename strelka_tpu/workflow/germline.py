@@ -65,6 +65,8 @@ def run_germline(argv=None) -> int:
                         "0.45 + RNA scoring models")
     p.add_argument("--snv-scoring-model-file", default=None,
                    help="germline SNV EVS model JSON")
+    p.add_argument("--indel-scoring-model-file", default=None,
+                   help="germline indel EVS model JSON")
     p.add_argument("--min-mapping-quality", type=int, default=20)
     p.add_argument("--max-region-size", type=int, default=1_000_000)
     p.add_argument("--exome", action="store_true",
@@ -91,20 +93,28 @@ def run_germline(argv=None) -> int:
     t0 = time.time()
     opt = GermlineOptions(min_mapping_quality=args.min_mapping_quality)
     snv_forest = None
+    indel_forest = None
     if args.rna:
         # strelkaGermlineWorkflow.py RNA branch: het-VF extension 0.45
         # + RNA scoring models
         opt = GermlineOptions(min_mapping_quality=args.min_mapping_quality,
                               het_variant_frequency_extension=0.45)
-        rna_model = (args.snv_scoring_model_file
-                     or "/root/reference/src/config/empiricalVariantScoring/"
-                        "models/RNASNVScoringModels.json")
-        if os.path.exists(rna_model):
-            from ..ops.rf import load_scoring_model
-            snv_forest = load_scoring_model(rna_model, "SNV", "RNAseq")
-    elif args.snv_scoring_model_file:
+        cfg = "/root/reference/src/config/empiricalVariantScoring/models/"
+        rna_model = args.snv_scoring_model_file or cfg + "RNASNVScoringModels.json"
+        rna_indel = (args.indel_scoring_model_file
+                     or cfg + "RNAIndelScoringModels.json")
         from ..ops.rf import load_scoring_model
-        snv_forest = load_scoring_model(args.snv_scoring_model_file, "SNV")
+        if os.path.exists(rna_model):
+            snv_forest = load_scoring_model(rna_model, "SNV", "RNAseq")
+        if os.path.exists(rna_indel):
+            indel_forest = load_scoring_model(rna_indel, "INDEL", "RNAseq")
+    else:
+        from ..ops.rf import load_scoring_model
+        if args.snv_scoring_model_file:
+            snv_forest = load_scoring_model(args.snv_scoring_model_file, "SNV")
+        if args.indel_scoring_model_file:
+            indel_forest = load_scoring_model(
+                args.indel_scoring_model_file, "INDEL")
     ref = FastaReference(args.reference)
     os.makedirs(args.output_dir, exist_ok=True)
     workspace = os.path.join(args.output_dir, "workspace")
@@ -216,7 +226,8 @@ def run_germline(argv=None) -> int:
                 ploidy_vcf=args.ploidy_region_vcf)
             gl, vl = gvcf.emit_region(opt, result, sample_names,
                                       chrom_depth=chrom_depth.get(seg.chrom),
-                                      snv_forest=snv_forest)
+                                      snv_forest=snv_forest,
+                                      indel_forest=indel_forest)
             lines_v.extend(vl)
             for si in range(n_samples):
                 lines_g[si].extend(gl[si])
