@@ -37,6 +37,11 @@ class LocusReadScores:
     # reads with nonzero but insufficient breakpoint overlap (feeds
     # the reference's n_other_reads tally)
     n_suboverlap: int = 0
+    # [R, H] best window offset per haplotype + the window's absolute
+    # start (placement of read i on hap h starts at ref coordinate
+    # win_begin + best_offsets[i, h] in hap coordinates)
+    best_offsets: np.ndarray | None = None
+    win_begin: int = 0
 
 
 def apply_indel_to_window(ref_window: np.ndarray, window_begin: int,
@@ -199,4 +204,6 @@ def score_locus(
         n_nonambig=np.asarray(tile.n_valid)[keep],
         is_fwd=(batch.flag[rows[keep]] & FLAG_REVERSE) == 0,
         n_suboverlap=n_suboverlap,
+        best_offsets=np.asarray(best_off)[keep],
+        win_begin=win_begin,
     )

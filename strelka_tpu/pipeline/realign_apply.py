@@ -44,10 +44,13 @@ def _aligned_span(batch: ReadBatch, r: int):
 def realign_read_to_indel(batch: ReadBatch, r: int, key: IndelKey):
     """New (pos, ops, lens) embedding `key` into read r's alignment.
 
-    The read start stays anchored (left-anchored placement); only
-    primitive insertions/deletions are handled. Returns None if the
-    read doesn't cleanly bracket the indel, the key is a complex
-    (swap) allele, or the input alignment already carries structure.
+    Soft clips are unrolled into aligned bases: candidate alignments
+    realign the whole read, and isRetainOptimalSoftClipping is false
+    outside RNA mode (starling_read_align.cpp :1711-2122). The read's
+    unclipped start stays anchored; only primitive insertions and
+    deletions are handled. Returns None if the indel doesn't fall
+    inside the unclipped read, the key is a complex (swap) allele, or
+    the input alignment already carries structure.
     """
     if not key.is_primitive:
         return None  # swaps (del+ins) are not rewritten
@@ -55,47 +58,124 @@ def realign_read_to_indel(batch: ReadBatch, r: int, key: IndelKey):
     if has_complex:
         return None
     read_len = batch.read_len(r)
-    aligned_len = read_len - clip_left - clip_right
-    if aligned_len <= 0:
+    new_pos = int(batch.pos[r]) - clip_left
+    if new_pos < 0:
         return None
-    pos = int(batch.pos[r])
 
-    left_flank = key.pos - pos
-    if left_flank <= 0 or left_flank >= aligned_len:
+    left_flank = key.pos - new_pos
+    if left_flank <= 0 or left_flank >= read_len:
         return None
-    right_flank = aligned_len - left_flank
+    right_flank = read_len - left_flank
 
-    ops_out = []
-    lens_out = []
-    if clip_left:
-        ops_out.append(cg.SOFT_CLIP)
-        lens_out.append(clip_left)
     if key.is_insertion:
         ins = key.insert_length
         if right_flank <= ins:
             return None
-        ops_out += [cg.MATCH, cg.INSERT, cg.MATCH]
-        lens_out += [left_flank, ins, right_flank - ins]
-        new_pos = pos
+        ops_out = [cg.MATCH, cg.INSERT, cg.MATCH]
+        lens_out = [left_flank, ins, right_flank - ins]
     else:
-        ops_out += [cg.MATCH, cg.DELETE, cg.MATCH]
-        lens_out += [left_flank, key.delete_length, aligned_len - left_flank]
-        new_pos = pos
-    if clip_right:
-        ops_out.append(cg.SOFT_CLIP)
-        lens_out.append(clip_right)
-    return new_pos, np.array(ops_out, dtype=np.int8), np.array(lens_out, dtype=np.int32)
+        ops_out = [cg.MATCH, cg.DELETE, cg.MATCH]
+        lens_out = [left_flank, key.delete_length, right_flank]
+    return (new_pos, np.array(ops_out, dtype=np.int8),
+            np.array(lens_out, dtype=np.int32))
+
+
+def plan_indel_alignment(batch: ReadBatch, r: int, key: IndelKey,
+                         hap_offset: int, win_begin: int):
+    """(pos, ops, lens) placing read r on the with-indel haplotype at
+    the scored window offset (the max-likelihood candidate alignment;
+    finishRealignment). Soft clips unroll; partial-insertion read ends
+    become soft clips (edge inserts)."""
+    if not key.is_primitive:
+        return None
+    _cl, _cr, has_complex = _aligned_span(batch, r)
+    if has_complex:
+        return None
+    read_len = batch.read_len(r)
+    o = int(hap_offset)
+    p = key.pos - win_begin
+    ins = key.insert_length
+    dl = key.delete_length
+
+    def plain(pos):
+        if pos < 0:
+            return None
+        return (pos, np.array([cg.MATCH], dtype=np.int8),
+                np.array([read_len], dtype=np.int32))
+
+    if key.is_insertion:
+        if o >= p + ins:
+            return plain(win_begin + o - ins)
+        if o + read_len <= p:
+            return plain(win_begin + o)
+        if o >= p:
+            # read starts inside the insertion: leading insert bases
+            # have no reference anchor -> soft clip
+            lead = p + ins - o
+            if lead >= read_len:
+                return None
+            return (win_begin + p,
+                    np.array([cg.SOFT_CLIP, cg.MATCH], dtype=np.int8),
+                    np.array([lead, read_len - lead], dtype=np.int32))
+        lf = p - o
+        if lf + ins >= read_len:
+            # insertion truncated at the read end -> trailing soft clip
+            tail = read_len - lf
+            if tail <= 0:
+                return plain(win_begin + o)
+            return (win_begin + o,
+                    np.array([cg.MATCH, cg.SOFT_CLIP], dtype=np.int8),
+                    np.array([lf, tail], dtype=np.int32))
+        return (win_begin + o,
+                np.array([cg.MATCH, cg.INSERT, cg.MATCH], dtype=np.int8),
+                np.array([lf, ins, read_len - lf - ins], dtype=np.int32))
+
+    # deletion
+    if o >= p:
+        return plain(win_begin + o + dl)
+    if o + read_len <= p:
+        return plain(win_begin + o)
+    lf = p - o
+    return (win_begin + o,
+            np.array([cg.MATCH, cg.DELETE, cg.MATCH], dtype=np.int8),
+            np.array([lf, dl, read_len - lf], dtype=np.int32))
+
+
+def unroll_read(batch: ReadBatch, r: int):
+    """Gapless full-read plan with soft clips unrolled to aligned
+    bases (the no-indel candidate alignment). None when the read has
+    no soft clips, carries interior structure, or would start before
+    the contig."""
+    clip_left, clip_right, has_complex = _aligned_span(batch, r)
+    if has_complex or (clip_left == 0 and clip_right == 0):
+        return None
+    new_pos = int(batch.pos[r]) - clip_left
+    if new_pos < 0:
+        return None
+    read_len = batch.read_len(r)
+    return (new_pos, np.array([cg.MATCH], dtype=np.int8),
+            np.array([read_len], dtype=np.int32))
+
+
+LN10 = float(np.log(10.0))  # smoothed_lnp_range, starling_base_shared.hh:171
 
 
 def apply_realignments(
     batch: ReadBatch,
     locus_scores: dict,
     loci: list[list[IndelKey]],
-    min_lhood_gain: float = 2.0,
+    min_lhood_gain: float = LN10,
+    unroll_clips: bool = True,
 ) -> tuple[ReadBatch, int]:
-    """Rewrite alignments of reads that confidently support an indel
-    haplotype (lhood gain over ref >= min_lhood_gain nats) and whose
-    input alignment doesn't already encode an indel.
+    """Rewrite alignments of reads at candidate-indel loci.
+
+    Reads whose indel-haplotype likelihood beats ref by more than the
+    smoothing range (smoothed_lnp_range = ln 10; within the range the
+    fewer-indel alignment is preferred, isFirstCandidateAlignment-
+    Preferred) get the indel embedded. Remaining soft-clipped reads at
+    the locus get their clips unrolled into aligned bases — candidate
+    alignments cover the whole read and optimal soft clipping is only
+    retained in RNA mode.
 
     Returns (new batch, n_realigned). The batch is copied lazily.
     """
@@ -105,11 +185,26 @@ def apply_realignments(
         lh = scores.allele_lhoods
         best_alt = np.argmax(lh[:, 1:], axis=1)
         gain = lh[np.arange(len(lh)), 1 + best_alt] - lh[:, 0]
-        for i in np.nonzero(gain >= min_lhood_gain)[0]:
+        win = gain > min_lhood_gain
+        for i in range(len(lh)):
             r = int(scores.read_rows[i])
             if r in new_cigars:
                 continue
-            res = realign_read_to_indel(batch, r, keys[int(best_alt[i])])
+            if win[i]:
+                key = keys[int(best_alt[i])]
+                if scores.best_offsets is not None:
+                    res = plan_indel_alignment(
+                        batch, r, key,
+                        scores.best_offsets[i, 1 + int(best_alt[i])],
+                        scores.win_begin)
+                else:
+                    res = realign_read_to_indel(batch, r, key)
+                if res is None and unroll_clips:
+                    res = unroll_read(batch, r)
+            elif unroll_clips:
+                res = unroll_read(batch, r)
+            else:
+                res = None
             if res is not None:
                 new_cigars[r] = res
     if not new_cigars:

@@ -55,8 +55,14 @@ def score_loci_batched(
     max_reads: int = 512,
     tiers=(rd.MapLevel.TIER1,),
     use_pallas: bool | None = None,
+    selection: str = "bracket",
 ) -> dict[int, LocusReadScores]:
     """Score every locus's spanning reads against {ref}+alts.
+
+    selection="bracket" keeps reads whose aligned span brackets the
+    indel; "overlap" admits any read whose unclipped span touches the
+    indel (the realignment candidate set — candidate alignments
+    realign whole reads, clips included).
 
     Returns {locus_index: LocusReadScores} (loci with no spanning reads
     are absent).
@@ -67,11 +73,22 @@ def score_loci_batched(
         import jax
         use_pallas = jax.default_backend() == "tpu"
 
+    ub = rlen_full = None
+    if selection == "overlap":
+        ub = rd.unclipped_read_starts(batch)
+        rlen_full = np.diff(batch.seq_off)
+
     work: list[_LocusWork] = []
     for li, alt_keys in enumerate(loci):
         key0 = alt_keys[0]
-        rows = select_overlapping_reads(ea, map_level, key0.pos,
-                                        key0.right_pos, tiers=tiers)
+        if selection == "overlap":
+            in_tier = np.isin(map_level, tiers)
+            touch = ((ub < key0.right_pos + 1)
+                     & (ub + rlen_full > key0.pos - 1))
+            rows = np.nonzero(in_tier & touch)[0]
+        else:
+            rows = select_overlapping_reads(ea, map_level, key0.pos,
+                                            key0.right_pos, tiers=tiers)
         if len(rows) == 0:
             continue
         rows = rows[:max_reads]
@@ -130,6 +147,7 @@ def score_loci_batched(
         return out
 
     results: dict[int, np.ndarray] = {}  # work idx -> [R, H] lhoods
+    offsets: dict[int, np.ndarray] = {}  # work idx -> [R, H] best offsets
     for (Rb, Lb, Wb), pairs in buckets.items():
         B = len(pairs)
         codes_b = np.full((B, Rb, Lb), 4, dtype=np.int8)
@@ -151,18 +169,23 @@ def score_loci_batched(
 
         from ..ops import pallas_readlik as pk
         if use_pallas:
-            best, _off = pk.score_best_offsets(
+            best, off = pk.score_best_offsets(
                 jnp.asarray(codes_b), jnp.asarray(delta_b),
                 jnp.asarray(lnmis_b), jnp.asarray(win_b))
         else:
-            best, _off = pk.reference_best_offsets(
+            best, off = pk.reference_best_offsets(
                 jnp.asarray(codes_b.astype(np.int32)), jnp.asarray(delta_b),
                 jnp.asarray(lnmis_b), jnp.asarray(win_b.astype(np.int32)))
         best = np.asarray(best, dtype=np.float64)
+        off = np.asarray(off, dtype=np.int64)
         for bi, (wi, hi) in enumerate(pairs):
             arr = results.setdefault(
                 wi, np.zeros((len(work[wi].rows), len(work[wi].haps))))
             arr[:, hi] = best[bi, :len(work[wi].rows)]
+            oarr = offsets.setdefault(
+                wi, np.zeros((len(work[wi].rows), len(work[wi].haps)),
+                             dtype=np.int64))
+            oarr[:, hi] = off[bi, :len(work[wi].rows)]
 
     out: dict[int, LocusReadScores] = {}
     for wi, w in enumerate(work):
@@ -176,5 +199,7 @@ def score_loci_batched(
             read_len=read_lens.astype(np.int64),
             n_nonambig=nvalid[:len(w.rows)],
             is_fwd=(batch.flag[w.rows] & FLAG_REVERSE) == 0,
+            best_offsets=offsets.get(wi),
+            win_begin=w.win_begin,
         )
     return out

@@ -199,7 +199,8 @@ def call_somatic_region(
         if not loci_single:
             break
         sscores = rb.score_loci_batched(kept[s], eas[s], levels[s], ref_all,
-                                        fetch_begin, loci_single)
+                                        fetch_begin, loci_single,
+                                        selection="overlap")
         new_batch, n_re = ra.apply_realignments(kept[s], sscores, loci_single)
         if n_re:
             kept[s] = new_batch

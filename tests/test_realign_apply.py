@@ -11,12 +11,14 @@ from tests.test_pileup import make_batch
 
 
 def test_realign_embeds_deletion():
+    # soft clips unroll into aligned bases (candidate alignments cover
+    # the whole read; optimal clipping is only retained in RNA mode)
     batch = make_batch([(100, "10S80M", "A" * 90, [30] * 90, 0, 60)])
     res = ra.realign_read_to_indel(batch, 0, cand.IndelKey(130, 2, ""))
     assert res is not None
     pos, ops, lens = res
-    assert pos == 100
-    assert cg.cigar_to_string(ops, lens) == "10S30M2D50M"
+    assert pos == 90
+    assert cg.cigar_to_string(ops, lens) == "40M2D50M"
     assert cg.read_span(ops, lens) == 90
 
 
@@ -41,6 +43,31 @@ def test_realign_skips_complex_cases():
     assert ra.realign_read_to_indel(batch3, 0, cand.IndelKey(110, 2, "GG")) is None
     # indel outside the aligned span
     assert ra.realign_read_to_indel(batch3, 0, cand.IndelKey(300, 2, "")) is None
+
+
+def test_unroll_read():
+    batch = make_batch([(100, "10S80M", "A" * 90, [30] * 90, 0, 60)])
+    pos, ops, lens = ra.unroll_read(batch, 0)
+    assert pos == 90 and cg.cigar_to_string(ops, lens) == "90M"
+    # no clips -> nothing to unroll
+    batch2 = make_batch([(100, "80M", "A" * 80, [30] * 80, 0, 60)])
+    assert ra.unroll_read(batch2, 0) is None
+
+
+def test_plan_indel_alignment_offsets():
+    # a read whose leading clip IS the insertion: scored offset puts
+    # the read start at the insertion point -> leading soft clip
+    batch = make_batch([(100, "3S97M", "A" * 100, [30] * 100, 0, 60)])
+    key = cand.IndelKey(100, 0, "AAA")
+    pos, ops, lens = ra.plan_indel_alignment(batch, 0, key,
+                                             hap_offset=50, win_begin=50)
+    assert pos == 100
+    assert cg.cigar_to_string(ops, lens) == "3S97M"
+    # read straddling an interior insertion
+    pos, ops, lens = ra.plan_indel_alignment(batch, 0, key,
+                                             hap_offset=30, win_begin=50)
+    assert pos == 80
+    assert cg.cigar_to_string(ops, lens) == "20M3I77M"
 
 
 def test_apply_realignments_batch_rebuild():
