@@ -115,6 +115,63 @@ class ReadBatch:
         return out
 
 
+def concat_batches(batches: list["ReadBatch"]) -> "ReadBatch":
+    """Concatenate record batches (fragment merge for BAM output)."""
+    batches = [b for b in batches if b is not None and b.n > 0]
+    if not batches:
+        return ReadBatch()
+    out = ReadBatch()
+    out.n = sum(b.n for b in batches)
+    out.names = [n for b in batches for n in b.names]
+    for fld in ("tid", "pos", "mapq", "flag", "mate_tid", "mate_pos",
+                "tlen", "seq", "qual", "cig_ops", "cig_lens"):
+        out.__setattr__(fld, np.concatenate([getattr(b, fld)
+                                             for b in batches]))
+
+    def offs(name):
+        parts = [np.zeros(1, np.int64)]
+        base = 0
+        for b in batches:
+            o = getattr(b, name)
+            parts.append(o[1:] + base)
+            base += int(o[-1])
+        return np.concatenate(parts)
+
+    out.seq_off = offs("seq_off")
+    out.cig_off = offs("cig_off")
+    return out
+
+
+def scatter_rewrites(raw: "ReadBatch", keep_idx: np.ndarray,
+                     kept: "ReadBatch") -> "ReadBatch":
+    """Copy of `raw` with row keep_idx[i]'s (pos, cigar) replaced by
+    kept row i's — projects realignment rewrites of the filtered
+    subset back onto the full record set for realigned-BAM output."""
+    assert kept.n == len(keep_idx)
+    pos = raw.pos.copy()
+    pos[keep_idx] = kept.pos
+    new_nseg = np.diff(raw.cig_off).copy()
+    new_nseg[keep_idx] = np.diff(kept.cig_off)
+    cig_off = np.concatenate([[0], np.cumsum(new_nseg)]).astype(np.int64)
+    cig_ops = np.empty(int(cig_off[-1]), np.int8)
+    cig_lens = np.empty(int(cig_off[-1]), np.int32)
+    kept_of = {int(r): i for i, r in enumerate(keep_idx)}
+    for r in range(raw.n):
+        i = kept_of.get(r)
+        if i is None:
+            o, l = raw.get_cigar(r)
+        else:
+            o, l = kept.get_cigar(i)
+        cig_ops[cig_off[r]:cig_off[r + 1]] = o
+        cig_lens[cig_off[r]:cig_off[r + 1]] = l
+    out = ReadBatch(
+        n=raw.n, names=raw.names, tid=raw.tid, pos=pos, mapq=raw.mapq,
+        flag=raw.flag, mate_tid=raw.mate_tid, mate_pos=raw.mate_pos,
+        tlen=raw.tlen, seq=raw.seq, qual=raw.qual, seq_off=raw.seq_off,
+        cig_ops=cig_ops, cig_lens=cig_lens, cig_off=cig_off)
+    return out
+
+
 def read_bam(path: str, use_native: bool = True) -> tuple[BamHeader, ReadBatch]:
     """Decode a whole BAM file.
 

@@ -77,6 +77,9 @@ class RegionCallResult:
     phase_set_of_pos: dict = field(default_factory=dict)
     # per-sample per-position ploidy (0/1/2) over the report range
     ploidy: np.ndarray | None = None
+    # (keep_indices, realigned kept batch) per sample when the caller
+    # was asked to collect them (realigned-BAM output)
+    realigned: list | None = None
 
 
 def snv_hpol(ref_codes: np.ndarray, pos: int) -> int:
@@ -185,6 +188,7 @@ def call_region(
     external_indel_vcfs: list[str] | None = None,
     forced_gt_vcfs: list[str] | None = None,
     ploidy_vcf: str | None = None,
+    collect_realigned: bool = False,
 ) -> RegionCallResult:
     """Joint germline calling for N samples over one region."""
     n_samples = len(batches)
@@ -196,10 +200,11 @@ def call_region(
     em = error_model.IndelErrorModel(n_samples)
 
     samples = []
-    eas, levels, kept = [], [], []
+    eas, levels, kept, keep_indices = [], [], [], []
     store = cand.IndelObservationStore(n_samples)
     for s, raw in enumerate(batches):
         keep, level = rd.filter_and_classify_reads(raw, opt.min_mapping_quality)
+        keep_indices.append(np.nonzero(keep)[0])
         batch = raw.select(keep)
         level = level[keep]
         ea = rd.expand_alignments(batch)
@@ -391,6 +396,8 @@ def call_region(
         snv_hap_ids=snv_hap_ids, indel_hap_ids=indel_hap_ids,
         phase_set_of_pos=phase_set_of_pos,
         ploidy=ploidy_arr,
+        realigned=([(keep_indices[s], kept[s]) for s in range(n_samples)]
+                   if collect_realigned else None),
     )
 
 

@@ -67,6 +67,10 @@ def run_germline(argv=None) -> int:
                    help="germline SNV EVS model JSON")
     p.add_argument("--indel-scoring-model-file", default=None,
                    help="germline indel EVS model JSON")
+    p.add_argument("--output-realigned-bam", action="store_true",
+                   help="write per-sample realigned.SN.bam with the "
+                        "post-realignment alignments (reference "
+                        "--realigned-read-file)")
     p.add_argument("--min-mapping-quality", type=int, default=20)
     p.add_argument("--max-region-size", type=int, default=1_000_000)
     p.add_argument("--exome", action="store_true",
@@ -127,8 +131,10 @@ def run_germline(argv=None) -> int:
     for path in args.align_files:
         name = os.path.basename(path).split(".")[0]
         sample_names.append(name)
+    headers = []
     for si, path in enumerate(args.align_files):
         hdr, batch = read_bam(path)
+        headers.append(hdr)
         for tid, cname in enumerate(hdr.ref_names):
             lst = batches_per_chrom.setdefault(cname, [None] * len(args.align_files))
             lst[si] = batch.select(np.asarray(batch.tid == tid))
@@ -199,6 +205,9 @@ def run_germline(argv=None) -> int:
 
     continuous_chroms = set(args.call_continuous_vf or [])
 
+    # per-sample realigned-read fragments collected in this process
+    realigned_parts: list[list] = [[] for _ in range(n_samples)]
+
     def task_fn(group):
         lines_v = []
         lines_g = [[] for _ in range(n_samples)]
@@ -223,7 +232,15 @@ def run_germline(argv=None) -> int:
                 opt, ref, seg.chrom, seg.begin, seg.end, batches,
                 external_indel_vcfs=args.indel_candidates,
                 forced_gt_vcfs=args.forced_gt,
-                ploidy_vcf=args.ploidy_region_vcf)
+                ploidy_vcf=args.ploidy_region_vcf,
+                collect_realigned=args.output_realigned_bam)
+            if result.realigned is not None:
+                from ..io.bam import scatter_rewrites
+                for si in range(n_samples):
+                    keep_idx, kb = result.realigned[si]
+                    full = scatter_rewrites(batches[si], keep_idx, kb)
+                    sel = (full.pos >= seg.begin) & (full.pos < seg.end)
+                    realigned_parts[si].append(full.select(sel))
             gl, vl = gvcf.emit_region(opt, result, sample_names,
                                       chrom_depth=chrom_depth.get(seg.chrom),
                                       snv_forest=snv_forest,
@@ -284,6 +301,19 @@ def run_germline(argv=None) -> int:
         concat_indexed(gvcf_paths[si],
                        gvcf.gvcf_header(opt, chrom0, clen0, [sample_names[si]]),
                        lambda gi, si=si: f"seg_{gi:06d}.S{si+1}.gvcf")
+
+    if args.output_realigned_bam and any(realigned_parts):
+        from ..io.bam import concat_batches
+        from ..io.bam_writer import write_bam
+        for si in range(n_samples):
+            if not realigned_parts[si]:
+                continue
+            merged = concat_batches(realigned_parts[si])
+            out_bam = os.path.join(args.output_dir,
+                                   f"realigned.S{si + 1}.bam")
+            write_bam(out_bam, headers[si], merged)
+            print(f"realigned reads: {out_bam} ({merged.n} records)",
+                  file=sys.stderr)
 
     total_stats = rn.merge_run_stats(workspace)
     elapsed = time.time() - t0
