@@ -1,0 +1,150 @@
+// strelka_tpu native alignment expansion: one pass over reads builds
+// the flat per-base/per-event tables consumed by the host pipeline
+// (candidates, active-region evidence, depth estimation).
+//
+// Semantics match pipeline/reads.py expand_alignments exactly.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int8_t OP_M = 0, OP_I = 1, OP_D = 2, OP_N = 3, OP_S = 4,
+                 OP_H = 5, OP_EQ = 7, OP_X = 8;
+
+inline bool op_is_match(int8_t o) { return o == OP_M || o == OP_EQ || o == OP_X; }
+inline bool op_reads(int8_t o) { return op_is_match(o) || o == OP_I || o == OP_S; }
+inline bool op_refs(int8_t o) { return op_is_match(o) || o == OP_D || o == OP_N; }
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: table sizes. counts = [n_match_bases, n_del_bases,
+// n_ins_events, n_del_events]
+void expand_count(
+    const int64_t* cig_off, const int8_t* cig_ops, const int32_t* cig_lens,
+    int64_t n_reads, int64_t* counts)
+{
+    int64_t nm = 0, nd = 0, ni = 0, nde = 0;
+    for (int64_t r = 0; r < n_reads; ++r)
+    {
+        for (int64_t c = cig_off[r]; c < cig_off[r + 1]; ++c)
+        {
+            const int8_t op = cig_ops[c];
+            if (op_is_match(op)) nm += cig_lens[c];
+            else if (op == OP_D) { nd += cig_lens[c]; nde++; }
+            else if (op == OP_I) ni++;
+        }
+    }
+    counts[0] = nm;
+    counts[1] = nd;
+    counts[2] = ni;
+    counts[3] = nde;
+}
+
+// Pass 2: fill all tables (preallocated by the caller at the pass-1
+// sizes).
+void expand_fill(
+    const int64_t* pos, const uint16_t* flag, const int64_t* seq_off,
+    const uint8_t* seq,
+    const int64_t* cig_off, const int8_t* cig_ops, const int32_t* cig_lens,
+    int64_t n_reads,
+    // aligned match bases
+    int64_t* match_read, int64_t* match_refpos, int64_t* match_readoff,
+    // spanning deletions per deleted ref base
+    int64_t* del_read, int64_t* del_refpos, uint8_t* del_is_edge,
+    // insertion events
+    int64_t* ins_read, int64_t* ins_refpos, int64_t* ins_readoff,
+    int64_t* ins_len, uint8_t* ins_is_edge,
+    // deletion events
+    int64_t* devent_read, int64_t* devent_refpos, int64_t* devent_readoff,
+    int64_t* devent_len, uint8_t* devent_is_edge,
+    // per-read summaries
+    int64_t* ref_begin, int64_t* ref_end,
+    int64_t* read_begin, int64_t* read_end)
+{
+    int64_t mi = 0, di = 0, ii = 0, dei = 0;
+    for (int64_t r = 0; r < n_reads; ++r)
+    {
+        const int64_t c0 = cig_off[r], c1 = cig_off[r + 1];
+        // edge flags: segments before the first / after the last match
+        int64_t first_m = -1, last_m = -1;
+        for (int64_t c = c0; c < c1; ++c)
+            if (op_is_match(cig_ops[c])) { if (first_m < 0) first_m = c; last_m = c; }
+
+        int64_t rb = INT64_MAX, re = -1;
+        int64_t read_p = 0, ref_p = pos[r];
+        for (int64_t c = c0; c < c1; ++c)
+        {
+            const int8_t op = cig_ops[c];
+            const int32_t ln = cig_lens[c];
+            const bool edge = (c < first_m) || (c > last_m);
+            if (op_is_match(op))
+            {
+                for (int32_t j = 0; j < ln; ++j)
+                {
+                    match_read[mi] = r;
+                    match_refpos[mi] = ref_p + j;
+                    match_readoff[mi] = read_p + j;
+                    ++mi;
+                }
+                if (ln)
+                {
+                    rb = std::min(rb, ref_p);
+                    re = std::max(re, ref_p + ln - 1);
+                }
+            }
+            else if (op == OP_D)
+            {
+                for (int32_t j = 0; j < ln; ++j)
+                {
+                    del_read[di] = r;
+                    del_refpos[di] = ref_p + j;
+                    del_is_edge[di] = edge;
+                    ++di;
+                }
+                devent_read[dei] = r;
+                devent_refpos[dei] = ref_p;
+                devent_readoff[dei] = read_p;
+                devent_len[dei] = ln;
+                devent_is_edge[dei] = edge;
+                ++dei;
+            }
+            else if (op == OP_I)
+            {
+                ins_read[ii] = r;
+                ins_refpos[ii] = ref_p;
+                ins_readoff[ii] = read_p;
+                ins_len[ii] = ln;
+                ins_is_edge[ii] = edge;
+                ++ii;
+            }
+            if (op_reads(op)) read_p += ln;
+            if (op_refs(op)) ref_p += ln;
+        }
+        ref_begin[r] = (re >= 0) ? rb : INT64_MAX;
+        ref_end[r] = re + 1;
+
+        // ambiguous (N-run) end trim at the sequencing tail
+        const int64_t S = seq_off[r + 1] - seq_off[r];
+        int64_t b = 0, e = S;
+        const uint8_t* sq = seq + seq_off[r];
+        if (S > 0)
+        {
+            if (flag[r] & 0x10)
+            {
+                while (b < S && sq[b] == 4) ++b;
+            }
+            else
+            {
+                while (e > 0 && sq[e - 1] == 4) --e;
+            }
+        }
+        read_begin[r] = b;
+        read_end[r] = e;
+    }
+}
+
+}  // extern "C"

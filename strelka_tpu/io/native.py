@@ -326,3 +326,80 @@ def pileup_native(batch, level, ref_codes, ref_offset,
         submapped=submapped, mapq_n=mapq_n, mapq_sumsq=mapq_sumsq,
         mapq_zero=mapq_zero, _used_counts=used_counts,
     ), used_fwd
+
+
+def expand_native(batch):
+    """Native CIGAR expansion into flat tables (native/expand.cpp).
+
+    Returns the ExpandedAlignments field tuple or None when the
+    library is unavailable. Matches reads.expand_alignments exactly.
+    """
+    lib = get_lib()
+    if lib is None or batch.n == 0:
+        return None
+    if not hasattr(lib, "_expand_bound"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.expand_count.restype = None
+        lib.expand_count.argtypes = [i64p, i8p, i32p, ctypes.c_int64, i64p]
+        lib.expand_fill.restype = None
+        lib.expand_fill.argtypes = (
+            [i64p, u16p, i64p, u8p, i64p, i8p, i32p, ctypes.c_int64]
+            + [i64p] * 3 + [i64p, i64p, u8p]
+            + [i64p] * 4 + [u8p]
+            + [i64p] * 4 + [u8p]
+            + [i64p] * 4)
+        lib._expand_bound = True
+
+    pos = np.ascontiguousarray(batch.pos, dtype=np.int64)
+    flag = np.ascontiguousarray(batch.flag, dtype=np.uint16)
+    seq_off = np.ascontiguousarray(batch.seq_off, dtype=np.int64)
+    seq = np.ascontiguousarray(batch.seq, dtype=np.uint8)
+    cig_off = np.ascontiguousarray(batch.cig_off, dtype=np.int64)
+    cig_ops = np.ascontiguousarray(batch.cig_ops, dtype=np.int8)
+    cig_lens = np.ascontiguousarray(batch.cig_lens, dtype=np.int32)
+
+    counts = np.zeros(4, np.int64)
+    lib.expand_count(_p(cig_off, ctypes.c_int64), _p(cig_ops, ctypes.c_int8),
+                     _p(cig_lens, ctypes.c_int32), batch.n,
+                     _p(counts, ctypes.c_int64))
+    nm, nd, ni, nde = (int(x) for x in counts)
+
+    def a(n, dtype=np.int64):
+        return np.empty(n, dtype)
+
+    m_read, m_refpos, m_readoff = a(nm), a(nm), a(nm)
+    d_read, d_refpos, d_edge = a(nd), a(nd), a(nd, np.uint8)
+    i_read, i_refpos, i_readoff, i_len, i_edge = \
+        a(ni), a(ni), a(ni), a(ni), a(ni, np.uint8)
+    de_read, de_refpos, de_readoff, de_len, de_edge = \
+        a(nde), a(nde), a(nde), a(nde), a(nde, np.uint8)
+    ref_begin, ref_end = a(batch.n), a(batch.n)
+    read_begin, read_end = a(batch.n), a(batch.n)
+
+    lib.expand_fill(
+        _p(pos, ctypes.c_int64), _p(flag, ctypes.c_uint16),
+        _p(seq_off, ctypes.c_int64), _p(seq, ctypes.c_uint8),
+        _p(cig_off, ctypes.c_int64), _p(cig_ops, ctypes.c_int8),
+        _p(cig_lens, ctypes.c_int32), batch.n,
+        _p(m_read, ctypes.c_int64), _p(m_refpos, ctypes.c_int64),
+        _p(m_readoff, ctypes.c_int64),
+        _p(d_read, ctypes.c_int64), _p(d_refpos, ctypes.c_int64),
+        _p(d_edge, ctypes.c_uint8),
+        _p(i_read, ctypes.c_int64), _p(i_refpos, ctypes.c_int64),
+        _p(i_readoff, ctypes.c_int64), _p(i_len, ctypes.c_int64),
+        _p(i_edge, ctypes.c_uint8),
+        _p(de_read, ctypes.c_int64), _p(de_refpos, ctypes.c_int64),
+        _p(de_readoff, ctypes.c_int64), _p(de_len, ctypes.c_int64),
+        _p(de_edge, ctypes.c_uint8),
+        _p(ref_begin, ctypes.c_int64), _p(ref_end, ctypes.c_int64),
+        _p(read_begin, ctypes.c_int64), _p(read_end, ctypes.c_int64))
+
+    return (m_read, m_refpos, m_readoff,
+            d_read, d_refpos, d_edge.astype(bool),
+            i_read, i_refpos, i_readoff, i_len, i_edge.astype(bool),
+            de_read, de_refpos, de_readoff, de_len, de_edge.astype(bool),
+            ref_begin, ref_end, read_begin, read_end)

@@ -140,13 +140,13 @@ def call_sample_sites(
                              min_qscore=opt.min_qscore, mm_filter=mmf)
     rc = ref_codes[begin - ref_offset:end - ref_offset]
     tile = snv_digt.SnvPileupTile(
-        base_id=jnp.asarray(np.where(pu.used, pu.base_id, 0)),
-        qual=jnp.asarray(np.where(pu.used, pu.qual, 0)),
-        is_fwd=jnp.asarray(pu.is_fwd),
-        mask=jnp.asarray(pu.used),
-        ref_gt=jnp.asarray(rc.astype(np.int32)),
+        base_id=np.where(pu.used, pu.base_id, 0),
+        qual=np.where(pu.used, pu.qual, 0),
+        is_fwd=pu.is_fwd,
+        mask=pu.used,
+        ref_gt=rc.astype(np.int32),
     )
-    snv = snv_digt.call_snv_tile(
+    snv = snv_digt.call_snv_tile_chunked(
         tile, theta=opt.bsnp_diploid_theta,
         is_haploid=(jnp.asarray(haploid_mask)
                     if haploid_mask is not None and haploid_mask.any()

@@ -163,8 +163,18 @@ def _ambiguous_end_trim(batch: bamio.ReadBatch):
     return read_begin, read_end
 
 
-def expand_alignments(batch: bamio.ReadBatch) -> ExpandedAlignments:
-    """Expand every read's CIGAR into flat per-base/per-event tables."""
+def expand_alignments(batch: bamio.ReadBatch,
+                      use_native: bool = True) -> ExpandedAlignments:
+    """Expand every read's CIGAR into flat per-base/per-event tables.
+
+    Prefers the native single-pass builder (native/expand.cpp); the
+    vectorized numpy path below is the fallback and the semantic
+    oracle (tests/test_native.py asserts bit-exact equivalence)."""
+    if use_native and batch.n:
+        from ..io.native import expand_native
+        fields = expand_native(batch)
+        if fields is not None:
+            return ExpandedAlignments(*fields)
     if batch.n == 0:
         z = np.zeros(0, dtype=np.int64)
         zb = np.zeros(0, dtype=bool)

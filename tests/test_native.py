@@ -49,3 +49,19 @@ def test_native_rejects_garbage(lib):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_expand_native_equivalence():
+    """native/expand.cpp matches the numpy expansion bit-exactly."""
+    import numpy as np
+
+    from strelka_tpu.io.bam import read_bam
+    from strelka_tpu.pipeline import reads as rd
+
+    for path in ("/root/reference/src/demo/data/NA12891_demo20.bam",
+                 "/root/reference/src/demo/dataMito/NA12878_chrM_200-200.bam"):
+        _, batch = read_bam(path)
+        native = rd.expand_alignments(batch, use_native=True)
+        python = rd.expand_alignments(batch, use_native=False)
+        for f in native.__dataclass_fields__:
+            assert np.array_equal(getattr(native, f), getattr(python, f)), f
