@@ -93,16 +93,65 @@ class SomaticRegionResult:
     callable_intervals: list[tuple[int, int]] = field(default_factory=list)
 
 
+# fixed chunk shapes, matching models/snv_digt.py: XLA compile time
+# grows superlinearly with position extent, so long regions run as
+# fixed-shape tiles that hit the jit cache
+_TILE_L = 32768
+_TILE_D_PAD = 32
+
+
 def _grid_lhoods_for_pileup(pu: pl.PileupRegion, used: np.ndarray,
                             ref_gt: np.ndarray):
     """[L, GRID_SIZE] frequency-grid lhoods from a pileup + use mask."""
-    return np.asarray(ss.freq_grid_lhoods(
-        jnp.asarray(np.where(used, pu.base_id, -1)),
-        jnp.asarray(np.where(used, pu.qual, 0)),
-        jnp.asarray(used),
-        jnp.asarray(pu.is_fwd),
-        jnp.asarray(ref_gt.astype(np.int32)),
-    ))
+    base = np.where(used, pu.base_id, -1)
+    qual = np.where(used, pu.qual, 0)
+    rg = ref_gt.astype(np.int32)
+    L, D = base.shape
+    if L <= _TILE_L:
+        return np.asarray(ss.freq_grid_lhoods(
+            jnp.asarray(base), jnp.asarray(qual), jnp.asarray(used),
+            jnp.asarray(pu.is_fwd), jnp.asarray(rg)))
+    Db = ((D + _TILE_D_PAD - 1) // _TILE_D_PAD) * _TILE_D_PAD
+    parts = []
+    for t0 in range(0, L, _TILE_L):
+        t1 = min(t0 + _TILE_L, L)
+        rows = t1 - t0
+
+        def pad2(a, fill):
+            out = np.full((_TILE_L, Db), fill, dtype=a.dtype)
+            out[:rows, :D] = a[t0:t1]
+            return out
+
+        rg_t = np.full(_TILE_L, 0, dtype=rg.dtype)
+        rg_t[:rows] = rg[t0:t1]
+        res = ss.freq_grid_lhoods(
+            jnp.asarray(pad2(base, -1)), jnp.asarray(pad2(qual, 0)),
+            jnp.asarray(pad2(used, False)),
+            jnp.asarray(pad2(pu.is_fwd, False)), jnp.asarray(rg_t))
+        parts.append(np.asarray(res)[:rows])
+    return np.concatenate(parts)
+
+
+def _somatic_snv_call_chunked(nlh, tlh, run_fn):
+    """run_fn over fixed position tiles; concatenated numpy result."""
+    L = nlh.shape[0]
+    if L <= _TILE_L:
+        res = run_fn(nlh, tlh)
+        return ss.SomaticSnvResult(*[np.asarray(x) for x in res])
+    parts = []
+    for t0 in range(0, L, _TILE_L):
+        t1 = min(t0 + _TILE_L, L)
+        rows = t1 - t0
+        n_t = np.zeros((_TILE_L,) + nlh.shape[1:], nlh.dtype)
+        t_t = np.zeros((_TILE_L,) + tlh.shape[1:], tlh.dtype)
+        n_t[:rows] = nlh[t0:t1]
+        t_t[:rows] = tlh[t0:t1]
+        res = run_fn(n_t, t_t)
+        parts.append(ss.SomaticSnvResult(
+            *[np.asarray(x)[:rows] for x in res]))
+    return ss.SomaticSnvResult(
+        *[np.concatenate([getattr(p, f) for p in parts])
+          for f in ss.SomaticSnvResult._fields])
 
 
 def _classify_indel_reads(ref_lnp, ind_lnp, n_nonambig, ln_rbm):
@@ -252,8 +301,8 @@ def call_somatic_region(
             theta=opt.bsnp_diploid_theta,
             sse_strand_fraction=opt.shared_site_error_strand_bias_fraction)
 
-    r1 = run_tier(lh[0], lh[1])
-    r2 = run_tier(lh_t2[0], lh_t2[1])
+    r1 = _somatic_snv_call_chunked(lh[0], lh[1], run_tier)
+    r2 = _somatic_snv_call_chunked(lh_t2[0], lh_t2[1], run_tier)
 
     q1 = np.asarray(r1.qphred)
     q2 = np.asarray(r2.qphred)
