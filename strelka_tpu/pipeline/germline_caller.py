@@ -59,6 +59,11 @@ class IndelCall:
     sample_dpi: list[int]
     sample_ploidy: list = None
     qual: int = 0
+    # more orthogonal alleles overlapped this locus than could be
+    # jointly genotyped (the reference emits such loci separately and
+    # marks them all IndelConflict, VariantOverlapResolver.cpp:446-459;
+    # we genotype the top-2 and mark the merged record)
+    is_conflict: bool = False
 
 
 @dataclass
@@ -384,6 +389,8 @@ def call_region(
             precomputed_scores=[sample_scores[s].get(gi)
                                 for s in range(n_samples)])
         if call is not None:
+            if len(loci[gi]) > len(group):
+                call.is_conflict = True
             indel_calls.append(call)
 
     return RegionCallResult(

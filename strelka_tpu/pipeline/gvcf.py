@@ -139,6 +139,7 @@ def gvcf_header(opt: GermlineOptions, chrom: str, chrom_len: int,
         '##FILTER=<ID=HighSNVSB,Description="Sample SNV strand bias value (SB) exceeds threshold">',
         '##FILTER=<ID=HighDPFRatio,Description="The fraction of basecalls filtered out at a site is greater than 0.4">',
         '##FILTER=<ID=NoPassedVariantGTs,Description="No samples at this locus pass all sample filters and have a variant genotype">',
+        '##FILTER=<ID=IndelConflict,Description="Indel genotypes from two or more loci conflict in at least one sample">',
         '##FILTER=<ID=HighDepth,Description="Locus depth is greater than 3x the mean chromosome depth">',
         '##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase set identifier">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
@@ -635,6 +636,8 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
             gt = _gt_string_indel(call.sample_gt[s], max(ploidy, 1), A)
         gqx = call.sample_gqx[s]
         filters = []
+        if call.is_conflict:
+            filters.append("IndelConflict")
         is_var_gt = (ploidy > 0 and
                      any(int(a) > 0 for a in
                          _gt_string_indel(call.sample_gt[s], max(ploidy, 1),
@@ -662,6 +665,8 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
             f"{','.join(map(str, call.sample_adr[s]))}:{fstr}:"
             f"{','.join(map(str, call.sample_pl[s]))}")
     locus_filter = "PASS" if any_pass_variant else "NoPassedVariantGTs"
+    if call.is_conflict:
+        locus_filter = "IndelConflict"
     line = (f"{result.chrom}\t{pos0 + 1}\t.\t{ref_str}\t{','.join(alts)}\t"
             f"{call.qual}\t{locus_filter}\t{info}\t{fmt}\t" + "\t".join(cols))
     var_lines.append(line)

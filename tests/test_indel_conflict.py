@@ -1,0 +1,64 @@
+"""IndelConflict marking: three orthogonal overlapping indel alleles
+exceed the jointly-genotypable limit (top-2), so the emitted locus is
+marked IndelConflict (VariantOverlapResolver semantics)."""
+import numpy as np
+
+from strelka_tpu.io.fasta import FastaReference, decode_bases
+from strelka_tpu.options import GermlineOptions
+from strelka_tpu.pipeline import germline_caller as gc
+from strelka_tpu.pipeline import gvcf
+
+from tests.test_pileup import make_batch
+
+
+def _write_fasta(path, codes):
+    seq = decode_bases(codes)
+    with open(path, "w") as f:
+        f.write(">t1\n")
+        for i in range(0, len(seq), 70):
+            f.write(seq[i:i + 70] + "\n")
+
+
+def test_three_overlapping_indels_marked_conflict(tmp_path):
+    rng = np.random.default_rng(5)
+    L = 2000
+    codes = rng.integers(0, 4, L).astype(np.uint8)
+    refs = decode_bases(codes)
+    fa = tmp_path / "t.fa"
+    _write_fasta(str(fa), codes)
+    ref = FastaReference(str(fa))
+
+    # three distinct insertion alleles at position 1000
+    p = 1000
+    reads = []
+    rl = 100
+    for ins in ("AA", "CC", "GG"):
+        for k in range(8):
+            st = p - 60 + 3 * k
+            seq = refs[st:p] + ins + refs[p:st + rl - len(ins)]
+            reads.append((st, f"{p - st}M{len(ins)}I{rl - (p - st) - len(ins)}M",
+                          seq, [35] * rl, 0, 60))
+    for k in range(10):  # ref support
+        st = p - 70 + 5 * k
+        reads.append((st, f"{rl}M", refs[st:st + rl], [35] * rl, 0, 60))
+    reads.sort(key=lambda r: r[0])
+    batch = make_batch(reads)
+
+    # active-region discovery caps haplotypes at the ploidy (2), so a
+    # third orthogonal allele arrives via the external candidate path
+    # (e.g. a Manta VCF) — the realistic route to an over-full locus
+    ext = tmp_path / "ext.vcf"
+    anchor = refs[p - 1]
+    ext.write_text("##fileformat=VCFv4.1\n"
+                   "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                   f"t1\t{p}\t.\t{anchor}\t{anchor}TT\t.\t.\t.\n")
+
+    opt = GermlineOptions()
+    result = gc.call_region(opt, ref, "t1", 0, L, [batch],
+                            external_indel_vcfs=[str(ext)])
+    conflicted = [c for c in result.indels if c.is_conflict]
+    assert conflicted, "3 orthogonal alleles should mark the locus"
+    # emitted record carries the filter
+    glines, vlines = gvcf.emit_region(opt, result, ["S1"])
+    rec = [l for l in vlines if "IndelConflict" in l]
+    assert rec, "\n".join(vlines[:5])
