@@ -353,7 +353,9 @@ def call_region(
     from . import realign_batch as rb
     sample_scores = [
         rb.score_loci_batched(kept[s], eas[s], levels[s], ref_codes,
-                              fetch_begin, groups_trimmed)
+                              fetch_begin, groups_trimmed,
+                              selection="overlap",
+                              min_bp_flank=opt.default_min_read_bp_flank)
         for s in range(n_samples)]
 
     # apply realignments (finishRealignment semantics): reads that
@@ -444,6 +446,20 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
         else:
             scores = realign.score_locus(kept[s], eas[s], levels[s],
                                          ref_codes, ref_offset, list(keys))
+        if scores is not None and scores.genotyping_mask is not None:
+            # breakpoint-overlap gate: only sufficiently-overlapping
+            # reads receive ReadPathScores for genotyping
+            gm = scores.genotyping_mask
+            if not gm.any():
+                scores = None
+            elif not gm.all():
+                scores = realign.LocusReadScores(
+                    read_rows=scores.read_rows[gm],
+                    allele_lhoods=scores.allele_lhoods[gm],
+                    read_len=scores.read_len[gm],
+                    n_nonambig=scores.n_nonambig[gm],
+                    is_fwd=scores.is_fwd[gm],
+                    n_suboverlap=scores.n_suboverlap)
         if scores is None:
             lh = np.zeros(ig.genotype_count(ploidy, A))
             ad = np.zeros(A, np.int32)

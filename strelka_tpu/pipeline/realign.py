@@ -42,6 +42,9 @@ class LocusReadScores:
     # win_begin + best_offsets[i, h] in hap coordinates)
     best_offsets: np.ndarray | None = None
     win_begin: int = 0
+    # [R] reads passing the breakpoint-overlap gate for genotyping
+    # (None = all); realignment still considers every scored read
+    genotyping_mask: np.ndarray | None = None
 
 
 def apply_indel_to_window(ref_window: np.ndarray, window_begin: int,

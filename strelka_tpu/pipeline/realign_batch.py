@@ -56,6 +56,7 @@ def score_loci_batched(
     tiers=(rd.MapLevel.TIER1,),
     use_pallas: bool | None = None,
     selection: str = "bracket",
+    min_bp_flank: int | None = None,
 ) -> dict[int, LocusReadScores]:
     """Score every locus's spanning reads against {ref}+alts.
 
@@ -193,6 +194,22 @@ def score_loci_batched(
             wi, next(r for r in R_BUCKETS if len(w.rows) <= r),
             _round_up(w.read_len_max, L_PAD))
         read_lens = np.diff(batch.seq_off)[w.rows]
+        gmask = None
+        n_subover = 0
+        if min_bp_flank is not None and offsets.get(wi) is not None:
+            # breakpoint-overlap gate on the scored placement of the
+            # first alt haplotype (score_locus post-filter semantics)
+            key0 = loci[w.locus_idx][0]
+            p = key0.pos - w.win_begin
+            rl = read_lens.astype(np.int64)
+            alt_off = offsets[wi][:, 1]
+            lrp = p - alt_off
+            rrp = lrp + key0.insert_length
+            lo = np.maximum(0, np.minimum(lrp, rl - lrp))
+            ro = np.maximum(0, np.minimum(rrp, rl - rrp))
+            bpo = np.maximum(lo, ro)
+            gmask = bpo >= min_bp_flank
+            n_subover = int((~gmask & (bpo > 0)).sum())
         out[w.locus_idx] = LocusReadScores(
             read_rows=w.rows,
             allele_lhoods=results[wi],
@@ -201,5 +218,7 @@ def score_loci_batched(
             is_fwd=(batch.flag[w.rows] & FLAG_REVERSE) == 0,
             best_offsets=offsets.get(wi),
             win_begin=w.win_begin,
+            genotyping_mask=gmask,
+            n_suboverlap=n_subover,
         )
     return out
