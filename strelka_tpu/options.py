@@ -18,6 +18,10 @@ class BaseOptions:
     min_qscore: int = 17                       # blt_shared.hh min_qscore default
     min_mapping_quality: int = 20              # workflow --min-mapping-quality default (minMapq ini)
     het_variant_frequency_extension: float = 0.0   # blt_shared.hh:91 (RNA mode: 0.45)
+    # RNA mode keeps the input soft-clipped alignment when it scores
+    # at least as well as the best unclipped candidate
+    # (starling_base_shared.hh:262 isRetainOptimalSoftClipping)
+    retain_optimal_soft_clipping: bool = False
     max_het_variant_frequency_increment: float = 0.0501  # blt_shared.hh:105
     max_win_mismatch: int = 2                  # MMDF: max mismatches
     max_win_mismatch_flank_size: int = 20      # in +/-20bp window (methods.tex:481)

@@ -85,6 +85,10 @@ class RegionCallResult:
     # (keep_indices, realigned kept batch) per sample when the caller
     # was asked to collect them (realigned-BAM output)
     realigned: list | None = None
+    # halo'd reference window + report-range offset within it, for
+    # context metrics (hpol/STR) that must see across segment edges
+    ref_halo: np.ndarray | None = None
+    halo_off: int = 0
 
 
 def snv_hpol(ref_codes: np.ndarray, pos: int) -> int:
@@ -365,7 +369,8 @@ def call_region(
     n_realigned_total = 0
     for s in range(n_samples):
         new_batch, n_re = ra.apply_realignments(
-            kept[s], sample_scores[s], groups_trimmed)
+            kept[s], sample_scores[s], groups_trimmed,
+            unroll_clips=not opt.retain_optimal_soft_clipping)
         if n_re:
             kept[s] = new_batch
             eas[s] = rd.expand_alignments(new_batch)
@@ -398,6 +403,7 @@ def call_region(
     return RegionCallResult(
         chrom=chrom, begin=begin, end=end,
         ref_codes=ref_codes[begin - fetch_begin:end - fetch_begin],
+        ref_halo=ref_codes, halo_off=begin - fetch_begin,
         samples=samples, indels=indel_calls,
         stats={"n_candidate_indels": len(cand_keys),
                "n_indel_records": len(store.records),

@@ -310,6 +310,8 @@ def emit_region(
                         site_ploidy_red[s][b:e], n_del_alleles)
 
     ref = result.ref_codes
+    hpol_ref = result.ref_halo if result.ref_halo is not None else ref
+    hpol_off = result.halo_off if result.ref_halo is not None else 0
     ref_list = ref.tolist()
     ref_chars = "ACGTN"
 
@@ -427,7 +429,7 @@ def emit_region(
             allele_map[a] = j + 1
         qual = max(int(sv[s]["q"][i]) for s in range(n_samples))
         qual = min(qual, int(site_qual_cap[i]))
-        hpol = snv_hpol(ref, i)
+        hpol = snv_hpol(hpol_ref, i + hpol_off)
         info = f"SNVHPOL={hpol}"
         mq_n = sum(int(result.samples[s].pileup.mapq_n[i]) for s in range(n_samples))
         mq_ss = sum(float(result.samples[s].pileup.mapq_sumsq[i]) for s in range(n_samples))
@@ -470,7 +472,8 @@ def emit_region(
                 # EVS replaces GQX and drives the LowGQX filter
                 # (ScoringModelManager.hh classify_site semantics)
                 feats = germline_snv_features(
-                    snv_forest, result.samples[s], i, snv_hpol(ref, i),
+                    snv_forest, result.samples[s], i,
+                    snv_hpol(hpol_ref, i + hpol_off),
                     int(sv[s]["q"][i]), alts[0] if alts else 0, sb)
                 evs = float(snv_forest.score_phred(feats[None])[0])
                 gqx = int(round(evs))
@@ -582,8 +585,10 @@ def germline_indel_features(forest, result, call: IndelCall, s: int,
                                float(adr.sum()) - alt_rev))
     sb = float(np.clip(sb_raw, -99.0, 99.0))
 
-    rc = result.ref_codes
-    b0 = call.pos - result.begin
+    rc = (result.ref_halo if result.ref_halo is not None
+          else result.ref_codes)
+    off = result.halo_off if result.ref_halo is not None else 0
+    b0 = call.pos - result.begin + off
     b1 = b0 + key.delete_length
     vals = {
         "GenotypeCategory": gt_cat,

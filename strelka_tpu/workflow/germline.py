@@ -102,7 +102,8 @@ def run_germline(argv=None) -> int:
         # strelkaGermlineWorkflow.py RNA branch: het-VF extension 0.45
         # + RNA scoring models
         opt = GermlineOptions(min_mapping_quality=args.min_mapping_quality,
-                              het_variant_frequency_extension=0.45)
+                              het_variant_frequency_extension=0.45,
+                              retain_optimal_soft_clipping=True)
         cfg = "/root/reference/src/config/empiricalVariantScoring/models/"
         rna_model = args.snv_scoring_model_file or cfg + "RNASNVScoringModels.json"
         rna_indel = (args.indel_scoring_model_file
