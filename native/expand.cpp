@@ -148,3 +148,106 @@ void expand_fill(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Active-region variant evidence + depth
+// (ActiveRegionReadBuffer::insert* weights; every variant-count call
+// also increments depth). Mirrors
+// pipeline/active_region.py variant_evidence exactly.
+void ar_evidence(
+    const int64_t* pos, const int8_t* level, const int64_t* seq_off,
+    const uint8_t* seq,
+    const int64_t* cig_off, const int8_t* cig_ops, const int32_t* cig_lens,
+    int64_t n_reads,
+    const uint8_t* ref, int64_t ref_len,
+    int64_t region_begin, int64_t region_end,
+    int64_t* counts, int64_t* depth)
+{
+    const int64_t L = region_end - region_begin;
+    std::memset(counts, 0, sizeof(int64_t) * L);
+    std::memset(depth, 0, sizeof(int64_t) * L);
+    constexpr int kMismatchWeight = 1;
+    constexpr int kIndelWeight = 4;
+
+    auto add = [&](int64_t g, int w)
+    {
+        const int64_t i = g - region_begin;
+        if (i < 0 || i >= L) return;
+        counts[i] += w;
+        depth[i] += 1;
+    };
+
+    for (int64_t r = 0; r < n_reads; ++r)
+    {
+        if (level[r] != 0 && level[r] != 1) continue;
+        const int64_t c0 = cig_off[r], c1 = cig_off[r + 1];
+        int64_t first_m = -1, last_m = -1;
+        for (int64_t c = c0; c < c1; ++c)
+            if (op_is_match(cig_ops[c])) { if (first_m < 0) first_m = c; last_m = c; }
+
+        int64_t read_p = 0, ref_p = pos[r], ref_end = pos[r];
+        const int64_t s0 = seq_off[r];
+        for (int64_t c = c0; c < c1; ++c)
+        {
+            const int8_t op = cig_ops[c];
+            const int32_t ln = cig_lens[c];
+            const bool edge = (c < first_m) || (c > last_m);
+            if (op_is_match(op))
+            {
+                for (int32_t j = 0; j < ln; ++j)
+                {
+                    const int64_t g = ref_p + j;
+                    const int64_t i = g - region_begin;
+                    if (i < 0 || i >= L) continue;
+                    depth[i] += 1;
+                    const uint8_t b = std::min<uint8_t>(seq[s0 + read_p + j], 4);
+                    const uint8_t fb =
+                        (i >= 0 && i < ref_len) ? std::min<uint8_t>(ref[i], 4) : 4;
+                    if (b != fb) counts[i] += kMismatchWeight;
+                }
+                ref_end = ref_p + ln;
+            }
+            else if (op == OP_I)
+            {
+                if (!edge)
+                {
+                    add(ref_p - 1, kIndelWeight);
+                    add(ref_p, kIndelWeight);
+                }
+            }
+            else if (op == OP_D)
+            {
+                if (!edge)
+                {
+                    for (int32_t j = 0; j < ln; ++j) add(ref_p + j, kIndelWeight);
+                    add(ref_p - 1, kIndelWeight);
+                }
+                ref_end = ref_p + ln;  // D refs; keep aligned-end below match-only
+            }
+            if (op_reads(op)) read_p += ln;
+            if (op_refs(op)) ref_p += ln;
+        }
+
+        // soft clips at the read edges
+        if (c1 > c0)
+        {
+            if (cig_ops[c0] == OP_S) add(pos[r] - 1, kIndelWeight);
+            if (cig_ops[c1 - 1] == OP_S)
+            {
+                // trailing clip sits at one past the last aligned ref pos
+                // (matches ExpandedAlignments.ref_end)
+                int64_t aligned_end = pos[r];
+                int64_t rp = pos[r];
+                for (int64_t c = c0; c < c1; ++c)
+                {
+                    if (op_is_match(cig_ops[c])) aligned_end = rp + cig_lens[c];
+                    if (op_refs(cig_ops[c])) rp += cig_lens[c];
+                }
+                add(aligned_end, kIndelWeight);
+            }
+        }
+    }
+}
+
+}  // extern "C"

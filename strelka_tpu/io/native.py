@@ -403,3 +403,43 @@ def expand_native(batch):
             i_read, i_refpos, i_readoff, i_len, i_edge.astype(bool),
             de_read, de_refpos, de_readoff, de_len, de_edge.astype(bool),
             ref_begin, ref_end, read_begin, read_end)
+
+
+def ar_evidence_native(batch, map_level, ref_codes, region_begin,
+                       region_end):
+    """Native active-region evidence/depth tracks (native/expand.cpp
+    ar_evidence); None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None or batch.n == 0:
+        return None
+    if not hasattr(lib, "_ar_bound"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.ar_evidence.restype = None
+        lib.ar_evidence.argtypes = [
+            i64p, i8p, i64p, u8p, i64p, i8p, i32p, ctypes.c_int64,
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p]
+        lib._ar_bound = True
+    pos = np.ascontiguousarray(batch.pos, dtype=np.int64)
+    level = np.ascontiguousarray(map_level, dtype=np.int8)
+    seq_off = np.ascontiguousarray(batch.seq_off, dtype=np.int64)
+    seq = np.ascontiguousarray(batch.seq, dtype=np.uint8)
+    cig_off = np.ascontiguousarray(batch.cig_off, dtype=np.int64)
+    cig_ops = np.ascontiguousarray(batch.cig_ops, dtype=np.int8)
+    cig_lens = np.ascontiguousarray(batch.cig_lens, dtype=np.int32)
+    ref = np.ascontiguousarray(ref_codes, dtype=np.uint8)
+    L = region_end - region_begin
+    counts = np.zeros(L, np.int64)
+    depth = np.zeros(L, np.int64)
+    lib.ar_evidence(
+        _p(pos, ctypes.c_int64), _p(level, ctypes.c_int8),
+        _p(seq_off, ctypes.c_int64), _p(seq, ctypes.c_uint8),
+        _p(cig_off, ctypes.c_int64), _p(cig_ops, ctypes.c_int8),
+        _p(cig_lens, ctypes.c_int32), batch.n,
+        _p(ref, ctypes.c_uint8), len(ref),
+        region_begin, region_end,
+        _p(counts, ctypes.c_int64), _p(depth, ctypes.c_int64))
+    return counts, depth

@@ -78,9 +78,22 @@ def anchor_mask(ref_codes: np.ndarray) -> np.ndarray:
 
 def variant_evidence(batch: ReadBatch, ea: rd.ExpandedAlignments,
                      map_level: np.ndarray, ref_codes: np.ndarray,
-                     region_begin: int, region_end: int):
-    """(variant_count, depth) per position, vectorized
-    (ActiveRegionReadBuffer insert* weights)."""
+                     region_begin: int, region_end: int,
+                     use_native: bool = True):
+    """(variant_count, depth) per position
+    (ActiveRegionReadBuffer insert* weights; every addVariantCount
+    call also increments the position depth, hh:263-268).
+
+    Evidence: mismatches +1 (char comparison — N read bases against a
+    called reference base DO count); non-edge insertions +4 at pos-1
+    and pos; non-edge deletions +4 at each deleted base and pos-1;
+    soft clips +4 at the clip position (insertSoftClipSegment)."""
+    if use_native and batch.n:
+        from ..io.native import ar_evidence_native
+        res = ar_evidence_native(batch, map_level, ref_codes,
+                                 region_begin, region_end)
+        if res is not None:
+            return res
     L = region_end - region_begin
     counts = np.zeros(L, dtype=np.int64)
     depth = np.zeros(L, dtype=np.int64)
@@ -90,18 +103,21 @@ def variant_evidence(batch: ReadBatch, ea: rd.ExpandedAlignments,
         (ea.match_refpos < region_end)
     mp = ea.match_refpos[msel] - region_begin
     np.add.at(depth, mp, 1)
-    base = batch.seq[batch.seq_off[ea.match_read[msel]] + ea.match_readoff[msel]]
-    refb = ref_codes[mp]
-    mm = (base != refb) & (base < 4) & (refb < 4)
+    base = np.minimum(
+        batch.seq[batch.seq_off[ea.match_read[msel]] + ea.match_readoff[msel]],
+        4)
+    refb = np.minimum(ref_codes[mp], 4)
+    mm = base != refb
     np.add.at(counts, mp[mm], MISMATCH_WEIGHT)
 
-    # insertions: +4 at pos-1 and pos
+    # insertions: +4 (and +1 depth) at pos-1 and pos
     isel = usable[ea.ins_read] & ~ea.ins_is_edge
     for off in (-1, 0):
         p = ea.ins_refpos[isel] + off - region_begin
         ok = (p >= 0) & (p < L)
         np.add.at(counts, p[ok], INDEL_WEIGHT)
-    # deletions: +4 at each deleted base and pos-1
+        np.add.at(depth, p[ok], 1)
+    # deletions: +4 (and +1 depth) at each deleted base and pos-1
     dsel = usable[ea.del_read] & ~ea.del_is_edge
     p = ea.del_refpos[dsel] - region_begin
     ok = (p >= 0) & (p < L)
@@ -111,6 +127,22 @@ def variant_evidence(batch: ReadBatch, ea: rd.ExpandedAlignments,
     p = ea.devent_refpos[desel] - 1 - region_begin
     ok = (p >= 0) & (p < L)
     np.add.at(counts, p[ok], INDEL_WEIGHT)
+    np.add.at(depth, p[ok], 1)
+
+    # soft clips: +4 (and +1 depth) at ref_head_pos-1 (leading) /
+    # ref_head_pos (trailing)
+    first = batch.cig_off[:-1]
+    last = batch.cig_off[1:] - 1
+    has = np.diff(batch.cig_off) > 0
+    rows = np.nonzero(has & usable)[0]
+    lead = rows[batch.cig_ops[first[rows]] == cg.SOFT_CLIP]
+    trail = rows[batch.cig_ops[last[rows]] == cg.SOFT_CLIP]
+    for sel, off_arr in ((lead, batch.pos[lead] - 1),
+                        (trail, ea.ref_end[trail])):
+        p = off_arr - region_begin
+        ok = (p >= 0) & (p < L)
+        np.add.at(counts, p[ok], INDEL_WEIGHT)
+        np.add.at(depth, p[ok], 1)
     return counts, depth
 
 

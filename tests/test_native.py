@@ -65,3 +65,27 @@ def test_expand_native_equivalence():
         python = rd.expand_alignments(batch, use_native=False)
         for f in native.__dataclass_fields__:
             assert np.array_equal(getattr(native, f), getattr(python, f)), f
+
+
+def test_ar_evidence_native_equivalence():
+    """native ar_evidence matches the numpy evidence tracks."""
+    import numpy as np
+
+    from strelka_tpu.io.bam import read_bam
+    from strelka_tpu.io.fasta import FastaReference
+    from strelka_tpu.pipeline import active_region as arp
+    from strelka_tpu.pipeline import reads as rd
+
+    ref = FastaReference("/root/reference/src/demo/data/demo20.fa")
+    L = ref.contig_length("demo20")
+    rc = ref.fetch("demo20", 0, L)
+    _, raw = read_bam("/root/reference/src/demo/data/NA12891_demo20.bam")
+    keep, level = rd.filter_and_classify_reads(raw, 20)
+    b = raw.select(keep)
+    ea = rd.expand_alignments(b)
+    cn, dn = arp.variant_evidence(b, ea, level[keep], rc, 0, L,
+                                  use_native=True)
+    cp, dp = arp.variant_evidence(b, ea, level[keep], rc, 0, L,
+                                  use_native=False)
+    assert np.array_equal(cn, cp)
+    assert np.array_equal(dn, dp)
