@@ -58,7 +58,20 @@ def collect_context_counts(
     from .candidates import estimated_depth, left_shift_indel
 
     L = end - begin
-    depth = estimated_depth(batch, ea, map_level, begin, end)
+    # counting-app pileup options: min_qscore 17 with a strict
+    # mismatch density filter (max 1 mismatch in a +/-100bp window,
+    # SequenceAlleleCountsOptions.hh:46-47); used-basecall depth
+    # replaces the raw spanning-read estimate when available
+    depth = None
+    if batch.n:
+        from ..io.native import pileup_native
+        res = pileup_native(batch, map_level, ref_codes,
+                            ref_offset, begin, end,
+                            min_qscore=17, mm_flank=100, mm_max=1)
+        if res is not None:
+            depth = res[0].used.sum(axis=1).astype(np.int64)
+    if depth is None:
+        depth = estimated_depth(batch, ea, map_level, begin, end)
     tracks = str_context_tracks(ref_codes[begin - ref_offset:end - ref_offset])
 
     # indel observations per position x signal type
