@@ -249,7 +249,9 @@ def call_somatic_region(
             break
         sscores = rb.score_loci_batched(kept[s], eas[s], levels[s], ref_all,
                                         fetch_begin, loci_single,
-                                        selection="overlap")
+                                        selection="overlap",
+                                        tiers=(rd.MapLevel.TIER1,
+                                               rd.MapLevel.TIER2))
         new_batch, n_re = ra.apply_realignments(kept[s], sscores, loci_single)
         if n_re:
             kept[s] = new_batch

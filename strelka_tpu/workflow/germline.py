@@ -206,9 +206,6 @@ def run_germline(argv=None) -> int:
 
     continuous_chroms = set(args.call_continuous_vf or [])
 
-    # per-sample realigned-read fragments collected in this process
-    realigned_parts: list[list] = [[] for _ in range(n_samples)]
-
     def task_fn(group):
         lines_v = []
         lines_g = [[] for _ in range(n_samples)]
@@ -236,12 +233,20 @@ def run_germline(argv=None) -> int:
                 ploidy_vcf=args.ploidy_region_vcf,
                 collect_realigned=args.output_realigned_bam)
             if result.realigned is not None:
+                # write per-segment realigned fragments to the
+                # workspace so multi-process workers contribute too;
+                # the merge step concatenates them in segment order
                 from ..io.bam import scatter_rewrites
+                from ..io.bam_writer import write_bam
+                os.makedirs(workspace, exist_ok=True)
                 for si in range(n_samples):
                     keep_idx, kb = result.realigned[si]
                     full = scatter_rewrites(batches[si], keep_idx, kb)
                     sel = (full.pos >= seg.begin) & (full.pos < seg.end)
-                    realigned_parts[si].append(full.select(sel))
+                    frag = os.path.join(
+                        workspace,
+                        f"seg_{seg.label}.S{si + 1}.realigned.bam")
+                    write_bam(frag, headers[si], full.select(sel))
             gl, vl = gvcf.emit_region(opt, result, sample_names,
                                       chrom_depth=chrom_depth.get(seg.chrom),
                                       snv_forest=snv_forest,
@@ -303,13 +308,19 @@ def run_germline(argv=None) -> int:
                        gvcf.gvcf_header(opt, chrom0, clen0, [sample_names[si]]),
                        lambda gi, si=si: f"seg_{gi:06d}.S{si+1}.gvcf")
 
-    if args.output_realigned_bam and any(realigned_parts):
+    if args.output_realigned_bam:
         from ..io.bam import concat_batches
         from ..io.bam_writer import write_bam
         for si in range(n_samples):
-            if not realigned_parts[si]:
+            frags = []
+            for seg in segments:
+                frag = os.path.join(
+                    workspace, f"seg_{seg.label}.S{si + 1}.realigned.bam")
+                if os.path.exists(frag):
+                    frags.append(read_bam(frag)[1])
+            if not frags:
                 continue
-            merged = concat_batches(realigned_parts[si])
+            merged = concat_batches(frags)
             out_bam = os.path.join(args.output_dir,
                                    f"realigned.S{si + 1}.bam")
             write_bam(out_bam, headers[si], merged)
