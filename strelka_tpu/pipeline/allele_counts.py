@@ -113,6 +113,34 @@ def collect_context_counts(
     return out
 
 
+def save_context_counts(path: str, counts: dict) -> None:
+    """Serialize a context-counts dict to an .npz (the reference's
+    binary counts file, SequenceAlleleCounts boost serialization)."""
+    arrays = {}
+    for (ps, rc), cc in counts.items():
+        key = f"{ps}_{rc}"
+        arrays[f"ref_{key}"] = cc.ref_obs
+        arrays[f"alt_{key}"] = cc.alt_obs
+        arrays[f"n_{key}"] = cc.instance_count
+    np.savez_compressed(path, **arrays)
+
+
+def load_context_counts(path: str) -> dict:
+    """Inverse of save_context_counts."""
+    from ..models.error_fit import ContextCounts
+    data = np.load(path)
+    out = {}
+    for name in data.files:
+        if not name.startswith("ref_"):
+            continue
+        key = name[4:]
+        ps, rc = (int(x) for x in key.split("_"))
+        out[(ps, rc)] = ContextCounts(
+            ref_obs=data[f"ref_{key}"], alt_obs=data[f"alt_{key}"],
+            instance_count=data[f"n_{key}"])
+    return out
+
+
 def merge_context_counts(all_counts: list[dict]) -> dict:
     """Merge per-segment count dicts (MergeSequenceAlleleCounts)."""
     merged: dict[tuple[int, int], list] = {}

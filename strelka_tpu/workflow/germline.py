@@ -170,6 +170,10 @@ def run_germline(argv=None) -> int:
                 if total_instances >= args.error_count_target:
                     break  # dynamic early stop
             merged = ac.merge_context_counts(per_region)
+            ac.save_context_counts(
+                os.path.join(args.output_dir,
+                             f"sequenceAlleleCounts.Sample{si:03d}.npz"),
+                merged)
             model, ok = estimate_indel_error_model(
                 merged, sample_name=f"Sample{si:03d}")
             path = os.path.join(args.output_dir,

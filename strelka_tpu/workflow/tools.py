@@ -173,13 +173,68 @@ def merge_chrom_depth(in_paths: list[str], out_path: str) -> None:
                 out.write(f.read())
 
 
+def get_region_depth(bam_path: str, region: str) -> float:
+    """GetRegionDepth analog: chrom-depth estimator restricted to one
+    region (chrom[:beg-end])."""
+    import numpy as np
+
+    from ..io.bam import read_bam
+    hdr, batch = read_bam(bam_path)
+    if ":" in region:
+        chrom, rng = region.split(":")
+        beg, end = (int(x) for x in rng.replace(",", "").split("-"))
+        beg -= 1
+    else:
+        chrom = region
+        beg = 0
+        end = hdr.ref_lengths[hdr.tid_of(chrom)]
+    tid = hdr.tid_of(chrom)
+    sel = (np.asarray(batch.tid) == tid) & (batch.pos >= beg) & \
+        (batch.pos < end)
+    return chrom_depth_estimate(batch.select(sel), end)
+
+
+def dump_counts(path: str) -> None:
+    """DumpSequenceAlleleCounts analog: readable summary of a counts
+    file."""
+    from ..pipeline.allele_counts import load_context_counts
+    counts = load_context_counts(path)
+    for (ps, rc) in sorted(counts):
+        cc = counts[(ps, rc)]
+        n_alt = int(cc.alt_obs.sum())
+        print(f"pattern_size={ps} repeat_count={rc} "
+              f"instances={cc.total_instances} "
+              f"distinct_patterns={len(cc.ref_obs)} alt_obs={n_alt}")
+
+
+def merge_counts(in_paths: list[str], out_path: str) -> None:
+    """MergeSequenceAlleleCounts analog."""
+    from ..pipeline.allele_counts import (load_context_counts,
+                                          merge_context_counts,
+                                          save_context_counts)
+    merged = merge_context_counts([load_context_counts(p)
+                                   for p in in_paths])
+    save_context_counts(out_path, merged)
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         print("tools: extract-indel-candidates | sort-vcf | "
-              "update-nopassed-filter | merge-chrom-depth", file=sys.stderr)
+              "update-nopassed-filter | merge-chrom-depth | "
+              "get-region-depth | dump-counts | merge-counts",
+              file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
+    if cmd == "get-region-depth":
+        print(f"{rest[1]}\t{get_region_depth(rest[0], rest[1]):.3f}")
+        return 0
+    if cmd == "dump-counts":
+        dump_counts(rest[0])
+        return 0
+    if cmd == "merge-counts":
+        merge_counts(rest[:-1], rest[-1])
+        return 0
     if cmd == "extract-indel-candidates":
         n = extract_small_indel_candidates(rest[0], rest[1])
         print(f"kept {n} candidate records", file=sys.stderr)
