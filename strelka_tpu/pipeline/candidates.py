@@ -166,6 +166,17 @@ class IndelObservationStore:
     def __init__(self, n_samples: int):
         self.n_samples = n_samples
         self.records: dict[IndelKey, IndelRecord] = {}
+        # open breakpoint observations from oversized read indels:
+        # (pos, side) -> per-sample supporting read counts, where side
+        # is "L" (BP_LEFT) or "R" (BP_RIGHT)
+        # (starling_pos_processor_indel_util.cpp :200-288 converts
+        # indels larger than max_indel_size into breakpoint pairs)
+        self.breakpoints: dict[tuple[int, str], list[int]] = {}
+
+    def add_breakpoint(self, pos: int, side: str, sample: int) -> None:
+        counts = self.breakpoints.setdefault((pos, side),
+                                             [0] * self.n_samples)
+        counts[sample] += 1
 
     def _get(self, key: IndelKey) -> IndelRecord:
         rec = self.records.get(key)
@@ -204,8 +215,9 @@ def extract_read_indels(
 
     Edge (unanchored) indels are skipped, like the reference's edge
     handling in the alignment walkthrough; indels above max_indel_size
-    become no observations (the reference converts them to breakpoints;
-    breakpoint alleles are out of scope for primitive genotyping).
+    are recorded as open breakpoint (BP_LEFT/BP_RIGHT) observations —
+    they never genotype as primitive alleles but are tracked for
+    diagnostics and realignment exclusion.
     """
     # insertions
     for i in range(len(ea.ins_read)):
@@ -213,6 +225,9 @@ def extract_read_indels(
             continue
         length = int(ea.ins_len[i])
         if length > max_indel_size:
+            p = int(ea.ins_refpos[i])
+            store.add_breakpoint(p, "L", sample_index)
+            store.add_breakpoint(p, "R", sample_index)
             continue
         r = int(ea.ins_read[i])
         seq = batch.seq[batch.seq_off[r] + ea.ins_readoff[i]:
@@ -228,6 +243,9 @@ def extract_read_indels(
             continue
         length = int(ea.devent_len[i])
         if length > max_indel_size:
+            p = int(ea.devent_refpos[i])
+            store.add_breakpoint(p, "L", sample_index)
+            store.add_breakpoint(p + length, "R", sample_index)
             continue
         r = int(ea.devent_read[i])
         pos, dlen, ins = left_shift_indel(int(ea.devent_refpos[i]), length,

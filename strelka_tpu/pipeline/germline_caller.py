@@ -407,6 +407,7 @@ def call_region(
         samples=samples, indels=indel_calls,
         stats={"n_candidate_indels": len(cand_keys),
                "n_indel_records": len(store.records),
+               "n_breakpoint_obs": len(store.breakpoints),
                "n_realigned_reads": n_realigned_total},
         snv_hap_ids=snv_hap_ids, indel_hap_ids=indel_hap_ids,
         phase_set_of_pos=phase_set_of_pos,

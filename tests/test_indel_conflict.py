@@ -62,3 +62,28 @@ def test_three_overlapping_indels_marked_conflict(tmp_path):
     glines, vlines = gvcf.emit_region(opt, result, ["S1"])
     rec = [l for l in vlines if "IndelConflict" in l]
     assert rec, "\n".join(vlines[:5])
+
+
+def test_oversized_indel_becomes_breakpoints(tmp_path):
+    """Indels beyond max_indel_size record BP_LEFT/BP_RIGHT
+    observations instead of primitive alleles."""
+    from strelka_tpu.pipeline import candidates as cand
+    from strelka_tpu.pipeline import reads as rd
+
+    rng = np.random.default_rng(9)
+    L = 1000
+    codes = rng.integers(0, 4, L).astype(np.uint8)
+    refs = decode_bases(codes)
+    # read with a 60bp deletion (max_indel_size 49)
+    rl = 100
+    seq = refs[300:350] + refs[410:460]
+    reads = [(300, "50M60D50M", seq, [35] * rl, 0, 60)]
+    batch = make_batch(reads)
+    keep, level = rd.filter_and_classify_reads(batch, 20)
+    ea = rd.expand_alignments(batch)
+    store = cand.IndelObservationStore(1)
+    cand.extract_read_indels(batch, ea, level, codes, 0, store, 0, 49)
+    assert not store.records, "oversized indel must not become an allele"
+    assert (350, "L") in store.breakpoints
+    assert (410, "R") in store.breakpoints
+    assert store.breakpoints[(350, "L")] == [1]
