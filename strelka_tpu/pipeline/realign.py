@@ -136,11 +136,15 @@ def score_locus(
         rows = select_overlapping_reads(ea, map_level, key0.pos,
                                         key0.right_pos, tiers=tiers)
     else:
-        rows, n_suboverlap = select_overlapping_reads(
-            ea, map_level, key0.pos, key0.right_pos, tiers=tiers,
-            min_bp_flank=min_bp_flank, insert_len=key0.insert_length,
-            unclipped_begin=rd.unclipped_read_starts(batch),
-            read_len=np.diff(batch.seq_off))
+        # admit every read whose unclipped span touches the indel —
+        # the breakpoint-overlap gate runs on the SCORED placement of
+        # the with-indel haplotype below, exactly as the reference
+        # tests the most likely candidate alignment
+        ub = rd.unclipped_read_starts(batch)
+        rl_full = np.diff(batch.seq_off)
+        in_tier = np.isin(map_level, tiers)
+        touch = (ub < key0.right_pos + 1) & (ub + rl_full > key0.pos - 1)
+        rows = np.nonzero(in_tier & touch)[0]
     if len(rows) == 0:
         return None
     if len(rows) > max_reads:
