@@ -611,6 +611,13 @@ def germline_indel_features(forest, result, call: IndelCall, s: int,
         # not in an active region (haplotype count ratios are not
         # tracked per locus yet)
         "NormalizedAltHaplotypeCountRatio": -1.0,
+        # RNA indel feature set (rnaVariantEmpiricalScoringFeatures.hh)
+        "SampleRefAlleleDepth": float(ad[0]),
+        "SamplePrimaryAltAlleleDepth": float(ad[primary_alt]),
+        "VariantAlleleQuality": float(call.qual),
+        "SampleRefRepeatCount": float(rec.ref_repeat_count),
+        # per-read indel edge distances are not tracked per locus
+        "SampleIndelMeanDistanceFromReadEdge": 0.0,
     }
     return np.array([vals.get(name, 0.0) for name in forest.features])
 
