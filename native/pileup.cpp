@@ -231,7 +231,9 @@ int32_t pileup_fill(
     // per-position outputs [L] (+ [L,4] counts)
     int32_t* spandel, int32_t* submapped, int32_t* mapq_n,
     double* mapq_sumsq, int32_t* mapq_zero,
-    int32_t* used_counts, int32_t* used_fwd_counts)
+    int32_t* used_counts, int32_t* used_fwd_counts,
+    int64_t* edge_dist_sum /* [L], sum of min-dist-from-read-edge over
+                              used calls; may be null */)
 {
     ReadView rv{pos, mapq, flag, level, seq_off, seq, qual, cig_off,
                 cig_ops, cig_lens, n_reads};
@@ -313,6 +315,13 @@ int32_t pileup_fill(
                     {
                         used_counts[li * 4 + b]++;
                         if (fwd) used_fwd_counts[li * 4 + b]++;
+                    }
+                    if (used && edge_dist_sum)
+                    {
+                        const int64_t rsize = seq_off[r + 1] - seq_off[r];
+                        const int64_t tail = rsize - 1 - rp;
+                        edge_dist_sum[li] +=
+                            std::min(rp, std::max<int64_t>(tail, 0));
                     }
                 }
             }

@@ -241,7 +241,7 @@ def pileup_native(batch, level, ref_codes, ref_offset,
             i64p, ctypes.c_int64,
             ctypes.c_int32, i32p,
             i32p, i32p, i32p, u8p, i64p, i64p, u8p, u8p, u8p,
-            i32p, i32p, i32p, f64p, i32p, i32p, i32p]
+            i32p, i32p, i32p, f64p, i32p, i32p, i32p, i64p]
         lib._pileup_bound = True
 
     L = region_end - region_begin
@@ -295,6 +295,7 @@ def pileup_native(batch, level, ref_codes, ref_offset,
     mapq_zero = np.zeros(L, np.int32)
     used_counts = np.zeros((L, 4), np.int32)
     used_fwd = np.zeros((L, 4), np.int32)
+    edge_sum = np.zeros(L, np.int64)
     slot = np.zeros(L, np.int32)
 
     rc = lib.pileup_fill(
@@ -313,7 +314,8 @@ def pileup_native(batch, level, ref_codes, ref_offset,
         _p(spandel, ctypes.c_int32), _p(submapped, ctypes.c_int32),
         _p(mapq_n, ctypes.c_int32), _p(mapq_sumsq, ctypes.c_double),
         _p(mapq_zero, ctypes.c_int32),
-        _p(used_counts, ctypes.c_int32), _p(used_fwd, ctypes.c_int32))
+        _p(used_counts, ctypes.c_int32), _p(used_fwd, ctypes.c_int32),
+        _p(edge_sum, ctypes.c_int64))
     if rc != 0:
         return None
     t_ridx[t_valid == 0] = -1
@@ -325,6 +327,7 @@ def pileup_native(batch, level, ref_codes, ref_offset,
         tier2_used=t_t2used.astype(bool), spandel=spandel,
         submapped=submapped, mapq_n=mapq_n, mapq_sumsq=mapq_sumsq,
         mapq_zero=mapq_zero, _used_counts=used_counts,
+        edge_dist_sum=edge_sum,
     ), used_fwd
 
 

@@ -172,16 +172,22 @@ def call_sample_sites(
         np.add.at(fwd_counts, (li, pu.base_id[li, di]), 1)
     dpf = (pu.valid & ~pu.used).sum(axis=1).astype(np.int32)
     # mean min-distance from read edge over used calls (EVS feature
-    # SampleMeanDistanceFromReadEdge)
-    rlens = np.diff(batch.seq_off) if batch.n else np.zeros(0, np.int64)
-    ridx = np.maximum(pu.read_idx, 0)
-    rl_t = rlens[ridx] if batch.n else np.zeros_like(ridx)
-    dist_t = np.minimum(pu.read_off, np.maximum(rl_t - 1 - pu.read_off, 0))
-    used_n = pu.used.sum(axis=1)
-    with np.errstate(invalid="ignore"):
-        mean_dist = np.where(
-            used_n > 0,
-            (dist_t * pu.used).sum(axis=1) / np.maximum(used_n, 1), 0.0)
+    # SampleMeanDistanceFromReadEdge); the native pileup accumulates
+    # the sum in its fill pass
+    used_n = counts.sum(axis=1)
+    if pu.edge_dist_sum is not None:
+        mean_dist = np.where(used_n > 0,
+                             pu.edge_dist_sum / np.maximum(used_n, 1), 0.0)
+    else:
+        rlens = np.diff(batch.seq_off) if batch.n else np.zeros(0, np.int64)
+        ridx = np.maximum(pu.read_idx, 0)
+        rl_t = rlens[ridx] if batch.n else np.zeros_like(ridx)
+        dist_t = np.minimum(pu.read_off,
+                            np.maximum(rl_t - 1 - pu.read_off, 0))
+        with np.errstate(invalid="ignore"):
+            mean_dist = np.where(
+                used_n > 0,
+                (dist_t * pu.used).sum(axis=1) / np.maximum(used_n, 1), 0.0)
     return SampleSiteData(pileup=pu, snv=snv, used_counts=counts,
                           used_fwd_counts=fwd_counts, dpf=dpf,
                           mean_edge_dist=mean_dist)

@@ -59,6 +59,9 @@ class PileupRegion:
     mapq_sumsq: np.ndarray   # [L] sum of squared mapq (for RMS)
     mapq_zero: np.ndarray    # [L] count of mapq==0
     _used_counts: np.ndarray | None = None  # cached [L, 4]
+    # [L] sum of min-distance-from-read-edge over used calls (filled
+    # by the native pileup; None -> compute from tiles)
+    edge_dist_sum: np.ndarray | None = None
 
     @property
     def max_depth(self) -> int:
