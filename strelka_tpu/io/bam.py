@@ -94,24 +94,22 @@ class ReadBatch:
         out.names = [self.names[i] for i in idx]
         for fld in ("tid", "pos", "mapq", "flag", "mate_tid", "mate_pos", "tlen"):
             setattr(out, fld, getattr(self, fld)[idx])
-        # rebuild ragged arrays
-        seq_parts, qual_parts, op_parts, len_parts = [], [], [], []
-        seq_off = [0]
-        cig_off = [0]
-        for i in idx:
-            seq_parts.append(self.get_seq(i))
-            qual_parts.append(self.get_qual(i))
-            o, l = self.get_cigar(i)
-            op_parts.append(o)
-            len_parts.append(l)
-            seq_off.append(seq_off[-1] + len(seq_parts[-1]))
-            cig_off.append(cig_off[-1] + len(o))
-        out.seq = np.concatenate(seq_parts) if seq_parts else np.empty(0, np.uint8)
-        out.qual = np.concatenate(qual_parts) if qual_parts else np.empty(0, np.uint8)
-        out.cig_ops = np.concatenate(op_parts) if op_parts else np.empty(0, np.int8)
-        out.cig_lens = np.concatenate(len_parts) if len_parts else np.empty(0, np.int32)
-        out.seq_off = np.array(seq_off, dtype=np.int64)
-        out.cig_off = np.array(cig_off, dtype=np.int64)
+
+        def ragged_gather(data, off):
+            lens = (off[idx + 1] - off[idx]).astype(np.int64)
+            new_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            total = int(new_off[-1])
+            if total == 0:
+                return data[:0].copy(), new_off
+            # flat gather indices: start_i + within-row offset
+            gi = np.repeat(off[idx].astype(np.int64), lens) \
+                + (np.arange(total) - np.repeat(new_off[:-1], lens))
+            return data[gi], new_off
+
+        out.seq, out.seq_off = ragged_gather(self.seq, self.seq_off)
+        out.qual, _ = ragged_gather(self.qual, self.seq_off)
+        out.cig_ops, out.cig_off = ragged_gather(self.cig_ops, self.cig_off)
+        out.cig_lens, _ = ragged_gather(self.cig_lens, self.cig_off)
         return out
 
 
