@@ -127,23 +127,31 @@ def score_loci_batched(
         if cached is not None and cached[0].shape == (Rb, Lb):
             return cached
         w = work[wi]
-        codes = np.full((Rb, Lb), 4, dtype=np.int8)
-        delta = np.zeros((Rb, Lb), dtype=np.float32)
+        rows = np.asarray(w.rows, dtype=np.int64)
+        R = len(rows)
+        lens = (batch.seq_off[rows + 1] - batch.seq_off[rows]).astype(np.int64)
+        total = int(lens.sum())
+        # flat gather (source) and scatter (padded-tile) indices
+        prev = np.concatenate([[0], np.cumsum(lens[:-1])])
+        within = np.arange(total) - np.repeat(prev, lens)
+        gi = np.repeat(batch.seq_off[rows].astype(np.int64), lens) + within
+        dst = np.repeat(np.arange(R) * Lb, lens) + within
+        s = batch.seq[gi]
+        q = batch.qual[gi].astype(np.float32)
+        e = np.clip(np.power(10.0, -q / 10.0), 1e-35, 0.75)
+        lm = np.log1p(-e)
+        lmis = np.log(e / 3.0)
+        isb = s < 4
+        codes = np.full(Rb * Lb, 4, dtype=np.int8)
+        delta = np.zeros(Rb * Lb, dtype=np.float32)
+        codes[dst] = np.where(isb, s, 4)
+        delta[dst] = np.where(isb, lm - lmis, 0.0)
+        row_of = np.repeat(np.arange(R), lens)
         lnmis = np.zeros(Rb, dtype=np.float32)
+        np.add.at(lnmis, row_of, np.where(isb, lmis, 0.0).astype(np.float32))
         nvalid = np.zeros(Rb, dtype=np.int32)
-        for i, r in enumerate(w.rows):
-            s = batch.get_seq(r)
-            q = batch.get_qual(r).astype(np.float32)
-            n = len(s)
-            e = np.clip(np.power(10.0, -q / 10.0), 1e-35, 0.75)
-            lm = np.log1p(-e)
-            lmis = np.log(e / 3.0)
-            isb = s < 4
-            codes[i, :n] = np.where(isb, s, 4)
-            delta[i, :n] = np.where(isb, lm - lmis, 0.0)
-            lnmis[i] = np.where(isb, lmis, 0.0).sum()
-            nvalid[i] = int(isb.sum())
-        out = (codes, delta, lnmis, nvalid)
+        np.add.at(nvalid, row_of, isb.astype(np.int32))
+        out = (codes.reshape(Rb, Lb), delta.reshape(Rb, Lb), lnmis, nvalid)
         read_cache[wi] = out
         return out
 
