@@ -226,7 +226,7 @@ int32_t pileup_fill(
     int32_t* slot,
     // tile outputs [L, D]
     int32_t* t_base, int32_t* t_qual, int32_t* t_rawq, uint8_t* t_fwd,
-    int64_t* t_ridx, int64_t* t_roff, uint8_t* t_valid, uint8_t* t_used,
+    int32_t* t_ridx, int32_t* t_roff, uint8_t* t_valid, uint8_t* t_used,
     uint8_t* t_t2used,
     // per-position outputs [L] (+ [L,4] counts)
     int32_t* spandel, int32_t* submapped, int32_t* mapq_n,
@@ -298,8 +298,8 @@ int32_t pileup_fill(
                     t_qual[ti] = adjq;
                     t_rawq[ti] = rawq;
                     t_fwd[ti] = fwd;
-                    t_ridx[ti] = r;
-                    t_roff[ti] = rp;
+                    t_ridx[ti] = (int32_t)r;
+                    t_roff[ti] = (int32_t)rp;
                     t_valid[ti] = 1;
                     bool filt = (b == 4) || (rawq < min_qscore);
                     bool t2filt = filt;

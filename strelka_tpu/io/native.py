@@ -240,7 +240,7 @@ def pileup_native(batch, level, ref_codes, ref_offset,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             i64p, ctypes.c_int64,
             ctypes.c_int32, i32p,
-            i32p, i32p, i32p, u8p, i64p, i64p, u8p, u8p, u8p,
+            i32p, i32p, i32p, u8p, i32p, i32p, u8p, u8p, u8p,
             i32p, i32p, i32p, f64p, i32p, i32p, i32p, i64p]
         lib._pileup_bound = True
 
@@ -283,8 +283,8 @@ def pileup_native(batch, level, ref_codes, ref_offset,
     t_qual = tile(np.int32)
     t_rawq = tile(np.int32)
     t_fwd = tile(np.uint8)
-    t_ridx = tile(np.int64)
-    t_roff = tile(np.int64)
+    t_ridx = tile(np.int32)
+    t_roff = tile(np.int32)
     t_valid = tile(np.uint8)
     t_used = tile(np.uint8)
     t_t2used = tile(np.uint8)
@@ -308,7 +308,7 @@ def pileup_native(batch, level, ref_codes, ref_offset,
         D, _p(slot, ctypes.c_int32),
         _p(t_base, ctypes.c_int32), _p(t_qual, ctypes.c_int32),
         _p(t_rawq, ctypes.c_int32), _p(t_fwd, ctypes.c_uint8),
-        _p(t_ridx, ctypes.c_int64), _p(t_roff, ctypes.c_int64),
+        _p(t_ridx, ctypes.c_int32), _p(t_roff, ctypes.c_int32),
         _p(t_valid, ctypes.c_uint8), _p(t_used, ctypes.c_uint8),
         _p(t_t2used, ctypes.c_uint8),
         _p(spandel, ctypes.c_int32), _p(submapped, ctypes.c_int32),
