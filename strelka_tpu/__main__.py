@@ -6,6 +6,7 @@ Reference analog: the configureStrelka*Workflow.py entry scripts.
   python -m strelka_tpu somatic --reference ... --normal-align-file ...
   python -m strelka_tpu denovo --proband ... --mother ... --father ...
   python -m strelka_tpu noise-extractor --reference ... --align-file ...
+  python -m strelka_tpu tools <cmd> ...
 """
 from __future__ import annotations
 
@@ -30,6 +31,9 @@ def main(argv=None) -> int:
     if cmd == "noise-extractor":
         from .workflow.noise_extractor import run_noise_extractor
         return run_noise_extractor(rest)
+    if cmd == "tools":
+        from .workflow.tools import main as tools_main
+        return tools_main(rest)
     print(f"unknown command: {cmd}\n{__doc__}", file=sys.stderr)
     return 2
 
