@@ -227,6 +227,7 @@ def emit_region(
     chrom_depth: float | None = None,
     snv_forest=None,
     indel_forest=None,
+    nocompress_mask=None,
 ):
     """Returns (per-sample gvcf line lists, variants vcf line list)."""
     n_samples = len(result.samples)
@@ -391,8 +392,11 @@ def emit_region(
                 gqx = ps["gqx"][i]
                 covered = dp + dpf > 0
                 fstr = _FSTR[ps["fcode"][i]]
-                if not ps["nonref_ok"][i]:
+                if not ps["nonref_ok"][i] or (
+                        nocompress_mask is not None and nocompress_mask[i]):
                     # emit single-site record outside blocks
+                    # (gvcf_compressor nocompress-bed positions are
+                    # always emitted individually)
                     blocks[s].flush(chrom, gvcf_lines[s], block_label)
                     gvcf_lines[s].append(
                         f"{chrom}\t{pos + 1}\t.\t{ref_base}\t.\t.\t{fstr}\t.\t"

@@ -75,6 +75,12 @@ def run_germline(argv=None) -> int:
     p.add_argument("--max-region-size", type=int, default=1_000_000)
     p.add_argument("--exome", action="store_true",
                    help="disable depth filters (exome/targeted mode)")
+    p.add_argument("--call-regions-bed", default=None,
+                   help="BED of regions to call (everything else is "
+                        "skipped; reference --callRegions)")
+    p.add_argument("--nocompress-bed", default=None,
+                   help="BED of positions always emitted as individual "
+                        "gVCF sites (reference --noCompress)")
     p.add_argument("--call-continuous-vf", action="append", default=None,
                    help="chromosome(s) to call in continuous "
                         "variant-frequency mode (e.g. chrM)")
@@ -126,6 +132,29 @@ def run_germline(argv=None) -> int:
 
     regions = ([parse_region(r, ref) for r in args.region] if args.region
                else [(c, 0, ref.contig_length(c)) for c in ref.contig_names])
+    if args.call_regions_bed:
+        from ..io.bed import read_bed
+        bed_by_chrom: dict[str, list] = {}
+        for rec in read_bed(args.call_regions_bed):
+            bed_by_chrom.setdefault(rec.chrom, []).append((rec.begin, rec.end))
+        clipped = []
+        for chrom, beg, end in regions:
+            for b0, e0 in sorted(bed_by_chrom.get(chrom, [])):
+                lo, hi = max(beg, b0), min(end, e0)
+                if lo < hi:
+                    clipped.append((chrom, lo, hi))
+        regions = clipped
+        if not regions:
+            print("call-regions BED leaves nothing to call",
+                  file=sys.stderr)
+            return 0
+
+    nocompress_by_chrom: dict[str, list] = {}
+    if args.nocompress_bed:
+        from ..io.bed import read_bed
+        for rec in read_bed(args.nocompress_bed):
+            nocompress_by_chrom.setdefault(rec.chrom, []).append(
+                (rec.begin, rec.end))
 
     sample_names = []
     batches_per_chrom: dict[str, list] = {}
@@ -251,10 +280,19 @@ def run_germline(argv=None) -> int:
                         workspace,
                         f"seg_{seg.label}.S{si + 1}.realigned.bam")
                     write_bam(frag, headers[si], full.select(sel))
+            nc_mask = None
+            ncs = nocompress_by_chrom.get(seg.chrom)
+            if ncs:
+                nc_mask = np.zeros(seg.end - seg.begin, dtype=bool)
+                for b0, e0 in ncs:
+                    lo, hi = max(seg.begin, b0), min(seg.end, e0)
+                    if lo < hi:
+                        nc_mask[lo - seg.begin:hi - seg.begin] = True
             gl, vl = gvcf.emit_region(opt, result, sample_names,
                                       chrom_depth=chrom_depth.get(seg.chrom),
                                       snv_forest=snv_forest,
-                                      indel_forest=indel_forest)
+                                      indel_forest=indel_forest,
+                                      nocompress_mask=nc_mask)
             lines_v.extend(vl)
             for si in range(n_samples):
                 lines_g[si].extend(gl[si])
