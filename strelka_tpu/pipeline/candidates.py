@@ -100,6 +100,10 @@ def set_repeat_info(rec: IndelRecord, ref_codes: np.ndarray, ref_offset: int,
                     decode) -> None:
     """STR context for an indel (AlleleReportInfoUtil.cpp:94-186)."""
     key = rec.key
+    # indels outside the fetched reference window (reads that extend
+    # past the region halo) have no usable context
+    if key.pos < ref_offset or key.right_pos > ref_offset + len(ref_codes):
+        return
     if key.is_insertion:
         unit, event_count = seq_repeat_unit(key.insert_seq)
         ins_count, del_count = event_count, 0
@@ -115,6 +119,8 @@ def set_repeat_info(rec: IndelRecord, ref_codes: np.ndarray, ref_offset: int,
         if ins_unit != del_unit or not ins_unit:
             return
         unit = ins_unit
+    if not unit:
+        return
     rec.repeat_unit = unit
     u = len(unit)
     # context repeats up/downstream in reference

@@ -254,6 +254,8 @@ def run_somatic(argv=None) -> int:
     p.add_argument("--tumor-align-file", required=True)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--region", action="append", default=None)
+    p.add_argument("--call-regions-bed", default=None,
+                   help="BED of regions to call (reference --callRegions)")
     p.add_argument("--indel-candidates", action="append", default=None)
     p.add_argument("--min-qss-filter", type=int, default=15)
     p.add_argument("--min-qsi-filter", type=int, default=40)
@@ -278,6 +280,19 @@ def run_somatic(argv=None) -> int:
     from .germline import parse_region
     regions = ([parse_region(r, ref) for r in args.region] if args.region
                else [(c, 0, ref.contig_length(c)) for c in ref.contig_names])
+    if args.call_regions_bed:
+        from ..io.bed import read_bed
+        bed_by_chrom: dict[str, list] = {}
+        for rec in read_bed(args.call_regions_bed):
+            bed_by_chrom.setdefault(rec.chrom, []).append((rec.begin, rec.end))
+        regions = [(chrom, max(beg, b0), min(end, e0))
+                   for chrom, beg, end in regions
+                   for b0, e0 in sorted(bed_by_chrom.get(chrom, []))
+                   if max(beg, b0) < min(end, e0)]
+        if not regions:
+            print("call-regions BED leaves nothing to call",
+                  file=sys.stderr)
+            return 0
 
     nhdr, nbatch_all = read_bam(args.normal_align_file)
     thdr, tbatch_all = read_bam(args.tumor_align_file)
