@@ -24,4 +24,19 @@ import jax as _jax
 # kernels pin f32/bf16 explicitly.
 _jax.config.update("jax_enable_x64", True)
 
+# persistent XLA compilation cache: segment programs use fixed tile
+# shapes, so every run after the first starts with warm compiles
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "STRELKA_TPU_COMPILE_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "strelka_tpu", "xla"))
+if _cache_dir and _cache_dir != "0":
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
 __version__ = "0.1.0"
