@@ -24,13 +24,16 @@ import jax as _jax
 # kernels pin f32/bf16 explicitly.
 _jax.config.update("jax_enable_x64", True)
 
-# persistent XLA compilation cache: segment programs use fixed tile
-# shapes, so every run after the first starts with warm compiles
+# persistent XLA compilation cache (opt-in): segment programs use
+# fixed tile shapes, so with STRELKA_TPU_COMPILE_CACHE=<dir> every
+# process after the first starts with warm compiles. Opt-in because
+# XLA:CPU caches AOT machine code keyed loosely enough that a blob
+# compiled under different reported CPU features can be loaded (and
+# warn about possible SIGILL); on TPU the cache is safe and saves the
+# 20-40s first compiles.
 import os as _os
 
-_cache_dir = _os.environ.get(
-    "STRELKA_TPU_COMPILE_CACHE",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "strelka_tpu", "xla"))
+_cache_dir = _os.environ.get("STRELKA_TPU_COMPILE_CACHE")
 if _cache_dir and _cache_dir != "0":
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
