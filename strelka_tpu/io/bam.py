@@ -95,15 +95,25 @@ class ReadBatch:
         for fld in ("tid", "pos", "mapq", "flag", "mate_tid", "mate_pos", "tlen"):
             setattr(out, fld, getattr(self, fld)[idx])
 
+        contiguous = (len(idx) > 0 and
+                      int(idx[-1]) - int(idx[0]) + 1 == len(idx))
+
         def ragged_gather(data, off):
             lens = (off[idx + 1] - off[idx]).astype(np.int64)
             new_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
             total = int(new_off[-1])
             if total == 0:
                 return data[:0].copy(), new_off
+            if contiguous:
+                # per-chromosome selects etc.: one block copy
+                return data[off[idx[0]]:off[idx[-1] + 1]].copy(), new_off
             # flat gather indices: start_i + within-row offset
-            gi = np.repeat(off[idx].astype(np.int64), lens) \
-                + (np.arange(total) - np.repeat(new_off[:-1], lens))
+            # (int32 halves the temporary traffic; ragged payloads
+            # stay < 2^31 per batch)
+            lens32 = lens.astype(np.int32)
+            gi = np.repeat(off[idx].astype(np.int64), lens32)
+            gi += np.arange(total, dtype=np.int64)
+            gi -= np.repeat(new_off[:-1], lens32)
             return data[gi], new_off
 
         out.seq, out.seq_off = ragged_gather(self.seq, self.seq_off)
