@@ -48,3 +48,33 @@ def test_ploidy_regions(tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_forced_gt_emits_homref_record(tmp_path):
+    """A forced allele with no read support is genotyped and reported
+    (is_forced_output semantics: the record appears even as 0/0)."""
+    import gzip
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from strelka_tpu.workflow.germline import run_germline
+
+    fvcf = tmp_path / "forced.vcf"
+    fvcf.write_text("##fileformat=VCFv4.1\n"
+                    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                    "demo20\t2100\t.\tA\tATTT\t.\t.\t.\n")
+    out = str(tmp_path / "out")
+    rc = run_germline([
+        "--reference", "/root/reference/src/demo/data/demo20.fa",
+        "--align-file", "/root/reference/src/demo/data/NA12891_demo20.bam",
+        "--output-dir", out, "--exome", "--forced-gt", str(fvcf)])
+    assert rc == 0
+    recs = [l.split("\t") for l in
+            gzip.open(out + "/variants.vcf.gz", "rt")
+            if not l.startswith("#") and l.split("\t")[1] == "2100"]
+    assert recs, "forced allele must be reported"
+    f = recs[0]
+    assert f[4].endswith("TTT")
+    sample = f[9].split(":")
+    assert sample[0] == "0/0"          # no support -> hom-ref call
+    assert f[6] == "NoPassedVariantGTs"
