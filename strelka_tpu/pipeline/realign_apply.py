@@ -2,11 +2,15 @@
 
 Reference: starling_read_align.cpp finishRealignment:1411 + the
 realigned pileup semantics (pileup_read_segment uses rseg.realignment
-when set). After locus scoring, reads whose best haplotype carries an
-indel get their aligned-portion CIGAR rewritten to include that indel
-(soft-clips preserved); the pileup is then rebuilt from the realigned
-batch, so bases downstream of insertions/deletions contribute at their
-corrected reference positions.
+when set). After locus scoring, reads whose indel haplotype beats ref
+by more than the smoothing range get the indel embedded at the scored
+best placement; the remaining soft-clipped reads at the locus get
+their clips unrolled into aligned bases (clips are retained only in
+RNA mode). The pileup is then rebuilt from the realigned batch, so
+bases downstream of insertions/deletions contribute at their corrected
+reference positions. A read overlapping several loci keeps its first
+rewrite (the reference realigns each read once over all indels
+jointly).
 """
 from __future__ import annotations
 
