@@ -59,6 +59,28 @@ DINUC_THETA = np.array([
     0.378290471, 0.38555006, 0.393439865, 0.395844077, 0.4,
 ])
 THETA_TABLES = {1: HPOL_THETA, 2: DINUC_THETA}
+# the tables above equal src/config/indelErrorModel/models/theta.json
+# (verified by tests); load_theta_json supports user-supplied tables
+
+
+def load_theta_json(path: str) -> dict[int, np.ndarray]:
+    """GenotypePriorSet theta tables from JSON (--theta-file;
+    calibration/ThetaJson)."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    out = {}
+    for entry in doc["thetas"]:
+        out[int(entry["repeatPatternSize"])] = np.asarray(entry["theta"],
+                                                          dtype=np.float64)
+    return out
+
+
+def set_theta_tables(tables: dict[int, np.ndarray]) -> None:
+    """Install custom theta tables (clears the priors cache)."""
+    THETA_TABLES.update(tables)
+    make_context_priors.cache_clear()
 
 
 class ContextGenotypePriors(NamedTuple):

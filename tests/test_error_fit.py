@@ -96,3 +96,24 @@ def test_context_tracks():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_theta_json_matches_builtin_tables():
+    """The shipped theta.json equals the compiled-in GenotypePriorSet
+    tables; the loader parses it."""
+    import numpy as np
+
+    from strelka_tpu.models.indel_genotype import (DINUC_THETA, HPOL_THETA,
+                                                   load_theta_json)
+    tables = load_theta_json(
+        "/root/reference/src/config/indelErrorModel/models/theta.json")
+    np.testing.assert_allclose(tables[1], HPOL_THETA)
+    np.testing.assert_allclose(tables[2], DINUC_THETA)
+
+
+def test_shipped_indel_error_model_loads():
+    from strelka_tpu.models.error_model import IndelErrorModel
+    m = IndelErrorModel(1, model_files=[
+        "/root/reference/src/config/indelErrorModel/models/indelErrorModel.json"])
+    ins, d = m.get_rates(0, 1, 8, 9, True)
+    assert 0 < float(ins) < 1 and 0 < float(d) < 1
