@@ -204,6 +204,7 @@ def call_region(
     forced_gt_vcfs: list[str] | None = None,
     ploidy_vcf: str | None = None,
     collect_realigned: bool = False,
+    indel_error_model_files: list[str] | None = None,
 ) -> RegionCallResult:
     """Joint germline calling for N samples over one region."""
     n_samples = len(batches)
@@ -212,7 +213,8 @@ def call_region(
     fetch_end = min(ref.contig_length(chrom), end + halo)
     ref_codes = ref.fetch(chrom, fetch_begin, fetch_end)
 
-    em = error_model.IndelErrorModel(n_samples)
+    em = error_model.IndelErrorModel(
+        n_samples, model_files=indel_error_model_files)
 
     samples = []
     eas, levels, kept, keep_indices = [], [], [], []

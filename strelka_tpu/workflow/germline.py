@@ -84,6 +84,10 @@ def run_germline(argv=None) -> int:
     p.add_argument("--call-continuous-vf", action="append", default=None,
                    help="chromosome(s) to call in continuous "
                         "variant-frequency mode (e.g. chrM)")
+    p.add_argument("--indel-error-models-file", action="append",
+                   default=None, dest="indel_error_models_files",
+                   help="per-sample adaptive indel error model JSON(s) "
+                        "(as produced by --estimate-sequence-error)")
     p.add_argument("--estimate-sequence-error", action="store_true",
                    help="fit per-sample adaptive indel error models "
                         "before calling (EstimateSequenceError workflow)")
@@ -180,6 +184,7 @@ def run_germline(argv=None) -> int:
         from ..models.error_fit import estimate_indel_error_model
         from ..pipeline import allele_counts as ac
         from ..pipeline import reads as rdm
+        estimated_paths = []
         for si in range(n_samples):
             per_region = []
             total_instances = 0
@@ -211,6 +216,9 @@ def run_germline(argv=None) -> int:
                 _json.dump(model, f, indent=1)
             print(f"error model sample {si}: acceptable={ok} -> {path}",
                   file=sys.stderr)
+            estimated_paths.append(path)
+        if args.indel_error_models_files is None:
+            args.indel_error_models_files = estimated_paths
 
     # --- chromosome depth (feeds HighDepth filter) ---------------------
     chrom_depth: dict[str, float] = {}
@@ -264,7 +272,8 @@ def run_germline(argv=None) -> int:
                 external_indel_vcfs=args.indel_candidates,
                 forced_gt_vcfs=args.forced_gt,
                 ploidy_vcf=args.ploidy_region_vcf,
-                collect_realigned=args.output_realigned_bam)
+                collect_realigned=args.output_realigned_bam,
+                indel_error_model_files=args.indel_error_models_files)
             if result.realigned is not None:
                 # write per-segment realigned fragments to the
                 # workspace so multi-process workers contribute too;
