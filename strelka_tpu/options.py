@@ -113,6 +113,7 @@ class SomaticOptions(StarlingBaseOptions):
     tier2_mismatch_density_filter_count: int = 10
     tier2_random_base_match_prob: float = 0.25  # Tier2Options.hh:49
     indel_region_flank_size: int = 50          # strelka_shared.hh:52
+    min_passed_call_depth: int = 2             # strelka_shared.hh:57
     tier2_include_singleton: bool = True
     tier2_include_anomalous: bool = True
 

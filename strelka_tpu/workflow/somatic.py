@@ -43,6 +43,7 @@ def snv_header(chrom, clen):
         '##INFO=<ID=ReadPosRankSum,Number=1,Type=Float,Description="Z-score from Wilcoxon rank sum test of Alt Vs. Ref read-position in the tumor">',
         '##INFO=<ID=SNVSB,Number=1,Type=Float,Description="Somatic SNV site strand bias">',
         '##FILTER=<ID=LowQscore,Description="Somatic Quality Score (QSS_NT) is below threshold">',
+        '##FILTER=<ID=LowDepth,Description="Tumor or normal sample read depth at this locus is below 2">',
         '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth for tier1 (used+filtered)">',
         '##FORMAT=<ID=FDP,Number=1,Type=Integer,Description="Number of basecalls filtered from original read depth for tier1">',
         '##FORMAT=<ID=SDP,Number=1,Type=Integer,Description="Number of reads with deletions spanning this site at tier1">',
@@ -76,6 +77,7 @@ def indel_header(chrom, clen):
         '##INFO=<ID=IHP,Number=1,Type=Integer,Description="Largest reference interrupted homopolymer length intersecting with the indel">',
         '##FILTER=<ID=QSI_ref,Description="Normal sample is not homozygous ref or sindel Q-score < 40, ie calls with NT!=ref or QSI_NT < 40">',
         '##FILTER=<ID=IndelBCNoise,Description="Average fraction of filtered basecalls within 50 bases of the indel exceeds 0.3">',
+        '##FILTER=<ID=LowDepth,Description="Tumor or normal sample read depth at this locus is below 2">',
         '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Tier1 read depth at this locus">',
         '##FORMAT=<ID=DP2,Number=1,Type=Integer,Description="Tier2 read depth at this locus">',
         '##FORMAT=<ID=TAR,Number=2,Type=Integer,Description="Reads strongly supporting alternate allele for tiers 1,2">',
@@ -169,11 +171,16 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
     snv_lines = []
     for si_idx, site in enumerate(res.snvs):
         if snv_evs is not None:
-            filt = ("PASS" if snv_evs[si_idx] >= snv_forest.filter_cutoff
-                    else "LowEVS")
+            filters = ([] if snv_evs[si_idx] >= snv_forest.filter_cutoff
+                       else ["LowEVS"])
         else:
-            filt = ("PASS" if site.qss_nt >= args.min_qss_filter
-                    else "LowQscore")
+            filters = ([] if site.qss_nt >= args.min_qss_filter
+                       else ["LowQscore"])
+        # LowDepth: tier1 depth below minPassedCallDepth in either
+        # sample (position_somatic_snv_strand_grid_vcf.cpp:350-355)
+        if min(site.dp) < opt.min_passed_call_depth:
+            filters.append("LowDepth")
+        filt = ";".join(filters) if filters else "PASS"
         info = (f"SOMATIC;QSS={site.qss};TQSS={site.tier_qss + 1};"
                 f"NT={sc.NTYPE_LABELS[site.ntype]};QSS_NT={site.qss_nt};"
                 f"TQSS_NT={site.tier_qss_nt + 1};SGT={_sgt_snv(site)};"
@@ -205,8 +212,11 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
             res.ref_codes[left:left + 1 + key.delete_length])
         alt_str = ref_str[0] + key.insert_seq
         if indel_evs is not None:
-            filt = ("PASS" if indel_evs[ci_idx] >= indel_forest.filter_cutoff
-                    else "LowEVS")
+            filters = ([] if indel_evs[ci_idx] >= indel_forest.filter_cutoff
+                       else ["LowEVS"])
+            if min(call.dp) < opt.min_passed_call_depth:
+                filters.append("LowDepth")
+            filt = ";".join(filters) if filters else "PASS"
         else:
             # non-EVS filters (SomaticIndelVcfWriter.cpp :109-127)
             filters = []
@@ -215,6 +225,8 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
                 filters.append("IndelBCNoise")
             if call.ntype != 0 or call.qsi_nt < args.min_qsi_filter:
                 filters.append("QSI_ref")
+            if min(call.dp) < opt.min_passed_call_depth:
+                filters.append("LowDepth")
             filt = ";".join(filters) if filters else "PASS"
         ihp = interrupted_hpol(res.ref_codes, res.begin, key.pos,
                                key.right_pos)
