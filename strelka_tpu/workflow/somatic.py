@@ -30,9 +30,10 @@ def snv_header(chrom, clen):
         f"##source=strelka_tpu {__version__}",
         "##content=strelka_tpu somatic snv calls",
         f"##contig=<ID={chrom},length={clen}>",
-        '##INFO=<ID=QSS,Number=1,Type=Integer,Description="Quality score for any somatic snv">',
+        "##priorSomaticSnvRate=0.0001",
+        '##INFO=<ID=QSS,Number=1,Type=Integer,Description="Quality score for any somatic snv, ie. for the ALT allele to be present at a significantly different frequency in the tumor and normal">',
         '##INFO=<ID=TQSS,Number=1,Type=Integer,Description="Data tier used to compute QSS">',
-        '##INFO=<ID=NT,Number=1,Type=String,Description="Genotype of the normal in all data tiers">',
+        '##INFO=<ID=NT,Number=1,Type=String,Description="Genotype of the normal in all data tiers, as used to classify somatic variants. One of {ref,het,hom,conflict}.">',
         '##INFO=<ID=QSS_NT,Number=1,Type=Integer,Description="Quality score reflecting the joint probability of a somatic variant and NT">',
         '##INFO=<ID=TQSS_NT,Number=1,Type=Integer,Description="Data tier used to compute QSS_NT">',
         '##INFO=<ID=SGT,Number=1,Type=String,Description="Most likely somatic genotype excluding normal noise states">',
@@ -42,16 +43,20 @@ def snv_header(chrom, clen):
         '##INFO=<ID=MQ0,Number=1,Type=Integer,Description="Total Mapping Quality Zero Reads">',
         '##INFO=<ID=ReadPosRankSum,Number=1,Type=Float,Description="Z-score from Wilcoxon rank sum test of Alt Vs. Ref read-position in the tumor">',
         '##INFO=<ID=SNVSB,Number=1,Type=Float,Description="Somatic SNV site strand bias">',
+        '##INFO=<ID=PNOISE,Number=1,Type=Float,Description="Fraction of panel containing non-reference noise at this site">',
+        '##INFO=<ID=PNOISE2,Number=1,Type=Float,Description="Fraction of panel containing more than one non-reference noise obs at this site">',
+        '##INFO=<ID=SomaticEVS,Number=1,Type=Float,Description="Somatic Empirical Variant Score (EVS) expressing the phred-scaled probability of the call being a false positive observation.">',
+        '##FILTER=<ID=LowEVS,Description="Somatic Empirical Variant Score (SomaticEVS) is below threshold">',
         '##FILTER=<ID=LowQscore,Description="Somatic Quality Score (QSS_NT) is below threshold">',
         '##FILTER=<ID=LowDepth,Description="Tumor or normal sample read depth at this locus is below 2">',
         '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth for tier1 (used+filtered)">',
         '##FORMAT=<ID=FDP,Number=1,Type=Integer,Description="Number of basecalls filtered from original read depth for tier1">',
         '##FORMAT=<ID=SDP,Number=1,Type=Integer,Description="Number of reads with deletions spanning this site at tier1">',
         '##FORMAT=<ID=SUBDP,Number=1,Type=Integer,Description="Number of reads below tier1 mapping quality threshold aligned across this site">',
-        '##FORMAT=<ID=AU,Number=2,Type=Integer,Description="Number of A alleles used in tiers 1,2">',
-        '##FORMAT=<ID=CU,Number=2,Type=Integer,Description="Number of C alleles used in tiers 1,2">',
-        '##FORMAT=<ID=GU,Number=2,Type=Integer,Description="Number of G alleles used in tiers 1,2">',
-        '##FORMAT=<ID=TU,Number=2,Type=Integer,Description="Number of T alleles used in tiers 1,2">',
+        '##FORMAT=<ID=AU,Number=2,Type=Integer,Description="Number of \'A\' alleles used in tiers 1,2">',
+        '##FORMAT=<ID=CU,Number=2,Type=Integer,Description="Number of \'C\' alleles used in tiers 1,2">',
+        '##FORMAT=<ID=GU,Number=2,Type=Integer,Description="Number of \'G\' alleles used in tiers 1,2">',
+        '##FORMAT=<ID=TU,Number=2,Type=Integer,Description="Number of \'T\' alleles used in tiers 1,2">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNORMAL\tTUMOR",
     ]) + "\n"
 
@@ -62,9 +67,10 @@ def indel_header(chrom, clen):
         f"##source=strelka_tpu {__version__}",
         "##content=strelka_tpu somatic indel calls",
         f"##contig=<ID={chrom},length={clen}>",
-        '##INFO=<ID=QSI,Number=1,Type=Integer,Description="Quality score for any somatic variant">',
+        "##priorSomaticIndelRate=1e-06",
+        '##INFO=<ID=QSI,Number=1,Type=Integer,Description="Quality score for any somatic variant, ie. for the ALT haplotype to be present at a significantly different frequency in the tumor and normal">',
         '##INFO=<ID=TQSI,Number=1,Type=Integer,Description="Data tier used to compute QSI">',
-        '##INFO=<ID=NT,Number=1,Type=String,Description="Genotype of the normal in all data tiers">',
+        '##INFO=<ID=NT,Number=1,Type=String,Description="Genotype of the normal in all data tiers, as used to classify somatic variants. One of {ref,het,hom,conflict}.">',
         '##INFO=<ID=QSI_NT,Number=1,Type=Integer,Description="Quality score reflecting the joint probability of a somatic variant and NT">',
         '##INFO=<ID=TQSI_NT,Number=1,Type=Integer,Description="Data tier used to compute QSI_NT">',
         '##INFO=<ID=SGT,Number=1,Type=String,Description="Most likely somatic genotype excluding normal noise states">',
@@ -75,18 +81,21 @@ def indel_header(chrom, clen):
         '##INFO=<ID=RC,Number=1,Type=Integer,Description="Number of times RU repeats in the reference allele">',
         '##INFO=<ID=IC,Number=1,Type=Integer,Description="Number of times RU repeats in the indel allele">',
         '##INFO=<ID=IHP,Number=1,Type=Integer,Description="Largest reference interrupted homopolymer length intersecting with the indel">',
+        '##INFO=<ID=OVERLAP,Number=0,Type=Flag,Description="Somatic indel possibly overlaps a second indel.">',
+        '##INFO=<ID=SomaticEVS,Number=1,Type=Float,Description="Somatic Empirical Variant Score (EVS) expressing the phred-scaled probability of the call being a false positive observation.">',
+        '##FILTER=<ID=LowEVS,Description="Somatic Empirical Variant Score (SomaticEVS) is below threshold">',
         '##FILTER=<ID=QSI_ref,Description="Normal sample is not homozygous ref or sindel Q-score < 40, ie calls with NT!=ref or QSI_NT < 40">',
         '##FILTER=<ID=IndelBCNoise,Description="Average fraction of filtered basecalls within 50 bases of the indel exceeds 0.3">',
         '##FILTER=<ID=LowDepth,Description="Tumor or normal sample read depth at this locus is below 2">',
-        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Tier1 read depth at this locus">',
-        '##FORMAT=<ID=DP2,Number=1,Type=Integer,Description="Tier2 read depth at this locus">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth for tier1">',
+        '##FORMAT=<ID=DP2,Number=1,Type=Integer,Description="Read depth for tier2">',
         '##FORMAT=<ID=TAR,Number=2,Type=Integer,Description="Reads strongly supporting alternate allele for tiers 1,2">',
         '##FORMAT=<ID=TIR,Number=2,Type=Integer,Description="Reads strongly supporting indel allele for tiers 1,2">',
         '##FORMAT=<ID=TOR,Number=2,Type=Integer,Description="Other reads (weak support or insufficient indel breakpoint overlap) for tiers 1,2">',
         '##FORMAT=<ID=DP50,Number=1,Type=Float,Description="Average tier1 read depth within 50 bases">',
         '##FORMAT=<ID=FDP50,Number=1,Type=Float,Description="Average tier1 number of basecalls filtered from original read depth within 50 bases">',
         '##FORMAT=<ID=SUBDP50,Number=1,Type=Float,Description="Average number of reads below tier1 mapping quality threshold aligned across sites within 50 bases">',
-        '##FORMAT=<ID=BCN50,Number=1,Type=Float,Description="Fraction of filtered reads within 50 bases of the indel">',
+        '##FORMAT=<ID=BCN50,Number=1,Type=Float,Description="Fraction of filtered reads within 50 bases of the indel.">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNORMAL\tTUMOR",
     ]) + "\n"
 
@@ -204,6 +213,12 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
             f"DP:FDP:SDP:SUBDP:AU:CU:GU:TU\t" + "\t".join(cols))
 
     indel_lines = []
+    # OVERLAP flag: somatic indel possibly overlaps another emitted
+    # indel (SomaticIndelVcfWriter OVERLAP INFO)
+    spans = [(c.key.pos - 1, c.key.right_pos + 1) for c in res.indels]
+    overlaps = [any(j != i and a0 < spans[j][1] and spans[j][0] < a1
+                    for j in range(len(spans)))
+                for i, (a0, a1) in enumerate(spans)]
     for ci_idx, call in enumerate(res.indels):
         key = call.key
         pos0 = key.pos - 1
@@ -238,6 +253,8 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
                 f"RU={call.rec.repeat_unit or '.'};"
                 f"RC={call.rec.ref_repeat_count};"
                 f"IC={call.rec.indel_repeat_count};IHP={ihp}")
+        if overlaps[ci_idx]:
+            info += ";OVERLAP"
         if indel_evs is not None:
             info += f";SomaticEVS={indel_evs[ci_idx]:.2f}"
         cols = []
