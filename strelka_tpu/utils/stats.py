@@ -61,14 +61,36 @@ def fisher_exact_twosided(a: int, b: int, c: int, d: int) -> float:
 
 
 def mann_whitney_u_from_groups(x: np.ndarray, y: np.ndarray) -> float:
-    """Z-score style ranksum statistic (blt_util/fastRanksum.hh get_u_stat)."""
+    """Exact port of blt_util/fastRanksum.cpp get_z_stat.
+
+    Observations are bucketed by integer value (ranks of ties share
+    the bucket's average rank), and the z-score is computed for
+    whichever group holds the smaller rank sum, with the reference's
+    variance form sqrt(n2*mean/6) — so results are symmetric in the
+    argument order and non-positive by construction."""
+    x = np.asarray(x)
+    y = np.asarray(y)
     if len(x) == 0 or len(y) == 0:
         return 0.0
-    res = _sps.mannwhitneyu(x, y, alternative="two-sided", method="asymptotic")
-    # convert to z via normal approximation
-    n1, n2 = len(x), len(y)
-    mu = n1 * n2 / 2.0
-    sigma = np.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
-    if sigma == 0:
+    v = np.round(np.concatenate([x, y])).astype(np.int64)
+    lo = int(v.min())
+    c1 = np.bincount(np.round(x).astype(np.int64) - lo)
+    c2 = np.bincount(np.round(y).astype(np.int64) - lo)
+    n = max(len(c1), len(c2))
+    c1 = np.pad(c1, (0, n - len(c1)))
+    c2 = np.pad(c2, (0, n - len(c2)))
+    tot = c1 + c2
+    before = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    rank_weight = (2 * (before + 1) + tot - 1) / 2.0
+    R1 = float((rank_weight * c1).sum())
+    R2 = float((rank_weight * c2).sum())
+    N1, N2 = int(c1.sum()), int(c2.sum())
+    if R1 > R2:
+        n1, n2, w1 = N2, N1, R2
+    else:
+        n1, n2, w1 = N1, N2, R1
+    mean = n1 * (n1 + n2 + 1) / 2.0
+    var = np.sqrt(n2 * mean / 6.0)
+    if abs(var) < 1e-4:
         return 0.0
-    return float((res.statistic - mu) / sigma)
+    return float((w1 - mean) / var)
