@@ -359,7 +359,12 @@ def call_somatic_region(
         mqn = mqss = mq0 = 0
         for s, pu in enumerate(pus):
             used_ct = int((pu.used[i] & pu.valid[i]).sum())
-            fdp = int((pu.valid[i] & ~pu.used[i]).sum())
+            # tier1 depth/FDP count tier1-mapped lanes only (tier2
+            # reads share the tile but only feed the tier2 tallies)
+            lane_t1 = np.zeros(pu.max_depth, dtype=bool)
+            v = pu.valid[i]
+            lane_t1[v] = levels[s][pu.read_idx[i, v]] == rd.MapLevel.TIER1
+            fdp = int((v & lane_t1 & ~pu.used[i]).sum())
             site.dp.append(used_ct + fdp)
             site.fdp.append(fdp)
             site.sdp.append(int(pu.spandel[i]))

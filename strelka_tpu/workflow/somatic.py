@@ -193,7 +193,7 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
         info = (f"SOMATIC;QSS={site.qss};TQSS={site.tier_qss + 1};"
                 f"NT={sc.NTYPE_LABELS[site.ntype]};QSS_NT={site.qss_nt};"
                 f"TQSS_NT={site.tier_qss_nt + 1};SGT={_sgt_snv(site)};"
-                f"DP={sum(site.dp)};MQ={site.mq:.2f};MQ0={site.mq0};"
+                f"DP={site.mapq_n};MQ={site.mq:.2f};MQ0={site.mq0};"
                 f"ReadPosRankSum={site.read_pos_ranksum:.2f};"
                 f"SNVSB={site.snv_sb:.2f}")
         pn = noise_at.get((res.chrom, site.pos))

@@ -88,7 +88,7 @@ def test_whole_file_record_diff(somatic_output):
         with gzip.open(path, "rt") as f:
             return [l for l in f if not l.startswith("#")]
 
-    for kind, max_diff in (("snvs", 2), ("indels", 1)):
+    for kind, max_diff in (("snvs", 1), ("indels", 1)):
         mine = records(os.path.join(somatic_output,
                                     f"somatic.{kind}.vcf.gz"))
         exp = records(os.path.join(EXPECTED_DIR, f"somatic.{kind}.vcf.gz"))
