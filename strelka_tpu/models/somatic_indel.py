@@ -12,8 +12,6 @@ from the scoring op expand against the 21-point frequency grid in one
 """
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from . import indel_genotype as ig

@@ -18,8 +18,6 @@ tensors live on the mesh.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

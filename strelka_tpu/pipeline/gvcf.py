@@ -8,8 +8,6 @@ SURVEY.md §5 'keep emission on hosts'.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
 import numpy as np
 
 from .. import __version__

@@ -23,7 +23,6 @@ import time
 import numpy as np
 
 from ..io.bam import read_bam
-from ..io.bgzf import BgzfWriter
 from ..io.fasta import FastaReference
 from ..options import GermlineOptions
 from ..parallel import runner as rn
