@@ -169,6 +169,11 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
         rows = [evs.somatic_snv_features(s, norm_chrom_depth)
                 for s in res.snvs]
         snv_evs = evs.score_sites(snv_forest, rows)
+        # non-ref normal genotypes are forced to EVS 0
+        # (somaticAlleleUtil.cpp:39-42)
+        for i, s in enumerate(res.snvs):
+            if s.ntype != 0:
+                snv_evs[i] = 0.0
     indel_evs = None
     if indel_forest is not None and res.indels:
         rows = [evs.somatic_indel_features(
@@ -176,6 +181,9 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
                                 c.key.right_pos), norm_chrom_depth)
             for c in res.indels]
         indel_evs = evs.score_sites(indel_forest, rows)
+        for i, c in enumerate(res.indels):
+            if c.ntype != 0:
+                indel_evs[i] = 0.0
 
     snv_lines = []
     for si_idx, site in enumerate(res.snvs):

@@ -80,15 +80,16 @@ if __name__ == "__main__":
 def test_whole_file_record_diff(somatic_output):
     """Reference-style whole-file diff (runStrelkaSomaticWorkflowDemo
     filterVariableMetadata): at most 2 SNV records and 1 indel record
-    may differ, and only in EVS/window hundredths or a single pileup
-    basecall (the residual realignment micro-gaps)."""
+    may differ: the SNV file must be record-identical; one indel
+    record may differ in DP50 window hundredths (the reference
+    computes windows on its own post-realignment pileup)."""
     import gzip
 
     def records(path):
         with gzip.open(path, "rt") as f:
             return [l for l in f if not l.startswith("#")]
 
-    for kind, max_diff in (("snvs", 1), ("indels", 1)):
+    for kind, max_diff in (("snvs", 0), ("indels", 1)):
         mine = records(os.path.join(somatic_output,
                                     f"somatic.{kind}.vcf.gz"))
         exp = records(os.path.join(EXPECTED_DIR, f"somatic.{kind}.vcf.gz"))
