@@ -93,23 +93,29 @@ class RegionCallResult:
 
 def snv_hpol(ref_codes: np.ndarray, pos: int) -> int:
     """Contextual homopolymer length at a site (SNVHPOL info field;
-    reference: blt_common/hpol_test / get_snp_hpol_size)."""
+    exact port of blt_common/ref_context.cpp get_snp_hpol_size: 1 +
+    the adjacent up/downstream runs, summed when both flanks repeat
+    the same base — the site's own base is ignored)."""
     n = len(ref_codes)
-    best = 0
-    # longest hpol run through pos considering substituting pos's base
-    for probe in range(max(0, pos - 1), min(n, pos + 2)):
-        b = ref_codes[probe]
-        if b >= 4:
-            continue
-        i = probe
-        while i > 0 and ref_codes[i - 1] == b:
-            i -= 1
-        j = probe
-        while j + 1 < n and ref_codes[j + 1] == b:
-            j += 1
-        run = j - i + 1
-        best = max(best, run)
-    return best
+    up_repeat = 4
+    up = 0
+    i = pos - 1
+    if i >= 0:
+        up_repeat = int(ref_codes[i])
+        if up_repeat != 4:
+            while i >= 0 and ref_codes[i] == up_repeat:
+                up += 1
+                i -= 1
+    dn_repeat = 4
+    dn = 0
+    i = pos + 1
+    if i < n:
+        dn_repeat = int(ref_codes[i])
+        if dn_repeat != 4:
+            while i < n and ref_codes[i] == dn_repeat:
+                dn += 1
+                i += 1
+    return 1 + (up + dn if up_repeat == dn_repeat else max(up, dn))
 
 
 def call_sample_sites(

@@ -41,12 +41,20 @@ def unclipped_read_starts(batch: bamio.ReadBatch) -> np.ndarray:
 
 
 def filter_and_classify_reads(batch: bamio.ReadBatch, min_mapq: int,
-                              tier2_min_mapq: int | None = None):
+                              tier2_min_mapq: int | None = None,
+                              include_singleton: bool = False,
+                              include_anomalous: bool = False,
+                              tier2_include_singleton: bool = True,
+                              tier2_include_anomalous: bool = True):
     """Hard filters + mapping tier per read.
 
     reference: starling_read_filter_shared.hh (skip secondary,
     supplementary, QC-fail n/a, duplicate, unmapped) and
-    get_map_level (starling_pos_processor_util.cpp:293-308).
+    get_map_level / is_usable_read_mapping
+    (starling_pos_processor_util.cpp:244-308): paired reads whose mate
+    is unmapped (singletons) or that are not proper pairs (anomalous)
+    are excluded from tier1 by default; tier2 re-admits them when its
+    include flags are set (Tier2Options defaults true).
 
     Returns (keep_mask, map_level array) over the input batch.
     """
@@ -57,11 +65,24 @@ def filter_and_classify_reads(batch: bamio.ReadBatch, min_mapq: int,
         | (f & bamio.FLAG_DUPLICATE != 0)
         | (f & bamio.FLAG_UNMAPPED != 0)
     )
+    paired = (f & 0x1) != 0
+    singleton = paired & ((f & 0x8) != 0)
+    anomalous = paired & ~singleton & ((f & 0x2) == 0)
+
     level = np.full(batch.n, MapLevel.SUB_MAPPED, dtype=np.int8)
-    level[batch.mapq >= min_mapq] = MapLevel.TIER1
+    t1_ok = batch.mapq >= min_mapq
+    if not include_singleton:
+        t1_ok = t1_ok & ~singleton
+    if not include_anomalous:
+        t1_ok = t1_ok & ~anomalous
+    level[t1_ok] = MapLevel.TIER1
     if tier2_min_mapq is not None:
-        tier2 = (batch.mapq >= tier2_min_mapq) & (batch.mapq < min_mapq)
-        level[tier2] = MapLevel.TIER2
+        t2_ok = (batch.mapq >= tier2_min_mapq) & ~t1_ok
+        if not (include_singleton or tier2_include_singleton):
+            t2_ok = t2_ok & ~singleton
+        if not (include_anomalous or tier2_include_anomalous):
+            t2_ok = t2_ok & ~anomalous
+        level[t2_ok] = MapLevel.TIER2
     return ~hard_filtered, level
 
 
