@@ -55,5 +55,23 @@ def test_mito_gvcf_has_vf_format(mito_output):
     assert "BLOCKAVG" in text
 
 
+def test_mito_variant_records_match_golden(mito_output):
+    """Variant records match the golden gVCF byte-for-byte except
+    SNVSB (whose golden values predate the current strand-bias
+    formula)."""
+    import re
+
+    def variants(path):
+        with gzip.open(path, "rt") as f:
+            return [re.sub(r"SNVSB=[-\d.]+", "SNVSB=*", l)
+                    for l in f
+                    if not l.startswith("#") and l.split("\t")[4] != "."]
+
+    exp = variants(
+        "/root/reference/src/demo/expectedResultsMito/genome.vcf.gz")
+    mine = variants(os.path.join(mito_output, "genome.S1.vcf.gz"))
+    assert mine == exp
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
