@@ -96,3 +96,28 @@ def test_whole_file_record_diff(somatic_output):
         assert len(mine) == len(exp)
         n_diff = sum(1 for m, e in zip(mine, exp) if m != e)
         assert n_diff <= max_diff, (kind, n_diff)
+
+
+def test_callable_regions_cover_pass_sites(tmp_path):
+    """--output-callable-regions: every PASS somatic SNV position must
+    be inside the callable track (QSS>=15 or NQSS>=15 positions,
+    SomaticCallableProcessor)."""
+    out = str(tmp_path / "callable_run")
+    rc = run_somatic([
+        "--reference", "/root/reference/src/demo/data/demo20.fa",
+        "--normal-align-file",
+        "/root/reference/src/demo/data/NA12892_demo20.bam",
+        "--tumor-align-file",
+        "/root/reference/src/demo/data/NA12891_demo20.bam",
+        "--output-dir", out, "--exome", "--output-callable-regions"])
+    assert rc == 0
+    intervals = []
+    with gzip.open(os.path.join(out, "somatic.callable.regions.bed.gz"),
+                   "rt") as f:
+        for line in f:
+            c, b, e = line.split("\t")[:3]
+            intervals.append((int(b), int(e)))
+    snvs = load_scores(os.path.join(out, "somatic.snvs.vcf.gz"), "QSS")
+    for pos, rec in snvs.items():
+        if rec["filter"] == "PASS":
+            assert any(b < pos <= e for b, e in intervals), pos
