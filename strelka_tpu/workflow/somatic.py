@@ -46,9 +46,6 @@ def snv_header(chrom, clen):
         '##INFO=<ID=PNOISE,Number=1,Type=Float,Description="Fraction of panel containing non-reference noise at this site">',
         '##INFO=<ID=PNOISE2,Number=1,Type=Float,Description="Fraction of panel containing more than one non-reference noise obs at this site">',
         '##INFO=<ID=SomaticEVS,Number=1,Type=Float,Description="Somatic Empirical Variant Score (EVS) expressing the phred-scaled probability of the call being a false positive observation.">',
-        '##FILTER=<ID=LowEVS,Description="Somatic Empirical Variant Score (SomaticEVS) is below threshold">',
-        '##FILTER=<ID=LowQscore,Description="Somatic Quality Score (QSS_NT) is below threshold">',
-        '##FILTER=<ID=LowDepth,Description="Tumor or normal sample read depth at this locus is below 2">',
         '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth for tier1 (used+filtered)">',
         '##FORMAT=<ID=FDP,Number=1,Type=Integer,Description="Number of basecalls filtered from original read depth for tier1">',
         '##FORMAT=<ID=SDP,Number=1,Type=Integer,Description="Number of reads with deletions spanning this site at tier1">',
@@ -57,6 +54,9 @@ def snv_header(chrom, clen):
         '##FORMAT=<ID=CU,Number=2,Type=Integer,Description="Number of \'C\' alleles used in tiers 1,2">',
         '##FORMAT=<ID=GU,Number=2,Type=Integer,Description="Number of \'G\' alleles used in tiers 1,2">',
         '##FORMAT=<ID=TU,Number=2,Type=Integer,Description="Number of \'T\' alleles used in tiers 1,2">',
+        '##FILTER=<ID=LowEVS,Description="Somatic Empirical Variant Score (SomaticEVS) is below threshold">',
+        '##FILTER=<ID=LowQscore,Description="Somatic Quality Score (QSS_NT) is below threshold">',
+        '##FILTER=<ID=LowDepth,Description="Tumor or normal sample read depth at this locus is below 2">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNORMAL\tTUMOR",
     ]) + "\n"
 
@@ -74,19 +74,15 @@ def indel_header(chrom, clen):
         '##INFO=<ID=QSI_NT,Number=1,Type=Integer,Description="Quality score reflecting the joint probability of a somatic variant and NT">',
         '##INFO=<ID=TQSI_NT,Number=1,Type=Integer,Description="Data tier used to compute QSI_NT">',
         '##INFO=<ID=SGT,Number=1,Type=String,Description="Most likely somatic genotype excluding normal noise states">',
-        '##INFO=<ID=SOMATIC,Number=0,Type=Flag,Description="Somatic mutation">',
-        '##INFO=<ID=MQ,Number=1,Type=Float,Description="RMS Mapping Quality">',
-        '##INFO=<ID=MQ0,Number=1,Type=Integer,Description="Total Mapping Quality Zero Reads">',
         '##INFO=<ID=RU,Number=1,Type=String,Description="Smallest repeating sequence unit in inserted or deleted sequence">',
         '##INFO=<ID=RC,Number=1,Type=Integer,Description="Number of times RU repeats in the reference allele">',
         '##INFO=<ID=IC,Number=1,Type=Integer,Description="Number of times RU repeats in the indel allele">',
         '##INFO=<ID=IHP,Number=1,Type=Integer,Description="Largest reference interrupted homopolymer length intersecting with the indel">',
+        '##INFO=<ID=MQ,Number=1,Type=Float,Description="RMS Mapping Quality">',
+        '##INFO=<ID=MQ0,Number=1,Type=Integer,Description="Total Mapping Quality Zero Reads">',
+        '##INFO=<ID=SOMATIC,Number=0,Type=Flag,Description="Somatic mutation">',
         '##INFO=<ID=OVERLAP,Number=0,Type=Flag,Description="Somatic indel possibly overlaps a second indel.">',
         '##INFO=<ID=SomaticEVS,Number=1,Type=Float,Description="Somatic Empirical Variant Score (EVS) expressing the phred-scaled probability of the call being a false positive observation.">',
-        '##FILTER=<ID=LowEVS,Description="Somatic Empirical Variant Score (SomaticEVS) is below threshold">',
-        '##FILTER=<ID=QSI_ref,Description="Normal sample is not homozygous ref or sindel Q-score < 40, ie calls with NT!=ref or QSI_NT < 40">',
-        '##FILTER=<ID=IndelBCNoise,Description="Average fraction of filtered basecalls within 50 bases of the indel exceeds 0.3">',
-        '##FILTER=<ID=LowDepth,Description="Tumor or normal sample read depth at this locus is below 2">',
         '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth for tier1">',
         '##FORMAT=<ID=DP2,Number=1,Type=Integer,Description="Read depth for tier2">',
         '##FORMAT=<ID=TAR,Number=2,Type=Integer,Description="Reads strongly supporting alternate allele for tiers 1,2">',
@@ -96,6 +92,10 @@ def indel_header(chrom, clen):
         '##FORMAT=<ID=FDP50,Number=1,Type=Float,Description="Average tier1 number of basecalls filtered from original read depth within 50 bases">',
         '##FORMAT=<ID=SUBDP50,Number=1,Type=Float,Description="Average number of reads below tier1 mapping quality threshold aligned across sites within 50 bases">',
         '##FORMAT=<ID=BCN50,Number=1,Type=Float,Description="Fraction of filtered reads within 50 bases of the indel.">',
+        '##FILTER=<ID=LowEVS,Description="Somatic Empirical Variant Score (SomaticEVS) is below threshold">',
+        '##FILTER=<ID=QSI_ref,Description="Normal sample is not homozygous ref or sindel Q-score < 40, ie calls with NT!=ref or QSI_NT < 40">',
+        '##FILTER=<ID=IndelBCNoise,Description="Average fraction of filtered basecalls within 50 bases of the indel exceeds 0.3">',
+        '##FILTER=<ID=LowDepth,Description="Tumor or normal sample read depth at this locus is below 2">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNORMAL\tTUMOR",
     ]) + "\n"
 
