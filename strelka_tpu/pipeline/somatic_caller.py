@@ -541,7 +541,12 @@ def call_somatic_region(
         wb = min(L, c0 + flank50 + 1)
         for s, pu in enumerate(pus):
             used_pp = pu.used[wa:wb].sum(axis=1)
-            filt_pp = (pu.valid[wa:wb] & ~pu.used[wa:wb]).sum(axis=1)
+            # filtered = tier1-mapped lanes only (tier2 reads share
+            # the tile but feed only tier2 tallies)
+            v = pu.valid[wa:wb]
+            lane_t1 = np.zeros_like(v)
+            lane_t1[v] = levels[s][pu.read_idx[wa:wb][v]] == rd.MapLevel.TIER1
+            filt_pp = (v & lane_t1 & ~pu.used[wa:wb]).sum(axis=1)
             sub_pp = pu.submapped[wa:wb]
             u = float(used_pp.mean()) if wb > wa else 0.0
             f = float(filt_pp.mean()) if wb > wa else 0.0
