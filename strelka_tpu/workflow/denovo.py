@@ -78,24 +78,62 @@ def denovo_posterior(child_pl, mother_pl, father_pl, theta: float = 0.001,
 
 
 def _read_gvcf_sites(path):
+    """(variant sites with PLs, hom-ref block list) from a gVCF.
+
+    Blocks are [(chrom, begin1, end1, gqx)]; at sites covered only by
+    a hom-ref block, hom-ref PLs are synthesized from the block GQX
+    (the reference's denovo.py does the same for parents that are
+    confidently hom-ref at the proband's candidate site)."""
     sites = {}
+    blocks = []
     with gzip.open(path, "rt") as f:
         for line in f:
             if line.startswith("#"):
                 continue
             fields = line.rstrip("\n").split("\t")
-            if len(fields) < 10 or fields[4] in (".", ""):
+            if len(fields) < 10:
                 continue
             fmt = fields[8].split(":")
             vals = fields[9].split(":")
             d = dict(zip(fmt, vals))
+            if fields[4] in (".", ""):
+                # hom-ref site or block
+                try:
+                    gqx = int(float(d.get("GQX", "0")))
+                except ValueError:
+                    continue
+                begin = int(fields[1])
+                end = begin
+                for kv in fields[7].split(";"):
+                    if kv.startswith("END="):
+                        end = int(kv[4:])
+                blocks.append((fields[0], begin, end, gqx))
+                continue
             if "PL" not in d:
                 continue
             pls = [int(x) for x in d["PL"].split(",")[:3]]
             if len(pls) < 3:
                 continue
             sites[(fields[0], int(fields[1]))] = (fields, pls)
-    return sites
+    return sites, blocks
+
+
+def _homref_pl_at(blocks_by_chrom, key):
+    """Synthesized hom-ref PL triplet when a block covers the site."""
+    import bisect
+
+    chrom, pos = key
+    entry = blocks_by_chrom.get(chrom)
+    if not entry:
+        return None
+    starts, rows = entry
+    i = bisect.bisect_right(starts, pos) - 1
+    if i < 0:
+        return None
+    _b, e, gqx = rows[i]
+    if pos > e:
+        return None
+    return [0, max(int(gqx), 0), 2 * max(int(gqx), 0)]
 
 
 def run_denovo(argv=None) -> int:
@@ -107,15 +145,36 @@ def run_denovo(argv=None) -> int:
     p.add_argument("--min-dq", type=float, default=0.0)
     args = p.parse_args(argv)
 
-    child = _read_gvcf_sites(args.proband)
-    mother = _read_gvcf_sites(args.mother)
-    father = _read_gvcf_sites(args.father)
+    child, _cb = _read_gvcf_sites(args.proband)
+    mother, mb = _read_gvcf_sites(args.mother)
+    father, fb = _read_gvcf_sites(args.father)
 
-    keys = [k for k in child if k in mother and k in father]
+    def index_blocks(blocks):
+        by = {}
+        for chrom, b, e, gqx in blocks:
+            by.setdefault(chrom, []).append((b, e, gqx))
+        return {c: ([r[0] for r in sorted(rows)], sorted(rows))
+                for c, rows in by.items()}
+
+    mbi = index_blocks(mb)
+    fbi = index_blocks(fb)
+
+    def parent_pl(parent_sites, blocks_idx, k):
+        if k in parent_sites:
+            return parent_sites[k][1]
+        return _homref_pl_at(blocks_idx, k)
+
+    trio = []
+    for k in child:
+        mp = parent_pl(mother, mbi, k)
+        fp = parent_pl(father, fbi, k)
+        if mp is not None and fp is not None:
+            trio.append((k, mp, fp))
+    keys = [k for k, _m, _f in trio]
     if keys:
         cpl = np.array([child[k][1] for k in keys])
-        mpl = np.array([mother[k][1] for k in keys])
-        fpl = np.array([father[k][1] for k in keys])
+        mpl = np.array([m for _k, m, _f in trio])
+        fpl = np.array([f for _k, _m, f in trio])
         p_dn = denovo_posterior(cpl, mpl, fpl)
         tiny = np.finfo(np.float64).tiny
         dq = np.minimum(np.round(-10 * np.log10(np.maximum(1 - p_dn, tiny))), 999)

@@ -35,3 +35,41 @@ def test_denovo_detection():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_denovo_cli_scores_against_homref_blocks(tmp_path):
+    """Parents that are confidently hom-ref at the proband's candidate
+    (covered only by gVCF blocks) still produce trio DQ scores."""
+    import gzip
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from strelka_tpu.workflow.denovo import run_denovo
+    from strelka_tpu.workflow.germline import run_germline
+
+    for name, bam in (("prob", "NA12891_demo20.bam"),
+                      ("mom", "NA12892_demo20.bam"),
+                      ("dad", "NA12892_demo20.bam")):
+        run_germline([
+            "--reference", "/root/reference/src/demo/data/demo20.fa",
+            "--align-file", f"/root/reference/src/demo/data/{bam}",
+            "--output-dir", str(tmp_path / name), "--exome"])
+    out = str(tmp_path / "denovo.vcf.gz")
+    rc = run_denovo([
+        "--proband", str(tmp_path / "prob" / "genome.S1.vcf.gz"),
+        "--mother", str(tmp_path / "mom" / "genome.S1.vcf.gz"),
+        "--father", str(tmp_path / "dad" / "genome.S1.vcf.gz"),
+        "--output", out])
+    assert rc == 0
+    dq = {}
+    with gzip.open(out, "rt") as f:
+        for line in f:
+            if line.startswith("#") or "DQ=" not in line:
+                continue
+            fields = line.split("\t")
+            info = dict(kv.split("=") for kv in fields[7].split(";")
+                        if "=" in kv)
+            dq[int(fields[1])] = float(info["DQ"])
+    assert len(dq) >= 10, dq
+    # the proband-only TAT insertion scores as de novo
+    assert dq.get(1148, 0) >= 10, dq.get(1148)
