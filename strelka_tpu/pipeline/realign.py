@@ -47,6 +47,29 @@ class LocusReadScores:
     genotyping_mask: np.ndarray | None = None
 
 
+def apply_genotyping_mask(scores: "LocusReadScores"):
+    """Reduce a scored locus to its breakpoint-overlap-passing reads
+    (None when nothing passes); n_suboverlap keeps its tally."""
+    gm = scores.genotyping_mask
+    if gm is None:
+        return scores
+    if not gm.any():
+        return None
+    if gm.all():
+        return scores
+    return LocusReadScores(
+        read_rows=scores.read_rows[gm],
+        allele_lhoods=scores.allele_lhoods[gm],
+        read_len=scores.read_len[gm],
+        n_nonambig=scores.n_nonambig[gm],
+        is_fwd=scores.is_fwd[gm],
+        n_suboverlap=scores.n_suboverlap,
+        best_offsets=(scores.best_offsets[gm]
+                      if scores.best_offsets is not None else None),
+        win_begin=scores.win_begin,
+    )
+
+
 def apply_indel_to_window(ref_window: np.ndarray, window_begin: int,
                           key: IndelKey, encode) -> np.ndarray:
     """Haplotype codes: window with one indel applied."""

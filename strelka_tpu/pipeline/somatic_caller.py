@@ -400,8 +400,26 @@ def call_somatic_region(
         snvs.append(site)
 
     # --- indels ---
+    # batched read x haplotype scoring for all candidate loci, per
+    # sample and evidence tier (one bucketed kernel launch per shape
+    # instead of four small dispatches per indel — matters for device
+    # round-trip latency at WGS scale)
+    indel_loci = [[k] for k in cand_keys]
+    batch_scores: dict = {}
+    if indel_loci:
+        for tier_i, tiers in enumerate([(rd.MapLevel.TIER1,),
+                                        (rd.MapLevel.TIER1,
+                                         rd.MapLevel.TIER2)]):
+            for s in range(2):
+                flank = (opt.normal_sample_min_read_bp_flank if s == 0
+                         else opt.default_min_read_bp_flank)
+                batch_scores[(tier_i, s)] = rb.score_loci_batched(
+                    kept[s], eas[s], levels[s], ref_all, fetch_begin,
+                    indel_loci, selection="overlap", min_bp_flank=flank,
+                    tiers=tiers)
+
     indels: list[SomaticIndelCall] = []
-    for key in cand_keys:
+    for key_idx, key in enumerate(cand_keys):
         rec = store.records[key]
         if not rec.repeat_unit:
             cand.set_repeat_info(rec, ref_all, fetch_begin, decode_bases)
@@ -428,9 +446,9 @@ def call_somatic_region(
             for s in range(2):
                 flank = (opt.normal_sample_min_read_bp_flank if s == 0
                          else opt.default_min_read_bp_flank)
-                sc = realign.score_locus(kept[s], eas[s], levels[s], ref_all,
-                                         fetch_begin, [key], tiers=tiers,
-                                         min_bp_flank=flank)
+                sc = batch_scores[(tier_i, s)].get(key_idx)
+                if sc is not None:
+                    sc = realign.apply_genotyping_mask(sc)
                 if sc is None:
                     skip = True
                     break
