@@ -164,6 +164,63 @@ def unroll_read(batch: ReadBatch, r: int):
 LN10 = float(np.log(10.0))  # smoothed_lnp_range, starling_base_shared.hh:171
 
 
+def clip_ambiguous_edges(batch: ReadBatch, r: int, scores, i: int,
+                         keys, alt_in_pool: np.ndarray):
+    """Gapless plan with ambiguous edges soft-clipped.
+
+    When a read's smooth pool holds both the gapless alignment (the
+    preferred one: fewest indels, isFirstCandidateAlignmentPreferred)
+    and one or more with-indel alignments within smoothed_lnp_range,
+    the reference soft-clips every edge read position whose reference
+    mapping conflicts between pool members
+    (getClippedAlignmentFromTopAlignmentPool,
+    starling_read_align_clipper.cpp:345-423). Returns (pos, ops, lens)
+    or None (complex input alignment / fully-conflicted read).
+    """
+    _cl, _cr, has_complex = _aligned_span(batch, r)
+    if has_complex:
+        return None
+    rl = int(scores.read_len[i])
+    o_r = scores.win_begin + int(scores.best_offsets[i, 0])
+    j = np.arange(rl)
+    conflict = np.zeros(rl, dtype=bool)
+    for a in np.nonzero(alt_in_pool)[0]:
+        key = keys[a]
+        if not key.is_primitive:
+            return None
+        o_a = scores.win_begin + int(scores.best_offsets[i, 1 + a])
+        h = o_a + j          # haplotype coordinate of read pos j
+        p = key.pos          # indel position (hap == ref coords below p)
+        if key.is_insertion:
+            ins = key.insert_length
+            ref_of = np.where(h < p + ins, h, h - ins)
+            is_ins = (h >= p) & (h < p + ins)
+            conflict |= is_ins | (~is_ins & (ref_of != o_r + j))
+        else:
+            ref_of = np.where(h < p, h, h + key.delete_length)
+            conflict |= ref_of != o_r + j
+    ok = np.nonzero(~conflict)[0]
+    if len(ok) == 0:
+        return None
+    lead, trail = int(ok[0]), int(ok[-1]) + 1
+    if lead == 0 and trail == rl:
+        return unroll_read(batch, r)
+    new_pos = o_r + lead
+    if new_pos < 0:
+        return None
+    ops, lens = [], []
+    if lead:
+        ops.append(cg.SOFT_CLIP)
+        lens.append(lead)
+    ops.append(cg.MATCH)
+    lens.append(trail - lead)
+    if trail < rl:
+        ops.append(cg.SOFT_CLIP)
+        lens.append(rl - trail)
+    return (new_pos, np.array(ops, dtype=np.int8),
+            np.array(lens, dtype=np.int32))
+
+
 def apply_realignments(
     batch: ReadBatch,
     locus_scores: dict,
@@ -205,10 +262,18 @@ def apply_realignments(
                     res = realign_read_to_indel(batch, r, key)
                 if res is None and unroll_clips:
                     res = unroll_read(batch, r)
-            elif unroll_clips:
-                res = unroll_read(batch, r)
             else:
+                # gapless is the preferred pool member; when any
+                # with-indel alignment also sits within the smooth
+                # range, its conflicting edge positions get clipped
                 res = None
+                pool_max = max(float(lh[i, 0]), float(lh[i, 1:].max()))
+                alt_in_pool = lh[i, 1:] >= pool_max - min_lhood_gain
+                if alt_in_pool.any() and scores.best_offsets is not None:
+                    res = clip_ambiguous_edges(batch, r, scores, i,
+                                               keys, alt_in_pool)
+                if res is None and unroll_clips:
+                    res = unroll_read(batch, r)
             if res is not None:
                 new_cigars[r] = res
     if not new_cigars:

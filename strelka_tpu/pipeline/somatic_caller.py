@@ -552,11 +552,19 @@ def call_somatic_region(
                 mq0 += int(pu.mapq_zero[dpos])
         callrec.mq = float(np.sqrt(mqss / mqn)) if mqn else 0.0
         callrec.mq0 = mq0
-        # 50bp window stats around the VCF record position
+        # 50bp window stats around the VCF record position: the
+        # reference's window_average FIFO (size 2*flank,
+        # strelka_pos_processor.cpp:75-77) holds positions
+        # [p-flank+1, p+flank] around record pos p (empirically pinned
+        # against the golden demo outputs). Positions with ref N are
+        # insert_null (excluded from the mean,
+        # starling_pos_processor_base.cpp:1486-1493).
         flank50 = opt.indel_region_flank_size
         c0 = key.pos - 1 - begin
-        wa = max(0, c0 - flank50 + 1)
         wb = min(L, c0 + flank50 + 1)
+        wa = max(0, wb - 2 * flank50)
+        not_n = rc[wa:wb] != 4
+        n_eff = int(not_n.sum())
         for s, pu in enumerate(pus):
             used_pp = pu.used[wa:wb].sum(axis=1)
             # filtered = tier1-mapped lanes only (tier2 reads share
@@ -566,9 +574,9 @@ def call_somatic_region(
             lane_t1[v] = levels[s][pu.read_idx[wa:wb][v]] == rd.MapLevel.TIER1
             filt_pp = (v & lane_t1 & ~pu.used[wa:wb]).sum(axis=1)
             sub_pp = pu.submapped[wa:wb]
-            u = float(used_pp.mean()) if wb > wa else 0.0
-            f = float(filt_pp.mean()) if wb > wa else 0.0
-            sb_ = float(sub_pp.mean()) if wb > wa else 0.0
+            u = float(used_pp[not_n].sum() / n_eff) if n_eff else 0.0
+            f = float(filt_pp[not_n].sum() / n_eff) if n_eff else 0.0
+            sb_ = float(sub_pp[not_n].sum() / n_eff) if n_eff else 0.0
             denom = int(f) + int(u)
             bcn = (int(f) / denom) if denom > 0 else 0.0
             callrec.win.append((u + f, f, sb_, bcn))

@@ -24,12 +24,12 @@ from ..pipeline import somatic_caller as sc
 BASES = "ACGT"
 
 
-def snv_header(chrom, clen):
+def snv_header(chrom, clen, opt, evs_on=True, depth_filter=False):
     return "\n".join([
         "##fileformat=VCFv4.1",
         f"##source=strelka_tpu {__version__}",
-        "##content=strelka_tpu somatic snv calls",
         f"##contig=<ID={chrom},length={clen}>",
+        "##content=strelka_tpu somatic snv calls",
         "##priorSomaticSnvRate=0.0001",
         '##INFO=<ID=QSS,Number=1,Type=Integer,Description="Quality score for any somatic snv, ie. for the ALT allele to be present at a significantly different frequency in the tumor and normal">',
         '##INFO=<ID=TQSS,Number=1,Type=Integer,Description="Data tier used to compute QSS">',
@@ -54,19 +54,27 @@ def snv_header(chrom, clen):
         '##FORMAT=<ID=CU,Number=2,Type=Integer,Description="Number of \'C\' alleles used in tiers 1,2">',
         '##FORMAT=<ID=GU,Number=2,Type=Integer,Description="Number of \'G\' alleles used in tiers 1,2">',
         '##FORMAT=<ID=TU,Number=2,Type=Integer,Description="Number of \'T\' alleles used in tiers 1,2">',
+    ] + ([
         '##FILTER=<ID=LowEVS,Description="Somatic Empirical Variant Score (SomaticEVS) is below threshold">',
-        '##FILTER=<ID=LowQscore,Description="Somatic Quality Score (QSS_NT) is below threshold">',
-        '##FILTER=<ID=LowDepth,Description="Tumor or normal sample read depth at this locus is below 2">',
+    ] if evs_on else [
+        f'##FILTER=<ID=BCNoise,Description="Fraction of basecalls filtered at this site in either sample is at or above {opt.somatic_snv_max_filtered_basecall_frac}">',
+        f'##FILTER=<ID=SpanDel,Description="Fraction of reads crossing site with spanning deletions in either sample exceeds {opt.somatic_snv_max_spanning_deletion_frac}">',
+        f'##FILTER=<ID=QSS_ref,Description="Normal sample is not homozygous ref or ssnv Q-score < {opt.somatic_snv_min_qss_ref}, ie calls with NT!=ref or QSS_NT < {opt.somatic_snv_min_qss_ref}">',
+    ]) + [
+        f'##FILTER=<ID=LowDepth,Description="Tumor or normal sample read depth at this locus is below {opt.min_passed_call_depth}">',
+    ] + ([
+        f'##FILTER=<ID=HighDepth,Description="Locus depth is greater than {opt.max_depth_factor}x the mean chromosome depth in the normal sample">',
+    ] if depth_filter else []) + [
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNORMAL\tTUMOR",
     ]) + "\n"
 
 
-def indel_header(chrom, clen):
+def indel_header(chrom, clen, opt, evs_on=True, depth_filter=False):
     return "\n".join([
         "##fileformat=VCFv4.1",
         f"##source=strelka_tpu {__version__}",
-        "##content=strelka_tpu somatic indel calls",
         f"##contig=<ID={chrom},length={clen}>",
+        "##content=strelka_tpu somatic indel calls",
         "##priorSomaticIndelRate=1e-06",
         '##INFO=<ID=QSI,Number=1,Type=Integer,Description="Quality score for any somatic variant, ie. for the ALT haplotype to be present at a significantly different frequency in the tumor and normal">',
         '##INFO=<ID=TQSI,Number=1,Type=Integer,Description="Data tier used to compute QSI">',
@@ -92,10 +100,16 @@ def indel_header(chrom, clen):
         '##FORMAT=<ID=FDP50,Number=1,Type=Float,Description="Average tier1 number of basecalls filtered from original read depth within 50 bases">',
         '##FORMAT=<ID=SUBDP50,Number=1,Type=Float,Description="Average number of reads below tier1 mapping quality threshold aligned across sites within 50 bases">',
         '##FORMAT=<ID=BCN50,Number=1,Type=Float,Description="Fraction of filtered reads within 50 bases of the indel.">',
+    ] + ([
         '##FILTER=<ID=LowEVS,Description="Somatic Empirical Variant Score (SomaticEVS) is below threshold">',
-        '##FILTER=<ID=QSI_ref,Description="Normal sample is not homozygous ref or sindel Q-score < 40, ie calls with NT!=ref or QSI_NT < 40">',
-        '##FILTER=<ID=IndelBCNoise,Description="Average fraction of filtered basecalls within 50 bases of the indel exceeds 0.3">',
-        '##FILTER=<ID=LowDepth,Description="Tumor or normal sample read depth at this locus is below 2">',
+    ] if evs_on else [
+        f'##FILTER=<ID=IndelBCNoise,Description="Average fraction of filtered basecalls within {opt.indel_region_flank_size} bases of the indel exceeds {opt.somatic_indel_max_window_filtered_basecall_frac}">',
+        f'##FILTER=<ID=QSI_ref,Description="Normal sample is not homozygous ref or sindel Q-score < 40, ie calls with NT!=ref or QSI_NT < 40">',
+    ]) + [
+        f'##FILTER=<ID=LowDepth,Description="Tumor or normal sample read depth at this locus is below {opt.min_passed_call_depth}">',
+    ] + ([
+        f'##FILTER=<ID=HighDepth,Description="Locus depth is greater than {opt.max_depth_factor}x the mean chromosome depth in the normal sample">',
+    ] if depth_filter else []) + [
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNORMAL\tTUMOR",
     ]) + "\n"
 
@@ -191,8 +205,24 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
             filters = ([] if snv_evs[si_idx] >= snv_forest.filter_cutoff
                        else ["LowEVS"])
         else:
-            filters = ([] if site.qss_nt >= args.min_qss_filter
-                       else ["LowQscore"])
+            # legacy rule filters, enum order (strelka_vcf_locus_info.hh
+            # + position_somatic_snv_strand_grid_vcf.cpp:280-327)
+            filters = []
+            if norm_chrom_depth is not None and \
+                    site.dp[0] > opt.max_depth_factor * norm_chrom_depth:
+                filters.append("HighDepth")
+            def _frac(a, b):
+                return a / b if b > 0 else 0.0
+            if any(_frac(site.fdp[s], site.dp[s]) >=
+                   opt.somatic_snv_max_filtered_basecall_frac
+                   for s in range(2)):
+                filters.append("BCNoise")
+            if any(_frac(site.sdp[s], site.dp[s] + site.sdp[s]) >
+                   opt.somatic_snv_max_spanning_deletion_frac
+                   for s in range(2)):
+                filters.append("SpanDel")
+            if site.ntype != 0 or site.qss_nt < opt.somatic_snv_min_qss_ref:
+                filters.append("QSS_ref")
         # LowDepth: tier1 depth below minPassedCallDepth in either
         # sample (position_somatic_snv_strand_grid_vcf.cpp:350-355)
         if min(site.dp) < opt.min_passed_call_depth:
@@ -234,23 +264,25 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
         ref_str = decode_bases(
             res.ref_codes[left:left + 1 + key.delete_length])
         alt_str = ref_str[0] + key.insert_seq
+        # HighDepth applies with or without EVS for indels (normal
+        # tier1 locus depth, SomaticIndelVcfWriter.cpp:95-103)
+        filters = []
+        if norm_chrom_depth is not None and \
+                call.dp[0] > opt.max_depth_factor * norm_chrom_depth:
+            filters.append("HighDepth")
         if indel_evs is not None:
-            filters = ([] if indel_evs[ci_idx] >= indel_forest.filter_cutoff
-                       else ["LowEVS"])
-            if min(call.dp) < opt.min_passed_call_depth:
-                filters.append("LowDepth")
-            filt = ";".join(filters) if filters else "PASS"
+            if indel_evs[ci_idx] < indel_forest.filter_cutoff:
+                filters.append("LowEVS")
         else:
             # non-EVS filters (SomaticIndelVcfWriter.cpp :109-127)
-            filters = []
             if any(w[3] >= opt.somatic_indel_max_window_filtered_basecall_frac
                    for w in call.win):
                 filters.append("IndelBCNoise")
             if call.ntype != 0 or call.qsi_nt < args.min_qsi_filter:
                 filters.append("QSI_ref")
-            if min(call.dp) < opt.min_passed_call_depth:
-                filters.append("LowDepth")
-            filt = ";".join(filters) if filters else "PASS"
+        if min(call.dp) < opt.min_passed_call_depth:
+            filters.append("LowDepth")
+        filt = ";".join(filters) if filters else "PASS"
         ihp = interrupted_hpol(res.ref_codes, res.begin, key.pos,
                                key.right_pos)
         info = (f"SOMATIC;QSI={call.qsi};TQSI={call.tier + 1};"
@@ -406,9 +438,15 @@ def run_somatic(argv=None) -> int:
     chrom0 = regions[0][0]
     clen0 = ref.contig_length(chrom0)
     n_snv = n_indel = 0
+    evs_on = not args.disable_evs
+    max_depth_on = not getattr(args, "exome", False)
     for path, header_text, suffix in (
-            (snv_path, snv_header(chrom0, clen0), "snvs"),
-            (indel_path, indel_header(chrom0, clen0), "indels")):
+            (snv_path, snv_header(chrom0, clen0, opt, evs_on,
+                                  depth_filter=(not evs_on) and max_depth_on),
+             "snvs"),
+            (indel_path, indel_header(chrom0, clen0, opt, evs_on,
+                                      depth_filter=max_depth_on),
+             "indels")):
         with IndexedVcfWriter(path, all_chroms) as w:
             w.write_header(header_text)
             for gi in range(len(groups)):
