@@ -51,16 +51,17 @@ void expand_fill(
     const uint8_t* seq,
     const int64_t* cig_off, const int8_t* cig_ops, const int32_t* cig_lens,
     int64_t n_reads,
-    // aligned match bases
-    int64_t* match_read, int64_t* match_refpos, int64_t* match_readoff,
+    // aligned match bases (int32: read count and contig length both
+    // fit; halves the table footprint, which dominates expansion cost)
+    int32_t* match_read, int32_t* match_refpos, int32_t* match_readoff,
     // spanning deletions per deleted ref base
-    int64_t* del_read, int64_t* del_refpos, uint8_t* del_is_edge,
+    int32_t* del_read, int32_t* del_refpos, uint8_t* del_is_edge,
     // insertion events
-    int64_t* ins_read, int64_t* ins_refpos, int64_t* ins_readoff,
-    int64_t* ins_len, uint8_t* ins_is_edge,
+    int32_t* ins_read, int32_t* ins_refpos, int32_t* ins_readoff,
+    int32_t* ins_len, uint8_t* ins_is_edge,
     // deletion events
-    int64_t* devent_read, int64_t* devent_refpos, int64_t* devent_readoff,
-    int64_t* devent_len, uint8_t* devent_is_edge,
+    int32_t* devent_read, int32_t* devent_refpos, int32_t* devent_readoff,
+    int32_t* devent_len, uint8_t* devent_is_edge,
     // per-read summaries
     int64_t* ref_begin, int64_t* ref_end,
     int64_t* read_begin, int64_t* read_end)

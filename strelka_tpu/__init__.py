@@ -42,4 +42,19 @@ if _cache_dir and _cache_dir != "0":
     except Exception:  # noqa: BLE001 - cache is best-effort
         pass
 
+# Keep glibc from munmap'ing the large per-region tables (expansion,
+# pileup tiles) between calls: default malloc serves >128KB from mmap
+# and returns it to the kernel on free, so every region re-pays the
+# first-touch page-fault cost (tens of MB/s inside this VM). Raising
+# M_MMAP_THRESHOLD and disabling trim keeps the heap pages resident,
+# making every region after the first run at warm-allocation speed.
+if _os.name == "posix":
+    try:
+        import ctypes as _ctypes
+        _libc = _ctypes.CDLL(None, use_errno=True)
+        _libc.mallopt(-1, -1)         # M_TRIM_THRESHOLD: never trim
+        _libc.mallopt(-3, 1 << 30)    # M_MMAP_THRESHOLD: 1GB
+    except Exception:  # noqa: BLE001 - allocator tuning is best-effort
+        pass
+
 __version__ = "0.1.0"

@@ -351,9 +351,9 @@ def expand_native(batch):
         lib.expand_fill.restype = None
         lib.expand_fill.argtypes = (
             [i64p, u16p, i64p, u8p, i64p, i8p, i32p, ctypes.c_int64]
-            + [i64p] * 3 + [i64p, i64p, u8p]
-            + [i64p] * 4 + [u8p]
-            + [i64p] * 4 + [u8p]
+            + [i32p] * 3 + [i32p, i32p, u8p]
+            + [i32p] * 4 + [u8p]
+            + [i32p] * 4 + [u8p]
             + [i64p] * 4)
         lib._expand_bound = True
 
@@ -374,12 +374,16 @@ def expand_native(batch):
     def a(n, dtype=np.int64):
         return np.empty(n, dtype)
 
-    m_read, m_refpos, m_readoff = a(nm), a(nm), a(nm)
-    d_read, d_refpos, d_edge = a(nd), a(nd), a(nd, np.uint8)
+    m_read, m_refpos, m_readoff = \
+        a(nm, np.int32), a(nm, np.int32), a(nm, np.int32)
+    d_read, d_refpos, d_edge = \
+        a(nd, np.int32), a(nd, np.int32), a(nd, np.uint8)
     i_read, i_refpos, i_readoff, i_len, i_edge = \
-        a(ni), a(ni), a(ni), a(ni), a(ni, np.uint8)
+        a(ni, np.int32), a(ni, np.int32), a(ni, np.int32), \
+        a(ni, np.int32), a(ni, np.uint8)
     de_read, de_refpos, de_readoff, de_len, de_edge = \
-        a(nde), a(nde), a(nde), a(nde), a(nde, np.uint8)
+        a(nde, np.int32), a(nde, np.int32), a(nde, np.int32), \
+        a(nde, np.int32), a(nde, np.uint8)
     ref_begin, ref_end = a(batch.n), a(batch.n)
     read_begin, read_end = a(batch.n), a(batch.n)
 
@@ -388,15 +392,15 @@ def expand_native(batch):
         _p(seq_off, ctypes.c_int64), _p(seq, ctypes.c_uint8),
         _p(cig_off, ctypes.c_int64), _p(cig_ops, ctypes.c_int8),
         _p(cig_lens, ctypes.c_int32), batch.n,
-        _p(m_read, ctypes.c_int64), _p(m_refpos, ctypes.c_int64),
-        _p(m_readoff, ctypes.c_int64),
-        _p(d_read, ctypes.c_int64), _p(d_refpos, ctypes.c_int64),
+        _p(m_read, ctypes.c_int32), _p(m_refpos, ctypes.c_int32),
+        _p(m_readoff, ctypes.c_int32),
+        _p(d_read, ctypes.c_int32), _p(d_refpos, ctypes.c_int32),
         _p(d_edge, ctypes.c_uint8),
-        _p(i_read, ctypes.c_int64), _p(i_refpos, ctypes.c_int64),
-        _p(i_readoff, ctypes.c_int64), _p(i_len, ctypes.c_int64),
+        _p(i_read, ctypes.c_int32), _p(i_refpos, ctypes.c_int32),
+        _p(i_readoff, ctypes.c_int32), _p(i_len, ctypes.c_int32),
         _p(i_edge, ctypes.c_uint8),
-        _p(de_read, ctypes.c_int64), _p(de_refpos, ctypes.c_int64),
-        _p(de_readoff, ctypes.c_int64), _p(de_len, ctypes.c_int64),
+        _p(de_read, ctypes.c_int32), _p(de_refpos, ctypes.c_int32),
+        _p(de_readoff, ctypes.c_int32), _p(de_len, ctypes.c_int32),
         _p(de_edge, ctypes.c_uint8),
         _p(ref_begin, ctypes.c_int64), _p(ref_end, ctypes.c_int64),
         _p(read_begin, ctypes.c_int64), _p(read_end, ctypes.c_int64))

@@ -268,18 +268,66 @@ def _het_vf_extension_lhoods(base_id, qual, mask, extension: float,
     return jnp.stack(terms, axis=0), 1 + 2 * n_steps
 
 
-@functools.partial(jax.jit, static_argnames=("theta", "het_vf_extension",
+def _strand_bias(tile: SnvPileupTile, vals, mask, ref_clamped, tgt, lt,
+                 het_vf_extension: float, het_vf_increment: float):
+    """max(lhood_fwd[tgt], lhood_rev[tgt]) - lhood[tgt] per row
+    (position_snp_call_pprob_digt.cpp:520-534)."""
+    def strand_lhood(force_ref):
+        lh = _masked_lhood(tile.base_id.astype(jnp.int32), vals, mask,
+                           force_ref=force_ref, ref_gt=ref_clamped)
+        if het_vf_extension > 0:
+            ext, n_sub = _het_vf_extension_lhoods(
+                tile.base_id.astype(jnp.int32), tile.qual, mask,
+                het_vf_extension, het_vf_increment,
+                force_ref=force_ref, ref_gt=ref_clamped)
+            het_lh = jax.scipy.special.logsumexp(
+                jnp.concatenate([lh[None], ext], axis=0), axis=0) \
+                - jnp.log(jnp.float32(n_sub))
+            lh = jnp.where(jnp.asarray(digt.IS_HET)[None, :], het_lh, lh)
+        return lh
+    lhood_fwd = strand_lhood(~tile.is_fwd)
+    lhood_rev = strand_lhood(tile.is_fwd)
+    lf = jnp.take_along_axis(lhood_fwd, tgt[:, None], axis=-1)[:, 0]
+    lr = jnp.take_along_axis(lhood_rev, tgt[:, None], axis=-1)[:, 0]
+    return jnp.maximum(lf, lr) - lt
+
+
+@functools.partial(jax.jit, static_argnames=("het_vf_extension",
                                              "het_vf_increment"))
+def snv_strand_bias_tile(tile: SnvPileupTile, tgt, lt,
+                         het_vf_extension: float = 0.0,
+                         het_vf_increment: float = 0.0501):
+    """Strand bias for a gathered subset of SNP rows.
+
+    tgt: [L] genome max genotype per row; lt: [L] base lhood at tgt.
+    """
+    vals = _call_vals(tile.qual)
+    ref_clamped = jnp.minimum(tile.ref_gt.astype(jnp.int32),
+                              digt.N_BASE - 1)
+    return _strand_bias(tile, vals, tile.mask, ref_clamped,
+                        tgt.astype(jnp.int32), lt,
+                        het_vf_extension, het_vf_increment)
+
+
+@functools.partial(jax.jit, static_argnames=("theta", "het_vf_extension",
+                                             "het_vf_increment",
+                                             "compute_sb"))
 def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
                   is_haploid: jnp.ndarray | None = None,
                   het_vf_extension: float = 0.0,
-                  het_vf_increment: float = 0.0501) -> SnvCallResult:
+                  het_vf_increment: float = 0.0501,
+                  compute_sb: bool = True) -> SnvCallResult:
     """Batched equivalent of position_snp_call_pprob_digt over a tile.
 
     is_haploid: optional [L] bool selecting haploid priors per locus
     (ploidy regions, ploidy_util.hh).
     het_vf_extension: RNA-mode het variant-frequency extension
     (workflow passes 0.45 for RNA; 0 disables).
+    compute_sb: run the per-strand forced-ref recomputation for every
+    row. The reference only computes strand bias at is_snp() rows
+    (position_snp_call_pprob_digt.cpp:524); the chunked driver passes
+    False here and runs snv_strand_bias_tile on the SNP subset — two
+    of the three full-tile likelihood passes vanish.
     """
     priors = make_ln_priors(theta)
     ref_gt = tile.ref_gt.astype(jnp.int32)
@@ -321,26 +369,13 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
 
     # strand bias: forced-ref recomputation per strand (:520-534),
     # including the het-VF extension when enabled (:525-527)
-    def strand_lhood(force_ref):
-        lh = _masked_lhood(tile.base_id.astype(jnp.int32), vals, mask,
-                           force_ref=force_ref, ref_gt=ref_clamped)
-        if het_vf_extension > 0:
-            ext, n_sub = _het_vf_extension_lhoods(
-                tile.base_id.astype(jnp.int32), tile.qual, mask,
-                het_vf_extension, het_vf_increment,
-                force_ref=force_ref, ref_gt=ref_clamped)
-            het_lh = jax.scipy.special.logsumexp(
-                jnp.concatenate([lh[None], ext], axis=0), axis=0) \
-                - jnp.log(jnp.float32(n_sub))
-            lh = jnp.where(jnp.asarray(digt.IS_HET)[None, :], het_lh, lh)
-        return lh
-    lhood_fwd = strand_lhood(~tile.is_fwd)
-    lhood_rev = strand_lhood(tile.is_fwd)
-    tgt = g_max
-    lf = jnp.take_along_axis(lhood_fwd, tgt[:, None], axis=-1)[:, 0]
-    lr = jnp.take_along_axis(lhood_rev, tgt[:, None], axis=-1)[:, 0]
-    lt = jnp.take_along_axis(lhood, tgt[:, None], axis=-1)[:, 0]
-    sb = jnp.maximum(lf, lr) - lt
+    if compute_sb:
+        tgt = g_max
+        lt = jnp.take_along_axis(lhood, tgt[:, None], axis=-1)[:, 0]
+        sb = _strand_bias(tile, vals, mask, ref_clamped, tgt, lt,
+                          het_vf_extension, het_vf_increment)
+    else:
+        sb = jnp.zeros(lhood.shape[0], dtype=lhood.dtype)
 
     return SnvCallResult(
         lhood=lhood, genome_pprob=g_p, poly_pprob=p_p,
@@ -355,6 +390,8 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
 # regions run as fixed-shape tiles that hit the jit cache
 SNV_TILE_L = 32768
 SNV_TILE_D_PAD = 32
+# strand-bias subset tile (SNP rows per launch)
+SNV_SB_TILE = 512
 
 
 def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
@@ -369,41 +406,81 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
     """
     base = np.asarray(tile.base_id)
     L, D = base.shape
-    if L <= SNV_TILE_L:
-        res = call_snv_tile(tile, theta, is_haploid,
-                            het_vf_extension, het_vf_increment)
-        return SnvCallResult(*[np.asarray(x) for x in res])
-    Db = ((D + SNV_TILE_D_PAD - 1) // SNV_TILE_D_PAD) * SNV_TILE_D_PAD
     qual = np.asarray(tile.qual)
     fwd = np.asarray(tile.is_fwd)
     mask = np.asarray(tile.mask)
     ref_gt = np.asarray(tile.ref_gt)
     hap = None if is_haploid is None else np.asarray(is_haploid)
 
-    def pad2(a, fill, rows):
-        out = np.full((SNV_TILE_L, Db), fill, dtype=a.dtype)
-        out[:rows, :D] = a
-        return out
+    if L <= SNV_TILE_L:
+        res = call_snv_tile(tile, theta, is_haploid,
+                            het_vf_extension, het_vf_increment,
+                            compute_sb=False)
+        out = SnvCallResult(*[np.asarray(x) for x in res])
+    else:
+        Db = ((D + SNV_TILE_D_PAD - 1) // SNV_TILE_D_PAD) * SNV_TILE_D_PAD
 
-    parts = []
-    for t0 in range(0, L, SNV_TILE_L):
-        t1 = min(t0 + SNV_TILE_L, L)
-        rows = t1 - t0
-        rg = np.full(SNV_TILE_L, 4, dtype=ref_gt.dtype)
-        rg[:rows] = ref_gt[t0:t1]
-        sub = SnvPileupTile(
-            base_id=jnp.asarray(pad2(base[t0:t1], 0, rows)),
-            qual=jnp.asarray(pad2(qual[t0:t1], 0, rows)),
-            is_fwd=jnp.asarray(pad2(fwd[t0:t1], False, rows)),
-            mask=jnp.asarray(pad2(mask[t0:t1], False, rows)),
-            ref_gt=jnp.asarray(rg))
-        sub_hap = None
-        if hap is not None:
-            h = np.zeros(SNV_TILE_L, dtype=bool)
-            h[:rows] = hap[t0:t1]
-            sub_hap = jnp.asarray(h)
-        res = call_snv_tile(sub, theta, sub_hap,
-                            het_vf_extension, het_vf_increment)
-        parts.append(SnvCallResult(*[np.asarray(x)[:rows] for x in res]))
-    return SnvCallResult(*[np.concatenate([getattr(p, f) for p in parts])
-                           for f in SnvCallResult._fields])
+        def pad2(a, fill, rows):
+            out = np.full((SNV_TILE_L, Db), fill, dtype=a.dtype)
+            out[:rows, :D] = a
+            return out
+
+        parts = []
+        for t0 in range(0, L, SNV_TILE_L):
+            t1 = min(t0 + SNV_TILE_L, L)
+            rows = t1 - t0
+            rg = np.full(SNV_TILE_L, 4, dtype=ref_gt.dtype)
+            rg[:rows] = ref_gt[t0:t1]
+            sub = SnvPileupTile(
+                base_id=jnp.asarray(pad2(base[t0:t1], 0, rows)),
+                qual=jnp.asarray(pad2(qual[t0:t1], 0, rows)),
+                is_fwd=jnp.asarray(pad2(fwd[t0:t1], False, rows)),
+                mask=jnp.asarray(pad2(mask[t0:t1], False, rows)),
+                ref_gt=jnp.asarray(rg))
+            sub_hap = None
+            if hap is not None:
+                h = np.zeros(SNV_TILE_L, dtype=bool)
+                h[:rows] = hap[t0:t1]
+                sub_hap = jnp.asarray(h)
+            res = call_snv_tile(sub, theta, sub_hap,
+                                het_vf_extension, het_vf_increment,
+                                compute_sb=False)
+            parts.append(SnvCallResult(*[np.asarray(x)[:rows] for x in res]))
+        out = SnvCallResult(*[np.concatenate([getattr(p, f) for p in parts])
+                              for f in SnvCallResult._fields])
+
+    # strand bias on the SNP subset only (is_snp gate, reference :524)
+    snp_rows = np.nonzero(np.asarray(out.snv_qphred) != 0)[0]
+    sb = np.zeros(L, dtype=np.asarray(out.lhood).dtype)
+    if len(snp_rows):
+        Dsb = ((D + SNV_TILE_D_PAD - 1) // SNV_TILE_D_PAD) * SNV_TILE_D_PAD
+        lt = np.take_along_axis(
+            np.asarray(out.lhood)[snp_rows],
+            np.asarray(out.genome_max_gt)[snp_rows][:, None], axis=-1)[:, 0]
+        for t0 in range(0, len(snp_rows), SNV_SB_TILE):
+            rows = snp_rows[t0:t0 + SNV_SB_TILE]
+            n = len(rows)
+
+            def padr(a, fill):
+                if a.ndim == 2:
+                    o = np.full((SNV_SB_TILE, Dsb), fill, dtype=a.dtype)
+                    o[:n, :D] = a[rows]
+                else:
+                    o = np.full(SNV_SB_TILE, fill, dtype=a.dtype)
+                    o[:n] = a[rows]
+                return o
+            sub = SnvPileupTile(
+                base_id=jnp.asarray(padr(base, 0)),
+                qual=jnp.asarray(padr(qual, 0)),
+                is_fwd=jnp.asarray(padr(fwd, False)),
+                mask=jnp.asarray(padr(mask, False)),
+                ref_gt=jnp.asarray(padr(ref_gt, 4)))
+            tgt_pad = np.zeros(SNV_SB_TILE, dtype=np.int32)
+            tgt_pad[:n] = np.asarray(out.genome_max_gt)[rows]
+            lt_pad = np.zeros(SNV_SB_TILE, dtype=lt.dtype)
+            lt_pad[:n] = lt[t0:t0 + n]
+            vals = snv_strand_bias_tile(
+                sub, jnp.asarray(tgt_pad), jnp.asarray(lt_pad),
+                het_vf_extension, het_vf_increment)
+            sb[rows] = np.asarray(vals)[:n]
+    return out._replace(strand_bias=sb)

@@ -248,13 +248,19 @@ def expand_alignments(batch: bamio.ReadBatch,
 
     read_begin, read_end = _ambiguous_end_trim(batch)
 
+    # per-base/per-event tables are int32 like the native builder
+    # (read index and contig positions both fit; halves the footprint)
+    i32 = lambda a: a.astype(np.int32)
     return ExpandedAlignments(
-        match_read=match_read, match_refpos=match_refpos, match_readoff=match_readoff,
-        del_read=del_read, del_refpos=del_refpos, del_is_edge=del_is_edge,
-        ins_read=ins_read, ins_refpos=ins_refpos, ins_readoff=ins_readoff,
-        ins_len=ins_len, ins_is_edge=ins_is_edge,
-        devent_read=devent_read, devent_refpos=devent_refpos,
-        devent_readoff=devent_readoff, devent_len=devent_len,
+        match_read=i32(match_read), match_refpos=i32(match_refpos),
+        match_readoff=i32(match_readoff),
+        del_read=i32(del_read), del_refpos=i32(del_refpos),
+        del_is_edge=del_is_edge,
+        ins_read=i32(ins_read), ins_refpos=i32(ins_refpos),
+        ins_readoff=i32(ins_readoff), ins_len=i32(ins_len),
+        ins_is_edge=ins_is_edge,
+        devent_read=i32(devent_read), devent_refpos=i32(devent_refpos),
+        devent_readoff=i32(devent_readoff), devent_len=i32(devent_len),
         devent_is_edge=devent_is_edge,
         ref_begin=ref_begin, ref_end=ref_end,
         read_begin=read_begin, read_end=read_end,
