@@ -172,6 +172,14 @@ def run_germline(argv=None) -> int:
             lst = batches_per_chrom.setdefault(cname, [None] * len(args.align_files))
             lst[si] = batch.select(np.asarray(batch.tid == tid))
 
+    # input consistency validation (checkChromSet.py:144-211)
+    from .validation import ConfigurationError, check_chrom_set
+    try:
+        check_chrom_set(ref, headers, labels=list(args.align_files))
+    except ConfigurationError as e:
+        print(f"\nCONFIGURATION ERROR:\n{e}\n", file=sys.stderr)
+        return 1
+
     n_samples = len(sample_names)
 
     # --- optional sequence error estimation pre-pass -------------------

@@ -366,6 +366,17 @@ def run_somatic(argv=None) -> int:
     nhdr, nbatch_all = read_bam(args.normal_align_file)
     thdr, tbatch_all = read_bam(args.tumor_align_file)
 
+    # input consistency validation (checkChromSet.py:144-211; the
+    # somatic configure script validates normal+tumor vs the reference)
+    from .validation import ConfigurationError, check_chrom_set
+    try:
+        check_chrom_set(ref, [nhdr, thdr],
+                        labels=[args.normal_align_file,
+                                args.tumor_align_file])
+    except ConfigurationError as e:
+        print(f"\nCONFIGURATION ERROR:\n{e}\n", file=sys.stderr)
+        return 1
+
     from ..models import evs
     snv_forest = indel_forest = None
     if not args.disable_evs:
