@@ -113,6 +113,62 @@ def collect_context_counts(
     return out
 
 
+def collect_basecall_counts(
+    batch: ReadBatch,
+    map_level: np.ndarray,
+    ref_codes: np.ndarray,
+    ref_offset: int,
+    begin: int,
+    end: int,
+):
+    """Deduplicated per-position basecall observation patterns for the
+    SNV error models (errorAnalysis BasecallCounts analog): per
+    position, the used ref-supporting basecall count plus alt basecall
+    counts binned by phred level. Returns an
+    error_zoo.SnvPatterns or None on empty input."""
+    import jax.numpy as jnp
+
+    from ..models.error_zoo import SnvPatterns
+
+    if not batch.n:
+        return None
+    from ..io.native import pileup_native
+    res = pileup_native(batch, map_level, ref_codes, ref_offset,
+                        begin, end, min_qscore=17, mm_flank=100, mm_max=1)
+    if res is None:
+        return None
+    pu = res[0]
+    L = end - begin
+    rc = ref_codes[begin - ref_offset:end - ref_offset]
+    used = pu.used & pu.valid & (rc[:, None] != 4)
+    is_ref = used & (pu.base_id == rc[:, None])
+    is_alt = used & ~is_ref
+
+    quals = np.unique(pu.qual[is_alt]) if is_alt.any() else np.array([30])
+    Q = len(quals)
+    qidx = np.searchsorted(quals, pu.qual)
+
+    ref_count = is_ref.sum(axis=1).astype(np.int64)
+    alt_count = np.zeros((L, Q), dtype=np.int64)
+    li, di = np.nonzero(is_alt)
+    np.add.at(alt_count, (li, qidx[li, di]), 1)
+
+    ref_qual_hist = np.zeros(Q, dtype=np.int64)
+    li_r, di_r = np.nonzero(is_ref)
+    np.add.at(ref_qual_hist, np.clip(qidx[li_r, di_r], 0, Q - 1), 1)
+
+    covered = used.any(axis=1)
+    rows = np.concatenate([ref_count[covered, None],
+                           alt_count[covered]], axis=1)
+    uniq, counts = np.unique(rows, axis=0, return_counts=True)
+    return SnvPatterns(
+        qual_levels=quals.astype(np.int64),
+        ref_qual_hist=jnp.asarray(ref_qual_hist, dtype=jnp.float64),
+        ref_count=jnp.asarray(uniq[:, 0], dtype=jnp.float64),
+        alt_count=jnp.asarray(uniq[:, 1:], dtype=jnp.float64),
+        inst=jnp.asarray(counts, dtype=jnp.float64))
+
+
 def save_context_counts(path: str, counts: dict) -> None:
     """Serialize a context-counts dict to an .npz (the reference's
     binary counts file, SequenceAlleleCounts boost serialization)."""

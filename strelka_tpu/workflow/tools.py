@@ -217,15 +217,48 @@ def merge_counts(in_paths: list[str], out_path: str) -> None:
     save_context_counts(out_path, merged)
 
 
+def estimate_parameters(counts_path: str, model: str,
+                        lock_theta: bool = False) -> dict:
+    """Research-grade error-model fits over a merged counts file
+    (EstimateParametersFromAlleleCounts; models in
+    models/error_zoo.py). Returns {context: fit dict}."""
+    from ..models import error_zoo as ez
+    from ..pipeline.allele_counts import load_context_counts
+
+    counts = load_context_counts(counts_path)
+    out = {}
+    for (ps, rc), cc in sorted(counts.items()):
+        key = f"unit{ps}_rep{rc}"
+        if model == "indelIndy":
+            out[key] = ez.fit_indel_indy(cc, lock_theta)
+        elif model == "indelBinomialMixture":
+            out[key] = ez.fit_indel_binom_mixture(cc, lock_theta)
+        elif model == "indelBetaBinomialInsert":
+            out[key] = ez.fit_indel_beta_binomial(cc, True, lock_theta)
+        elif model == "indelBetaBinomialDelete":
+            out[key] = ez.fit_indel_beta_binomial(cc, False, lock_theta)
+        else:
+            raise ValueError(f"unknown model: {model}")
+    return out
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         print("tools: extract-indel-candidates | sort-vcf | "
               "update-nopassed-filter | merge-chrom-depth | "
-              "get-region-depth | dump-counts | merge-counts",
+              "get-region-depth | dump-counts | merge-counts | "
+              "estimate-parameters",
               file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
+    if cmd == "estimate-parameters":
+        import json
+        model = rest[1] if len(rest) > 1 else "indelIndy"
+        res = estimate_parameters(rest[0], model,
+                                  lock_theta="--lock-theta" in rest)
+        print(json.dumps(res, indent=1, sort_keys=True))
+        return 0
     if cmd == "get-region-depth":
         print(f"{rest[1]}\t{get_region_depth(rest[0], rest[1]):.3f}")
         return 0
