@@ -166,6 +166,17 @@ def left_shift_indel(pos: int, del_len: int, ins_seq: np.ndarray,
     return pos, del_len, np.array(ins, dtype=np.uint8)
 
 
+@dataclass
+class BreakpointRecord:
+    """Open breakpoint allele (BP_LEFT / BP_RIGHT): per-sample tier1
+    supporting reads + the longest observed junction sequence (the
+    reference's breakpointInsertionSequence,
+    starling_pos_processor_indel_util.cpp:200-288 + IndelData
+    getBreakpointInsertSeq)."""
+    tier1_reads: list
+    seq: np.ndarray  # base codes crossing the junction (<= maxIndelSize)
+
+
 class IndelObservationStore:
     """Multi-sample indel observation store (IndelBuffer equivalent)."""
 
@@ -173,16 +184,25 @@ class IndelObservationStore:
         self.n_samples = n_samples
         self.records: dict[IndelKey, IndelRecord] = {}
         # open breakpoint observations from oversized read indels:
-        # (pos, side) -> per-sample supporting read counts, where side
-        # is "L" (BP_LEFT) or "R" (BP_RIGHT)
+        # (pos, side) -> BreakpointRecord, where side is "L" (BP_LEFT)
+        # or "R" (BP_RIGHT)
         # (starling_pos_processor_indel_util.cpp :200-288 converts
         # indels larger than max_indel_size into breakpoint pairs)
-        self.breakpoints: dict[tuple[int, str], list[int]] = {}
+        self.breakpoints: dict[tuple[int, str], BreakpointRecord] = {}
 
-    def add_breakpoint(self, pos: int, side: str, sample: int) -> None:
-        counts = self.breakpoints.setdefault((pos, side),
-                                             [0] * self.n_samples)
-        counts[sample] += 1
+    def add_breakpoint(self, pos: int, side: str, sample: int,
+                       read_id: int | None = None,
+                       map_level: int = rd.MapLevel.TIER1,
+                       seq: np.ndarray | None = None) -> None:
+        rec = self.breakpoints.setdefault(
+            (pos, side),
+            BreakpointRecord(tier1_reads=[set() for _ in
+                                          range(self.n_samples)],
+                             seq=np.empty(0, np.uint8)))
+        if map_level == rd.MapLevel.TIER1 and read_id is not None:
+            rec.tier1_reads[sample].add(read_id)
+        if seq is not None and len(seq) > len(rec.seq):
+            rec.seq = np.asarray(seq, dtype=np.uint8)
 
     def _get(self, key: IndelKey) -> IndelRecord:
         rec = self.records.get(key)
@@ -231,9 +251,20 @@ def extract_read_indels(
             continue
         length = int(ea.ins_len[i])
         if length > max_indel_size:
+            # oversized indel -> breakpoint pair; the junction sequence
+            # is the read's first/last <= max_indel_size bases at the
+            # junction (process_simple_indel :272-296)
             p = int(ea.ins_refpos[i])
-            store.add_breakpoint(p, "L", sample_index)
-            store.add_breakpoint(p, "R", sample_index)
+            r = int(ea.ins_read[i])
+            s0, s1 = int(batch.seq_off[r]), int(batch.seq_off[r + 1])
+            off = int(ea.ins_readoff[i])
+            lvl = int(map_level[r])
+            lseq = batch.seq[s0 + off:
+                             min(s0 + off + max_indel_size, s1)]
+            nro = off + length
+            rseq = batch.seq[s0 + max(nro - max_indel_size, 0):s0 + nro]
+            store.add_breakpoint(p, "L", sample_index, r, lvl, lseq)
+            store.add_breakpoint(p, "R", sample_index, r, lvl, rseq)
             continue
         r = int(ea.ins_read[i])
         seq = batch.seq[batch.seq_off[r] + ea.ins_readoff[i]:
@@ -250,8 +281,16 @@ def extract_read_indels(
         length = int(ea.devent_len[i])
         if length > max_indel_size:
             p = int(ea.devent_refpos[i])
-            store.add_breakpoint(p, "L", sample_index)
-            store.add_breakpoint(p + length, "R", sample_index)
+            r = int(ea.devent_read[i])
+            s0, s1 = int(batch.seq_off[r]), int(batch.seq_off[r + 1])
+            off = int(ea.devent_readoff[i])
+            lvl = int(map_level[r])
+            lseq = batch.seq[s0 + off:
+                             min(s0 + off + max_indel_size, s1)]
+            rseq = batch.seq[s0 + max(off - max_indel_size, 0):s0 + off]
+            store.add_breakpoint(p, "L", sample_index, r, lvl, lseq)
+            store.add_breakpoint(p + length, "R", sample_index, r, lvl,
+                                 rseq)
             continue
         r = int(ea.devent_read[i])
         pos, dlen, ins = left_shift_indel(int(ea.devent_refpos[i]), length,
@@ -275,6 +314,41 @@ def estimated_depth(batch: ReadBatch, ea: rd.ExpandedAlignments,
     np.add.at(diff, b[ok], 1)
     np.add.at(diff, e[ok], -1)
     return np.cumsum(diff[:-1]).astype(np.int32)
+
+
+def evaluate_breakpoint_candidacy(
+    store: IndelObservationStore,
+    est_depth: np.ndarray,
+    region_begin: int,
+    error_model: IndelErrorModel,
+    alpha: float,
+    min_open_length: int = 20,
+) -> list[tuple[int, str, np.ndarray]]:
+    """Candidate open breakpoints: same binomial signal test as indels
+    (IndelBuffer.cpp:139-193) plus the minimum junction-sequence length
+    (min_candidate_indel_open_length = 20,
+    starling_base_shared.hh:157; IndelBuffer.cpp:237-242). Returns
+    [(pos, side, junction_seq_codes)] sorted by position."""
+    cache = MinCountBinomGteCache(alpha)
+    # breakpoints take the non-STR default candidacy rate (unit length
+    # 1, repeat count 1)
+    ref_to_bp, _ = error_model.get_rates(0, 1, 1, 1, True,
+                                         is_candidate=True)
+    out = []
+    for (pos, side), rec in sorted(store.breakpoints.items()):
+        if len(rec.seq) < min_open_length:
+            continue
+        for s in range(store.n_samples):
+            support = len(rec.tier1_reads[s])
+            dpos = pos - 1 - region_begin
+            total = int(est_depth[dpos]) if 0 <= dpos < len(est_depth) else 0
+            total = max(total, support)
+            if total < MIN_CANDIDATE_COV_FLOOR:
+                continue
+            if cache.is_reject_null(float(ref_to_bp), support, total):
+                out.append((pos, side, rec.seq))
+                break
+    return out
 
 
 def evaluate_candidacy(

@@ -390,6 +390,23 @@ def call_region(
             eas[s] = rd.expand_alignments(new_batch)
             n_realigned_total += n_re
 
+    # open breakpoint (BP_LEFT/BP_RIGHT) candidates from oversized read
+    # indels: reads whose breakpoint haplotype wins get soft-clipped at
+    # the junction before the pileup
+    bp_cands = cand.evaluate_breakpoint_candidacy(
+        store, est_sum, fetch_begin, em,
+        alpha=opt.indel_candidate_signal_test_alpha)
+    if bp_cands:
+        for s in range(n_samples):
+            bp_loci = [(pos, side, realign.score_breakpoint_locus(
+                kept[s], eas[s], levels[s], ref_codes, fetch_begin,
+                pos, side, seq)) for pos, side, seq in bp_cands]
+            new_batch, n_bp = ra.apply_breakpoint_clips(kept[s], bp_loci)
+            if n_bp:
+                kept[s] = new_batch
+                eas[s] = rd.expand_alignments(new_batch)
+                n_realigned_total += n_bp
+
     # per-sample site calling over the report range (post-realignment,
     # matching the reference's align -> pileup stage order)
     for s in range(n_samples):

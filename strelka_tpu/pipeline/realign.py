@@ -136,6 +136,83 @@ def select_overlapping_reads(ea: rd.ExpandedAlignments, map_level: np.ndarray,
     return rows, n_suboverlap
 
 
+def score_breakpoint_locus(
+    batch: ReadBatch,
+    ea: rd.ExpandedAlignments,
+    map_level: np.ndarray,
+    ref_codes: np.ndarray,
+    ref_offset: int,
+    pos: int,
+    side: str,
+    bp_seq: np.ndarray,
+    window_flank: int = 70,
+    max_reads: int = 512,
+    tiers=(rd.MapLevel.TIER1, rd.MapLevel.TIER2),
+) -> LocusReadScores | None:
+    """Score reads near an open breakpoint against {ref, breakpoint}.
+
+    The breakpoint haplotype is the reference up to the junction with
+    the observed junction sequence spliced past it (BP_LEFT) or before
+    it (BP_RIGHT) and nothing beyond — the gapless analog of the
+    reference's BP candidate alignments, where bases past the junction
+    become an insert segment scored against the breakpoint insertion
+    sequence (starling_read_align.cpp:561-575,701-712 +
+    starling_read_align_score.cpp scoreInsertSegment via getInsertSeq).
+    """
+    from ..io.fasta import encode_bases  # noqa: F401 (parallel to score_locus)
+
+    in_tier = np.isin(map_level, tiers)
+    ub = rd.unclipped_read_starts(batch)
+    rl_full = np.diff(batch.seq_off)
+    touch = (ub < pos + window_flank) & (ub + rl_full > pos - window_flank)
+    rows = np.nonzero(in_tier & touch)[0]
+    if len(rows) == 0:
+        return None
+    if len(rows) > max_reads:
+        rows = rows[:max_reads]
+
+    read_lens = np.diff(batch.seq_off)[rows].astype(np.int64)
+    L = int(read_lens.max())
+    R = len(rows)
+    win_begin = max(pos - (L + window_flank), ref_offset)
+    win_end = min(pos + (L + window_flank), ref_offset + len(ref_codes))
+    ref_window = ref_codes[win_begin - ref_offset:win_end - ref_offset]
+    p_rel = pos - win_begin
+
+    bp_hap = np.full(len(ref_window), 4, dtype=np.uint8)
+    if side == "L":
+        bp_hap[:p_rel] = ref_window[:p_rel]
+        n = min(len(bp_seq), len(bp_hap) - p_rel)
+        bp_hap[p_rel:p_rel + n] = bp_seq[:n]
+    else:
+        bp_hap[p_rel:] = ref_window[p_rel:]
+        n = min(len(bp_seq), p_rel)
+        bp_hap[p_rel - n:p_rel] = bp_seq[len(bp_seq) - n:]
+
+    hap_codes = np.stack([ref_window, bp_hap])
+    seqs = np.full((R, L), 4, dtype=np.uint8)
+    quals = np.zeros((R, L), dtype=np.int32)
+    mask = np.zeros((R, L), dtype=bool)
+    for i, r in enumerate(rows):
+        s = batch.get_seq(r)
+        q = batch.get_qual(r)
+        seqs[i, :len(s)] = s
+        quals[i, :len(q)] = q
+        mask[i, :len(s)] = True
+    tile = readlik.build_read_tile(seqs, quals, mask)
+    hap_onehot = readlik.build_hap_onehot(hap_codes)
+    lhoods, best_off = readlik.score_reads_vs_haps(tile, hap_onehot)
+    return LocusReadScores(
+        read_rows=rows,
+        allele_lhoods=np.asarray(lhoods, dtype=np.float64),
+        read_len=read_lens,
+        n_nonambig=np.asarray(tile.n_valid),
+        is_fwd=(batch.flag[rows] & FLAG_REVERSE) == 0,
+        best_offsets=np.asarray(best_off),
+        win_begin=win_begin,
+    )
+
+
 def score_locus(
     batch: ReadBatch,
     ea: rd.ExpandedAlignments,

@@ -221,6 +221,50 @@ def clip_ambiguous_edges(batch: ReadBatch, r: int, scores, i: int,
             np.array(lens, dtype=np.int32))
 
 
+def apply_breakpoint_clips(
+    batch: ReadBatch,
+    bp_loci: list,
+    min_lhood_gain: float = LN10,
+) -> tuple[ReadBatch, int]:
+    """Soft-clip reads at candidate open-breakpoint junctions.
+
+    bp_loci: [(pos, side, LocusReadScores)] from
+    realign.score_breakpoint_locus. Reads whose breakpoint-haplotype
+    likelihood beats the gapless reference alignment by more than the
+    smoothing range get everything past (BP_LEFT) / before (BP_RIGHT)
+    the junction soft-clipped — the pileup effect of the reference's
+    winning BP candidate alignment, whose off-junction bases are
+    insert segments that never enter the pileup
+    (starling_read_align.cpp:561-575 + pileup_read_segment).
+    """
+    new_cigars: dict[int, tuple[int, np.ndarray, np.ndarray]] = {}
+    for pos, side, scores in bp_loci:
+        if scores is None:
+            continue
+        lh = scores.allele_lhoods
+        win = (lh[:, 1] - lh[:, 0]) > min_lhood_gain
+        for i in np.nonzero(win)[0]:
+            r = int(scores.read_rows[i])
+            if r in new_cigars:
+                continue
+            rl = int(scores.read_len[i])
+            o = scores.win_begin + int(scores.best_offsets[i, 1])
+            j_cut = pos - o
+            if j_cut <= 0 or j_cut >= rl:
+                continue
+            if side == "L":
+                ops = np.array([cg.MATCH, cg.SOFT_CLIP], dtype=np.int8)
+                lens = np.array([j_cut, rl - j_cut], dtype=np.int32)
+                new_cigars[r] = (o, ops, lens)
+            else:
+                ops = np.array([cg.SOFT_CLIP, cg.MATCH], dtype=np.int8)
+                lens = np.array([j_cut, rl - j_cut], dtype=np.int32)
+                new_cigars[r] = (pos, ops, lens)
+    if not new_cigars:
+        return batch, 0
+    return _rebuild_cigars(batch, new_cigars), len(new_cigars)
+
+
 def apply_realignments(
     batch: ReadBatch,
     locus_scores: dict,
@@ -279,8 +323,12 @@ def apply_realignments(
     if not new_cigars:
         return batch, 0
 
-    # rebuild cigar arrays: untouched runs stay as bulk slices of the
-    # original arrays (O(k) segments for k realigned reads)
+    return _rebuild_cigars(batch, new_cigars), len(new_cigars)
+
+
+def _rebuild_cigars(batch: ReadBatch, new_cigars: dict) -> ReadBatch:
+    """Rebuild cigar arrays: untouched runs stay as bulk slices of the
+    original arrays (O(k) segments for k realigned reads)."""
     pos = batch.pos.copy()
     touched = sorted(new_cigars)
     op_parts, len_parts = [], []
@@ -300,7 +348,7 @@ def apply_realignments(
         op_parts.append(batch.cig_ops[batch.cig_off[prev]:])
         len_parts.append(batch.cig_lens[batch.cig_off[prev]:])
     cig_off = np.concatenate([[0], np.cumsum(new_nseg)]).astype(np.int64)
-    out = ReadBatch(
+    return ReadBatch(
         n=batch.n, names=batch.names, tid=batch.tid, pos=pos,
         mapq=batch.mapq, flag=batch.flag, mate_tid=batch.mate_tid,
         mate_pos=batch.mate_pos, tlen=batch.tlen, seq=batch.seq,
@@ -309,4 +357,3 @@ def apply_realignments(
         cig_lens=np.concatenate(len_parts),
         cig_off=cig_off,
     )
-    return out, len(new_cigars)

@@ -257,6 +257,21 @@ def call_somatic_region(
             kept[s] = new_batch
             eas[s] = rd.expand_alignments(new_batch)
 
+    # open breakpoint (BP_LEFT/BP_RIGHT) candidates: junction clipping
+    # before the pileup (same machinery as the germline caller)
+    bp_cands = cand.evaluate_breakpoint_candidacy(
+        store, est_sum, fetch_begin, em,
+        alpha=opt.indel_candidate_signal_test_alpha)
+    if bp_cands:
+        for s in range(2):
+            bp_loci = [(bpos, side, realign.score_breakpoint_locus(
+                kept[s], eas[s], levels[s], ref_all, fetch_begin,
+                bpos, side, seq)) for bpos, side, seq in bp_cands]
+            new_batch, n_bp = ra.apply_breakpoint_clips(kept[s], bp_loci)
+            if n_bp:
+                kept[s] = new_batch
+                eas[s] = rd.expand_alignments(new_batch)
+
     # --- pileups (post-realignment) ---
     from ..io.native import pileup_native
     for s in range(2):

@@ -86,4 +86,7 @@ def test_oversized_indel_becomes_breakpoints(tmp_path):
     assert not store.records, "oversized indel must not become an allele"
     assert (350, "L") in store.breakpoints
     assert (410, "R") in store.breakpoints
-    assert store.breakpoints[(350, "L")] == [1]
+    rec = store.breakpoints[(350, "L")]
+    assert rec.tier1_reads[0] == {0}
+    # junction sequence = the read's far-side bases (<= max_indel_size)
+    assert np.array_equal(rec.seq, codes[410:459])
