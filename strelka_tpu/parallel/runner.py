@@ -154,6 +154,25 @@ class SegmentRunner:
         return [(i, g) for i, g in enumerate(groups)
                 if i % self.process_count == self.process_index]
 
+    def dry_run(self, groups: list, out=None) -> int:
+        """pyflow --dryRun analog: list this host's task schedule
+        (label, segment spans, resume state) without executing.
+        Returns the number of tasks that WOULD run."""
+        import sys
+        out = out or sys.stderr
+        n_pending = 0
+        for gi, group in self.assigned(groups):
+            label = f"seg_{gi}"
+            done = self.state.is_complete(label)
+            spans = ",".join(f"{s.chrom}:{s.begin}-{s.end}" for s in group)
+            print(f"[dryrun] task {label} [{spans}] "
+                  f"{'COMPLETE (resume skips)' if done else 'PENDING'}",
+                  file=out)
+            n_pending += 0 if done else 1
+        print(f"[dryrun] {n_pending} pending task(s) on process "
+              f"{self.process_index}/{self.process_count}", file=out)
+        return n_pending
+
     def run(self, groups: list, task_fn, on_complete=None) -> RunStats:
         """task_fn(group) -> (result, RunStats|None); results passed to
         on_complete(group_index, result) in order for this host."""

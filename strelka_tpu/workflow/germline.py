@@ -98,6 +98,9 @@ def run_germline(argv=None) -> int:
                         "fan-out (pyflow-style); run one process per "
                         "index 0..count-1, then --merge-only")
     p.add_argument("--process-count", type=int, default=None)
+    p.add_argument("--dry-run", action="store_true",
+                   help="list the task schedule (incl. resume state) "
+                        "and exit without calling (pyflow --dryRun)")
     p.add_argument("--merge-only", action="store_true",
                    help="skip calling; concatenate existing workspace "
                         "fragments into final outputs")
@@ -328,6 +331,9 @@ def run_germline(argv=None) -> int:
                                    f"seg_{gi:06d}.S{si+1}.gvcf"), "w") as f:
                 f.write("\n".join(lines_g[si]) + ("\n" if lines_g[si] else ""))
 
+    if args.dry_run:
+        runner.dry_run(groups)
+        return 0
     if not args.merge_only:
         runner.run(groups, task_fn, on_complete)
     if args.process_index is not None and not args.merge_only \

@@ -323,6 +323,9 @@ def run_somatic(argv=None) -> int:
     p.add_argument("--tumor-align-file", required=True)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--region", action="append", default=None)
+    p.add_argument("--dry-run", action="store_true",
+                   help="list the task schedule (incl. resume state) "
+                        "and exit without calling (pyflow --dryRun)")
     p.add_argument("--call-regions-bed", default=None,
                    help="BED of regions to call (reference --callRegions)")
     p.add_argument("--indel-candidates", action="append", default=None)
@@ -441,6 +444,9 @@ def run_somatic(argv=None) -> int:
                                    f"seg_{gi:06d}.{suffix}"), "w") as f:
                 f.write("\n".join(lines) + ("\n" if lines else ""))
 
+    if args.dry_run:
+        runner.dry_run(groups)
+        return 0
     runner.run(groups, task_fn, on_complete)
 
     # ordered concat + tabix-indexed bgzf

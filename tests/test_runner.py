@@ -101,3 +101,26 @@ def test_continuous_model():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_dry_run_lists_schedule(tmp_path, capsys):
+    """pyflow --dryRun analog: pending/complete state per task, no
+    execution."""
+    import io
+
+    from strelka_tpu.parallel.runner import GenomeSegment, SegmentRunner
+
+    ws = str(tmp_path / "ws")
+    groups = [[GenomeSegment("chr1", 0, 100)],
+              [GenomeSegment("chr1", 100, 200)]]
+    r = SegmentRunner(ws)
+    calls = []
+    r.run(groups[:1], lambda g: (len(calls), None),
+          on_complete=lambda gi, res: calls.append(gi))
+    out = io.StringIO()
+    r2 = SegmentRunner(ws)
+    pending = r2.dry_run(groups, out=out)
+    text = out.getvalue()
+    assert pending == 1
+    assert "seg_0" in text and "COMPLETE" in text
+    assert "seg_1" in text and "PENDING" in text
