@@ -384,7 +384,8 @@ def call_region(
     for s in range(n_samples):
         new_batch, n_re = ra.apply_realignments(
             kept[s], sample_scores[s], groups_trimmed,
-            unroll_clips=not opt.retain_optimal_soft_clipping)
+            unroll_clips=not opt.retain_optimal_soft_clipping,
+            ref_codes=ref_codes, ref_offset=fetch_begin)
         if n_re:
             kept[s] = new_batch
             eas[s] = rd.expand_alignments(new_batch)

@@ -221,6 +221,40 @@ def clip_ambiguous_edges(batch: ReadBatch, r: int, scores, i: int,
             np.array(lens, dtype=np.int32))
 
 
+LN_QUARTER = float(np.log(0.25))
+
+
+def score_softclipped_input(batch: ReadBatch, r: int,
+                            ref_codes: np.ndarray, ref_offset: int):
+    """Log-likelihood of read r's soft-clipped INPUT alignment.
+
+    Emission over aligned bases (ln(1-e) match / ln(e/3) mismatch, N
+    skipped) plus ln(0.25) per soft-clipped base — the same scoring the
+    reference applies to the input alignment when optimal soft clipping
+    is retained (scoreCandidateAlignment SOFT_CLIP case
+    starling_read_align_score.cpp:439-455 + scoreMatchSegment).
+    Returns None for alignments with interior structure."""
+    cl, cr, has_complex = _aligned_span(batch, r)
+    if has_complex:
+        return None
+    seq = batch.get_seq(r)
+    qual = batch.get_qual(r)
+    rl = len(seq)
+    a0, a1 = cl, rl - cr
+    refpos0 = int(batch.pos[r]) - ref_offset
+    ref_seg = ref_codes[refpos0:refpos0 + (a1 - a0)]
+    if len(ref_seg) < (a1 - a0):
+        return None
+    s = seq[a0:a1]
+    q = qual[a0:a1].astype(np.float64)
+    e = np.clip(np.power(10.0, -q / 10.0), 1e-35, 0.75)
+    valid = s < 4
+    match = valid & (s == ref_seg)
+    lnp = float(np.where(match, np.log1p(-e),
+                         np.log(e / 3.0))[valid].sum())
+    return lnp + LN_QUARTER * (cl + cr)
+
+
 def apply_breakpoint_clips(
     batch: ReadBatch,
     bp_loci: list,
@@ -271,6 +305,8 @@ def apply_realignments(
     loci: list[list[IndelKey]],
     min_lhood_gain: float = LN10,
     unroll_clips: bool = True,
+    ref_codes: np.ndarray | None = None,
+    ref_offset: int = 0,
 ) -> tuple[ReadBatch, int]:
     """Rewrite alignments of reads at candidate-indel loci.
 
@@ -280,7 +316,11 @@ def apply_realignments(
     Preferred) get the indel embedded. Remaining soft-clipped reads at
     the locus get their clips unrolled into aligned bases — candidate
     alignments cover the whole read and optimal soft clipping is only
-    retained in RNA mode.
+    retained in RNA mode (unroll_clips=False), where additionally the
+    soft-clipped INPUT alignment is scored and kept whenever it matches
+    or beats the chosen realignment (isRetainOptimalSoftClipping /
+    isTestSoftClippedInputAligned, starling_read_align.cpp:1711-1745);
+    pass ref_codes/ref_offset to enable that re-scoring.
 
     Returns (new batch, n_realigned). The batch is copied lazily.
     """
@@ -295,6 +335,17 @@ def apply_realignments(
             r = int(scores.read_rows[i])
             if r in new_cigars:
                 continue
+            if not unroll_clips and ref_codes is not None:
+                # RNA mode: keep the soft-clipped input alignment when
+                # it scores at least as well as the chosen realignment
+                cl, cr, _hc = _aligned_span(batch, r)
+                if cl or cr:
+                    chosen = float(lh[i, 1 + int(best_alt[i])]) if win[i] \
+                        else float(lh[i, 0])
+                    sc_lnp = score_softclipped_input(batch, r, ref_codes,
+                                                     ref_offset)
+                    if sc_lnp is not None and sc_lnp >= chosen:
+                        continue
             if win[i]:
                 key = keys[int(best_alt[i])]
                 if scores.best_offsets is not None:

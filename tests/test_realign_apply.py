@@ -99,3 +99,51 @@ def test_apply_realignments_batch_rebuild():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_rna_softclip_input_retained():
+    """RNA mode: a soft-clipped input alignment that scores as well as
+    the chosen realignment is kept (isTestSoftClippedInputAligned)."""
+    import numpy as np
+
+    from strelka_tpu.io.fasta import decode_bases
+    from strelka_tpu.pipeline import candidates as cand
+    from strelka_tpu.pipeline import realign, realign_apply as ra
+    from strelka_tpu.pipeline import reads as rd
+    from tests.test_pileup import make_batch
+
+    rng = np.random.default_rng(4)
+    L = 600
+    codes = rng.integers(0, 4, L).astype(np.uint8)
+    refs = decode_bases(codes)
+    # a read whose trailing 30 bases are RNA junk (mismatch everywhere):
+    # the aligner soft-clipped them; unrolling would add 30 mismatches
+    rl = 100
+    st = 200
+    junk = "".join("ACGT"[(codes[st + 70 + i] + 2) % 4] for i in range(30))
+    seq = refs[st:st + 70] + junk
+    reads = [(st, "70M30S", seq, [35] * rl, 0, 60),
+             # clean ref reads to give the locus a scoring context
+             *[(p, f"{rl}M", refs[p:p + rl], [35] * rl, 0, 60)
+               for p in range(150, 260, 10)]]
+    batch = make_batch(sorted(reads, key=lambda r: r[0]))
+    level = np.full(batch.n, rd.MapLevel.TIER1, dtype=np.int8)
+    ea = rd.expand_alignments(batch)
+    key = cand.IndelKey(250, 2, "")
+    scores = realign.score_locus(batch, ea, level, codes, 0, [key])
+    assert scores is not None
+
+    # default DNA mode: clips unroll
+    dna_batch, n_dna = ra.apply_realignments(
+        batch, {0: scores}, [[key]], unroll_clips=True)
+    # RNA mode with input re-scoring: the clipped read keeps its input
+    # alignment (the junk tail would score 30 mismatches if unrolled,
+    # far below 30 * ln 0.25)
+    rna_batch, n_rna = ra.apply_realignments(
+        batch, {0: scores}, [[key]], unroll_clips=False,
+        ref_codes=codes, ref_offset=0)
+    row = int(np.nonzero(batch.pos == st)[0][0])
+    ops_rna, lens_rna = rna_batch.get_cigar(row)
+    from strelka_tpu.utils import cigar as cg
+    assert list(ops_rna) == [cg.MATCH, cg.SOFT_CLIP]
+    assert list(lens_rna) == [70, 30]
