@@ -100,6 +100,8 @@ class SomaticOptions(StarlingBaseOptions):
     shared_indel_error_factor: float = 2.2     # ini sindelNoiseFactor
     indel_somatic_normal_noise_rate: float = 0.0001
     normal_sample_min_read_bp_flank: int = 1
+    # ini depthFilterMultiple (HighDepth threshold vs normal chrom depth)
+    max_depth_factor: float = 3.0
     somatic_snv_max_filtered_basecall_frac: float = 0.4
     somatic_snv_max_spanning_deletion_frac: float = 0.75
     somatic_snv_min_qss_ref: int = 15
@@ -116,6 +118,76 @@ class SomaticOptions(StarlingBaseOptions):
     min_passed_call_depth: int = 2             # strelka_shared.hh:57
     tier2_include_singleton: bool = True
     tier2_include_anomalous: bool = True
+    # ini ssnvContamTolerance / indelContamTolerance
+    ssnv_contam_tolerance: float = 0.15
+    sindel_contam_tolerance: float = 0.15
+    # ini sindelQuality_LowerBound (QSI_ref threshold)
+    somatic_indel_min_qsi_filter: int = 40
+
+
+# reference ini key -> option field (configureStrelka*Workflow.py.ini)
+_GERMLINE_INI_MAP = {
+    "maxindelsize": ("max_indel_size", int),
+    "minmapq": ("min_mapping_quality", int),
+}
+
+_SOMATIC_INI_MAP = {
+    "maxindelsize": ("max_indel_size", int),
+    "depthfiltermultiple": ("max_depth_factor", float),
+    "snvmaxfilteredbasecallfrac": ("somatic_snv_max_filtered_basecall_frac",
+                                   float),
+    "snvmaxspanningdeletionfrac": ("somatic_snv_max_spanning_deletion_frac",
+                                   float),
+    "indelmaxwindowfilteredbasecallfrac":
+        ("somatic_indel_max_window_filtered_basecall_frac", float),
+    "ssnvprior": ("somatic_snv_rate", float),
+    "sindelprior": ("somatic_indel_rate", float),
+    "ssnvnoise": ("shared_site_error_rate", float),
+    "sindelnoisefactor": ("shared_indel_error_factor", float),
+    "ssnvnoisestrandbiasfrac": ("shared_site_error_strand_bias_fraction",
+                                float),
+    "mintier1mapq": ("min_mapping_quality", int),
+    "mintier2mapq": ("tier2_min_single_align_score", int),
+    "ssnvquality_lowerbound": ("somatic_snv_min_qss_ref", int),
+    "sindelquality_lowerbound": ("somatic_indel_min_qsi_filter", int),
+    "ssnvcontamtolerance": ("ssnv_contam_tolerance", float),
+    "indelcontamtolerance": ("sindel_contam_tolerance", float),
+}
+
+
+def apply_ini(opt, path: str):
+    """Override option fields from a reference-style ini file
+    (configureStrelkaGermlineWorkflow.py.ini /
+    configureStrelkaSomaticWorkflow.py.ini; configureOptions.py reads
+    these as configparser defaults). Unknown keys are reported; the
+    ini section ([StrelkaGermline]/[StrelkaSomatic]) selects the map
+    by the option type. Returns (opt, extras) where extras carries
+    keys the workflow layer consumes (isWriteRealignedBam)."""
+    import configparser
+    import dataclasses
+
+    cp = configparser.ConfigParser()
+    with open(path) as f:
+        cp.read_file(f)
+    mapping = (_SOMATIC_INI_MAP if isinstance(opt, SomaticOptions)
+               else _GERMLINE_INI_MAP)
+    overrides = {}
+    extras = {}
+    for section in cp.sections():
+        for key, val in cp.items(section):
+            k = key.lower()
+            if k in mapping:
+                field_name, conv = mapping[k]
+                overrides[field_name] = conv(val)
+            elif k == "iswriterealignedbam":
+                if val.strip() not in ("0", "", "false"):
+                    extras["is_write_realigned_bam"] = True
+            elif k == "extravariantcallerarguments":
+                if val.strip():
+                    extras["extra_arguments"] = val.strip()
+            else:
+                raise ValueError(f"unknown ini option: {key}")
+    return dataclasses.replace(opt, **overrides), extras
 
 
 @dataclass

@@ -312,7 +312,7 @@ def call_somatic_region(
     def run_tier(nlh, tlh):
         return ss.somatic_snv_call(
             jnp.asarray(nlh), jnp.asarray(tlh),
-            contam_tolerance=0.15,
+            contam_tolerance=opt.ssnv_contam_tolerance,
             shared_error_rate=shared_rate,
             somatic_rate=opt.somatic_snv_rate,
             theta=opt.bsnp_diploid_theta,
@@ -495,7 +495,7 @@ def call_somatic_region(
             tier_results.append(
                 (si.somatic_indel_call(
                     grid[0], grid[1], float(ind_to_ref),
-                    contam_tolerance=0.15,
+                    contam_tolerance=opt.sindel_contam_tolerance,
                     somatic_indel_rate=opt.somatic_indel_rate,
                     bindel_theta=opt.bindel_diploid_theta,
                     shared_indel_error_factor=opt.shared_indel_error_factor),

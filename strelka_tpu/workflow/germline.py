@@ -98,6 +98,9 @@ def run_germline(argv=None) -> int:
                         "fan-out (pyflow-style); run one process per "
                         "index 0..count-1, then --merge-only")
     p.add_argument("--process-count", type=int, default=None)
+    p.add_argument("--config", default=None,
+                   help="reference-style ini file overriding caller "
+                        "options (configureStrelkaGermlineWorkflow.py.ini)")
     p.add_argument("--dry-run", action="store_true",
                    help="list the task schedule (incl. resume state) "
                         "and exit without calling (pyflow --dryRun)")
@@ -108,6 +111,11 @@ def run_germline(argv=None) -> int:
 
     t0 = time.time()
     opt = GermlineOptions(min_mapping_quality=args.min_mapping_quality)
+    if args.config:
+        from ..options import apply_ini
+        opt, ini_extras = apply_ini(opt, args.config)
+        if ini_extras.get("is_write_realigned_bam"):
+            args.output_realigned_bam = True
     snv_forest = None
     indel_forest = None
     if args.rna:

@@ -278,7 +278,8 @@ def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
             if any(w[3] >= opt.somatic_indel_max_window_filtered_basecall_frac
                    for w in call.win):
                 filters.append("IndelBCNoise")
-            if call.ntype != 0 or call.qsi_nt < args.min_qsi_filter:
+            if call.ntype != 0 or call.qsi_nt < \
+                    opt.somatic_indel_min_qsi_filter:
                 filters.append("QSI_ref")
         if min(call.dp) < opt.min_passed_call_depth:
             filters.append("LowDepth")
@@ -323,6 +324,9 @@ def run_somatic(argv=None) -> int:
     p.add_argument("--tumor-align-file", required=True)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--region", action="append", default=None)
+    p.add_argument("--config", default=None,
+                   help="reference-style ini file overriding caller "
+                        "options (configureStrelkaSomaticWorkflow.py.ini)")
     p.add_argument("--dry-run", action="store_true",
                    help="list the task schedule (incl. resume state) "
                         "and exit without calling (pyflow --dryRun)")
@@ -330,7 +334,6 @@ def run_somatic(argv=None) -> int:
                    help="BED of regions to call (reference --callRegions)")
     p.add_argument("--indel-candidates", action="append", default=None)
     p.add_argument("--min-qss-filter", type=int, default=15)
-    p.add_argument("--min-qsi-filter", type=int, default=40)
     p.add_argument("--max-region-size", type=int, default=1_000_000)
     p.add_argument("--somatic-snv-scoring-model-file", default=None)
     p.add_argument("--somatic-indel-scoring-model-file", default=None)
@@ -346,6 +349,12 @@ def run_somatic(argv=None) -> int:
 
     t0 = time.time()
     opt = SomaticOptions()
+    if args.config:
+        from ..options import apply_ini
+        opt, ini_extras = apply_ini(opt, args.config)
+        if ini_extras.get("is_write_realigned_bam"):
+            print("isWriteRealignedBam: somatic realigned-BAM output "
+                  "is not implemented; ignoring", file=sys.stderr)
     ref = FastaReference(args.reference)
     os.makedirs(args.output_dir, exist_ok=True)
 
