@@ -91,6 +91,9 @@ class SomaticRegionResult:
     # somatic-callable track (SomaticCallableProcessor: QSS>=15 or
     # nonsomatic Q>=15), merged [begin,end) intervals
     callable_intervals: list[tuple[int, int]] = field(default_factory=list)
+    # [(keep_indices, realigned_batch)] per sample when requested
+    # (reference --realigned-read-file for normal+tumor)
+    realigned: list | None = None
 
 
 # fixed chunk shapes, matching models/snv_digt.py: XLA compile time
@@ -183,6 +186,7 @@ def call_somatic_region(
     normal_batch: bamio.ReadBatch,
     tumor_batch: bamio.ReadBatch,
     external_indel_vcfs: list[str] | None = None,
+    collect_realigned: bool = False,
 ) -> SomaticRegionResult:
     halo = opt.max_indel_size + 250
     fetch_begin = max(0, begin - halo)
@@ -196,11 +200,13 @@ def call_somatic_region(
     em = error_model.IndelErrorModel(2, model_name="logLinear")
 
     pus, t2_pus, eas, levels, kept = [], [], [], [], []
+    keep_indices = []
     store = cand.IndelObservationStore(2)
     for s, raw in enumerate([normal_batch, tumor_batch]):
         keep, level = rd.filter_and_classify_reads(
             raw, opt.min_mapping_quality,
             tier2_min_mapq=opt.tier2_min_single_align_score)
+        keep_indices.append(np.nonzero(keep)[0])
         batch = raw.select(keep)
         level = level[keep]
         ea = rd.expand_alignments(batch)
@@ -597,6 +603,8 @@ def call_somatic_region(
             callrec.win.append((u + f, f, sb_, bcn))
         indels.append(callrec)
 
-    return SomaticRegionResult(chrom=chrom, begin=begin, end=end,
-                               ref_codes=rc, snvs=snvs, indels=indels,
-                               callable_intervals=callable_intervals)
+    return SomaticRegionResult(
+        chrom=chrom, begin=begin, end=end, ref_codes=rc, snvs=snvs,
+        indels=indels, callable_intervals=callable_intervals,
+        realigned=([(keep_indices[s], kept[s]) for s in range(2)]
+                   if collect_realigned else None))

@@ -283,7 +283,8 @@ def run_germline(argv=None) -> int:
                     lines_v.extend(l for l in clines if "\t.\t.\t" not in
                                    "\t".join(l.split("\t")[3:6]))
                 stats.reads_processed += sum(
-                    b.n for b in batches if b is not None)
+                    int(((b.pos >= seg.begin) & (b.pos < seg.end)).sum())
+                    for b in batches if b is not None)
                 continue
             result = germline_caller.call_region(
                 opt, ref, seg.chrom, seg.begin, seg.end, batches,
@@ -327,7 +328,9 @@ def run_germline(argv=None) -> int:
             stats.noncandidate_indels += (
                 result.stats.get("n_indel_records", 0)
                 - result.stats.get("n_candidate_indels", 0))
-            stats.reads_processed += sum(b.n for b in batches if b is not None)
+            stats.reads_processed += sum(
+                int(((b.pos >= seg.begin) & (b.pos < seg.end)).sum())
+                for b in batches if b is not None)
         return (lines_v, lines_g), stats
 
     def on_complete(gi, result):

@@ -324,6 +324,10 @@ def run_somatic(argv=None) -> int:
     p.add_argument("--tumor-align-file", required=True)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--region", action="append", default=None)
+    p.add_argument("--output-realigned-bam", action="store_true",
+                   help="write realigned.normal.bam / realigned.tumor.bam "
+                        "with the post-realignment alignments (reference "
+                        "--realigned-read-file)")
     p.add_argument("--config", default=None,
                    help="reference-style ini file overriding caller "
                         "options (configureStrelkaSomaticWorkflow.py.ini)")
@@ -353,8 +357,7 @@ def run_somatic(argv=None) -> int:
         from ..options import apply_ini
         opt, ini_extras = apply_ini(opt, args.config)
         if ini_extras.get("is_write_realigned_bam"):
-            print("isWriteRealignedBam: somatic realigned-BAM output "
-                  "is not implemented; ignoring", file=sys.stderr)
+            args.output_realigned_bam = True
     ref = FastaReference(args.reference)
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -437,13 +440,31 @@ def run_somatic(argv=None) -> int:
             nb, tb = batches_of[seg.chrom]
             res = sc.call_somatic_region(
                 opt, ref, seg.chrom, seg.begin, seg.end, nb, tb,
-                external_indel_vcfs=args.indel_candidates)
+                external_indel_vcfs=args.indel_candidates,
+                collect_realigned=args.output_realigned_bam)
+            if res.realigned is not None:
+                # per-segment realigned fragments (normal + tumor),
+                # merged in segment order at the end
+                from ..io.bam import scatter_rewrites
+                from ..io.bam_writer import write_bam
+                os.makedirs(workspace, exist_ok=True)
+                for si, (label, raw, hdr) in enumerate(
+                        [("normal", nb, nhdr), ("tumor", tb, thdr)]):
+                    keep_idx, kb = res.realigned[si]
+                    full = scatter_rewrites(raw, keep_idx, kb)
+                    sel = (full.pos >= seg.begin) & (full.pos < seg.end)
+                    frag = os.path.join(
+                        workspace,
+                        f"seg_{seg.label}.{label}.realigned.bam")
+                    write_bam(frag, hdr, full.select(sel))
             sv, il, cl = _emit_somatic_segment(
                 args, opt, res, nb, snv_forest, indel_forest, noise_at)
             snv_lines.extend(sv)
             indel_lines.extend(il)
             callable_lines.extend(cl)
-            stats.reads_processed += nb.n + tb.n
+            stats.reads_processed += int(
+                ((nb.pos >= seg.begin) & (nb.pos < seg.end)).sum()
+                + ((tb.pos >= seg.begin) & (tb.pos < seg.end)).sum())
         return (snv_lines, indel_lines, callable_lines), stats
 
     def on_complete(gi, result):
@@ -494,6 +515,25 @@ def run_somatic(argv=None) -> int:
                 if os.path.exists(frag):
                     with open(frag, "rb") as f:
                         w.write(f.read())
+
+    if args.output_realigned_bam:
+        from ..io.bam import concat_batches
+        from ..io.bam_writer import write_bam
+        for label, hdr in (("normal", nhdr), ("tumor", thdr)):
+            frags = []
+            for seg in segments:
+                frag = os.path.join(
+                    workspace, f"seg_{seg.label}.{label}.realigned.bam")
+                if os.path.exists(frag):
+                    frags.append(read_bam(frag)[1])
+            if not frags:
+                continue
+            merged = concat_batches(frags)
+            out_bam = os.path.join(args.output_dir,
+                                   f"realigned.{label}.bam")
+            write_bam(out_bam, hdr, merged)
+            print(f"realigned reads: {out_bam} ({merged.n} records)",
+                  file=sys.stderr)
 
     print(f"strelka_tpu somatic done in {time.time() - t0:.1f}s; "
           f"snvs={n_snv} indels={n_indel}", file=sys.stderr)

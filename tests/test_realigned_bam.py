@@ -31,3 +31,37 @@ def test_realigned_bam_roundtrip(tmp_path):
     assert n_del >= 10, n_del
     # base payloads unchanged (realignment rewrites placement only)
     assert int(re_b.seq_off[-1]) == int(orig.seq_off[-1])
+
+
+def test_somatic_realigned_bam_output(tmp_path):
+    """--output-realigned-bam on the somatic workflow writes
+    realigned.normal.bam / realigned.tumor.bam with realignment-updated
+    CIGARs (reference --realigned-read-file)."""
+    from strelka_tpu.io.bam import read_bam
+    from strelka_tpu.workflow.somatic import run_somatic
+
+    out = str(tmp_path / "som_rbam")
+    rc = run_somatic([
+        "--reference", "/root/reference/src/demo/data/demo20.fa",
+        "--normal-align-file",
+        "/root/reference/src/demo/data/NA12892_demo20.bam",
+        "--tumor-align-file",
+        "/root/reference/src/demo/data/NA12891_demo20.bam",
+        "--output-dir", out, "--exome", "--output-realigned-bam"])
+    assert rc == 0
+    import numpy as np
+
+    from strelka_tpu.utils import cigar as cg
+    for label, src in (("normal",
+                        "/root/reference/src/demo/data/NA12892_demo20.bam"),
+                       ("tumor",
+                        "/root/reference/src/demo/data/NA12891_demo20.bam")):
+        hdr, rb = read_bam(f"{out}/realigned.{label}.bam")
+        _h, orig = read_bam(src)
+        assert rb.n == orig.n
+        assert hdr.ref_names == ["demo20"]
+    # the tumor carries 8 TAT-insertion-supporting reads: realignment
+    # must embed insertions into some tumor CIGARs
+    _h, tb = read_bam(f"{out}/realigned.tumor.bam")
+    has_ins = any(cg.INSERT in tb.get_cigar(r)[0] for r in range(tb.n))
+    assert has_ins
