@@ -324,6 +324,14 @@ def run_somatic(argv=None) -> int:
     p.add_argument("--tumor-align-file", required=True)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--region", action="append", default=None)
+    p.add_argument("--process-index", type=int, default=None,
+                   help="this worker's index for local multi-process "
+                        "fan-out (pyflow-style); run one process per "
+                        "index 0..count-1, then --merge-only")
+    p.add_argument("--process-count", type=int, default=None)
+    p.add_argument("--merge-only", action="store_true",
+                   help="skip calling; concatenate existing workspace "
+                        "fragments into final outputs")
     p.add_argument("--output-realigned-bam", action="store_true",
                    help="write realigned.normal.bam / realigned.tumor.bam "
                         "with the post-realignment alignments (reference "
@@ -416,6 +424,9 @@ def run_somatic(argv=None) -> int:
 
     from ..parallel import runner as rn
     proc_idx, proc_cnt = rn.init_distributed()
+    if args.process_index is not None:
+        proc_idx = args.process_index
+        proc_cnt = args.process_count or 1
     segments = []
     for chrom, beg, end in regions:
         for seg_beg in range(beg, end, args.max_region_size):
@@ -477,7 +488,14 @@ def run_somatic(argv=None) -> int:
     if args.dry_run:
         runner.dry_run(groups)
         return 0
-    runner.run(groups, task_fn, on_complete)
+    if not args.merge_only:
+        runner.run(groups, task_fn, on_complete)
+    if args.process_index is not None and not args.merge_only \
+            and proc_cnt > 1:
+        print(f"worker {proc_idx}/{proc_cnt} done "
+              f"({runner.stats.segments_completed} segments)",
+              file=sys.stderr)
+        return 0
 
     # ordered concat + tabix-indexed bgzf
     from ..io.tabix import IndexedVcfWriter
