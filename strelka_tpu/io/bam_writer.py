@@ -32,8 +32,74 @@ def write_bam(path: str, header: BamHeader, batch: ReadBatch,
             nb = name.encode() + b"\x00"
             w.write(struct.pack("<i", len(nb)) + nb +
                     struct.pack("<i", length))
-        for i in order:
-            w.write(_record_bytes(batch, int(i)))
+        blob = _encode_records_native(batch, order)
+        if blob is not None:
+            w.write(blob)
+        else:
+            for i in order:
+                w.write(_record_bytes(batch, int(i)))
+
+
+def _encode_records_native(batch: ReadBatch, order: np.ndarray):
+    """Serialize all records via native/bamencoder.cpp; None when the
+    library is unavailable (Python per-record path is the oracle,
+    tests/test_bam_writer.py asserts byte equality)."""
+    import ctypes
+
+    from .native import get_lib
+    lib = get_lib()
+    if lib is None or batch.n == 0:
+        return None
+    if not hasattr(lib, "_bamenc_bound"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        cp = ctypes.c_char_p
+        lib.bam_encode_size.restype = ctypes.c_int64
+        lib.bam_encode_size.argtypes = [i64p, i64p, i64p, i64p,
+                                        ctypes.c_int64]
+        lib.bam_encode_fill.restype = None
+        lib.bam_encode_fill.argtypes = [
+            i32p, i64p, u8p, u16p, i32p, i64p, i64p,
+            u8p, u8p, i64p, i8p, i32p, i64p,
+            cp, i64p, i64p, ctypes.c_int64, u8p]
+        lib._bamenc_bound = True
+
+    def _p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    names_b = "".join(batch.names).encode()
+    name_off = np.zeros(batch.n + 1, np.int64)
+    np.cumsum([len(s) for s in batch.names], out=name_off[1:])
+    c = np.ascontiguousarray
+    seq_off = c(batch.seq_off, dtype=np.int64)
+    cig_off = c(batch.cig_off, dtype=np.int64)
+    order64 = c(order, dtype=np.int64)
+    total = lib.bam_encode_size(
+        _p(seq_off, ctypes.c_int64), _p(cig_off, ctypes.c_int64),
+        _p(name_off, ctypes.c_int64), _p(order64, ctypes.c_int64),
+        batch.n)
+    out = np.empty(int(total), np.uint8)
+    lib.bam_encode_fill(
+        _p(c(batch.tid, dtype=np.int32), ctypes.c_int32),
+        _p(c(batch.pos, dtype=np.int64), ctypes.c_int64),
+        _p(c(batch.mapq, dtype=np.uint8), ctypes.c_uint8),
+        _p(c(batch.flag, dtype=np.uint16), ctypes.c_uint16),
+        _p(c(batch.mate_tid, dtype=np.int32), ctypes.c_int32),
+        _p(c(batch.mate_pos, dtype=np.int64), ctypes.c_int64),
+        _p(c(batch.tlen, dtype=np.int64), ctypes.c_int64),
+        _p(c(batch.seq, dtype=np.uint8), ctypes.c_uint8),
+        _p(c(batch.qual, dtype=np.uint8), ctypes.c_uint8),
+        _p(seq_off, ctypes.c_int64),
+        _p(c(batch.cig_ops, dtype=np.int8), ctypes.c_int8),
+        _p(c(batch.cig_lens, dtype=np.int32), ctypes.c_int32),
+        _p(cig_off, ctypes.c_int64),
+        names_b, _p(name_off, ctypes.c_int64),
+        _p(order64, ctypes.c_int64), batch.n,
+        _p(out, ctypes.c_uint8))
+    return out.tobytes()
 
 
 def _record_bytes(b: ReadBatch, i: int) -> bytes:
