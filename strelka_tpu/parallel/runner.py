@@ -182,6 +182,7 @@ class SegmentRunner:
             if self.state.is_complete(label):
                 continue
             attempt = 0
+            task_t0 = time.time()
             while True:
                 try:
                     result, seg_stats = task_fn(group)
@@ -193,12 +194,16 @@ class SegmentRunner:
                             f"task {label} failed after {attempt} attempts: {e}"
                         ) from e
                     time.sleep(self.retry_wait * attempt)
+            task_dt = time.time() - task_t0
             if seg_stats is not None:
                 self.stats.merge(seg_stats)
             self.stats.segments_completed += 1
             if on_complete is not None:
                 on_complete(gi, result)
-            self.state.record(label)
+            # per-task wall time in the state file (SegmentTimeTracker
+            # analog; pyflow writes per-task timing logs)
+            self.state.record(label, {"wall_sec": round(task_dt, 3),
+                                      "attempts": attempt + 1})
         self.stats.lifetime_sec += time.time() - t0
         self.write_stats()
         return self.stats

@@ -124,3 +124,16 @@ def test_dry_run_lists_schedule(tmp_path, capsys):
     assert pending == 1
     assert "seg_0" in text and "COMPLETE" in text
     assert "seg_1" in text and "PENDING" in text
+
+
+def test_task_state_records_wall_time(tmp_path):
+    """Per-task wall time + attempt count land in the task-state file
+    (SegmentTimeTracker / pyflow per-task timing analog)."""
+    from strelka_tpu.parallel.runner import GenomeSegment, SegmentRunner
+
+    ws = str(tmp_path / "ws")
+    r = SegmentRunner(ws)
+    r.run([[GenomeSegment("c", 0, 10)]], lambda g: (None, None))
+    rec = r.state.completed["seg_0"]
+    assert rec["wall_sec"] >= 0.0
+    assert rec["attempts"] == 1
