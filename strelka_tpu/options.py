@@ -68,6 +68,8 @@ class GermlineOptions(StarlingBaseOptions):
     # high depth filter
     max_depth_factor: float = 3.0
     is_depth_filter: bool = False
+    # LowDepth: minPassedCallDepth for gVCF loci (gvcf_options.hh:68)
+    gvcf_min_passed_call_depth: int = 3
     # EVS
     snv_scoring_model_file: str | None = None
     indel_scoring_model_file: str | None = None

@@ -139,6 +139,9 @@ def gvcf_header(opt: GermlineOptions, chrom: str, chrom_len: int,
         '##FILTER=<ID=NoPassedVariantGTs,Description="No samples at this locus pass all sample filters and have a variant genotype">',
         '##FILTER=<ID=IndelConflict,Description="Indel genotypes from two or more loci conflict in at least one sample">',
         '##FILTER=<ID=HighDepth,Description="Locus depth is greater than 3x the mean chromosome depth">',
+        f'##FILTER=<ID=LowDepth,Description="Locus depth is below {opt.gvcf_min_passed_call_depth}">',
+        '##FILTER=<ID=NotGenotyped,Description="Locus contains forcedGT input alleles which could not be genotyped">',
+        '##FILTER=<ID=PloidyConflict,Description="Genotype call from variant caller not consistent with chromosome ploidy">',
         '##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase set identifier">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
         + "\t".join(sample_names),
@@ -147,7 +150,8 @@ def gvcf_header(opt: GermlineOptions, chrom: str, chrom_len: int,
 
 
 def _site_sample_filters(opt: GermlineOptions, gqx, sb, dp, dpf, is_variant,
-                         chrom_depth: float | None = None):
+                         chrom_depth: float | None = None,
+                         ad_sum: int | None = None):
     f = []
     if gqx < (opt.gvcf_min_gqx if is_variant else opt.gvcf_min_homref_gqx):
         f.append("LowGQX")
@@ -158,6 +162,12 @@ def _site_sample_filters(opt: GermlineOptions, gqx, sb, dp, dpf, is_variant,
         f.append("HighDPFRatio")
     if chrom_depth and total > opt.max_depth_factor * chrom_depth:
         f.append("HighDepth")
+    # LowDepth: DP or confident AD sum below minPassedCallDepth
+    # (ScoringModelManager::applyDepthFilter :234-249, applied to every
+    # locus by variant_prefilter_stage)
+    min_dp = opt.gvcf_min_passed_call_depth
+    if dp < min_dp or (ad_sum if ad_sum is not None else dp) < min_dp:
+        f.append("LowDepth")
     return f
 
 
@@ -342,8 +352,9 @@ def emit_region(
         hdep_v = np.zeros(L, dtype=bool)
         if chrom_depth:
             hdep_v = total_v > opt.max_depth_factor * chrom_depth
+        lowdep_v = dp_v < opt.gvcf_min_passed_call_depth
         fcode_v = low_v.astype(np.int8) + 2 * hdpf_v.astype(np.int8) \
-            + 4 * hdep_v.astype(np.int8)
+            + 4 * hdep_v.astype(np.int8) + 8 * lowdep_v.astype(np.int8)
         ploidy_l = (result.ploidy[s].tolist() if result.ploidy is not None
                     else None)
         pre.append({
@@ -358,9 +369,13 @@ def emit_region(
     any_variant = any_variant_v.tolist()
     deleted_list = deleted_span.tolist()
 
-    _FSTR = ["PASS", "LowGQX", "HighDPFRatio", "LowGQX;HighDPFRatio",
-             "HighDepth", "LowGQX;HighDepth", "HighDPFRatio;HighDepth",
-             "LowGQX;HighDPFRatio;HighDepth"]
+    _FSTR_BASE = ["PASS", "LowGQX", "HighDPFRatio", "LowGQX;HighDPFRatio",
+                  "HighDepth", "LowGQX;HighDepth", "HighDPFRatio;HighDepth",
+                  "LowGQX;HighDPFRatio;HighDepth"]
+    # bit 8 = LowDepth (appended last, enum order)
+    _FSTR = _FSTR_BASE + [
+        ("LowDepth" if f == "PASS" else f + ";LowDepth")
+        for f in _FSTR_BASE]
 
     indel_positions = set(indels_at)
     chrom = result.chrom
@@ -482,9 +497,12 @@ def emit_region(
                 filters = ["LowGQX"] if evs < snv_forest.filter_cutoff else []
                 if chrom_depth and dp + dpf > opt.max_depth_factor * chrom_depth:
                     filters.append("HighDepth")
+                if dp < opt.gvcf_min_passed_call_depth or \
+                        sum(ads) < opt.gvcf_min_passed_call_depth:
+                    filters.append("LowDepth")
             else:
                 filters = _site_sample_filters(opt, gqx, sb, dp, dpf, variant,
-                                               chrom_depth)
+                                               chrom_depth, ad_sum=sum(ads))
             fstr = ";".join(filters) if filters else "PASS"
             if variant and not filters:
                 any_pass_variant = True
@@ -668,6 +686,10 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
                 filters.append("LowGQX")
         elif gqx < opt.gvcf_min_gqx:
             filters.append("LowGQX")
+        # LowDepth on DPI or AD sum (applyDepthFilter :252-265)
+        if call.sample_dpi[s] < opt.gvcf_min_passed_call_depth or \
+                sum(call.sample_ad[s]) < opt.gvcf_min_passed_call_depth:
+            filters.append("LowDepth")
         fstr = ";".join(filters) if filters else "PASS"
         is_var = any(int(a) > 0 for a in gt.replace("|", "/").split("/"))
         if is_var and not filters:
