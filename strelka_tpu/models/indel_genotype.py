@@ -177,9 +177,9 @@ def integrate_out_mapping(raw_lnp, n_nonambig):
     (readMappingAdjustmentUtil.hh)."""
     a = raw_lnp + CORRECT_MAPPING_LOG_PRIOR
     b = n_nonambig * LN_RANDOM_BASE_MATCH
-    hi = jnp.maximum(a, b)
-    lo = jnp.minimum(a, b)
-    return hi + jnp.log1p(jnp.exp(lo - hi))
+    hi = np.maximum(a, b)
+    lo = np.minimum(a, b)
+    return hi + np.log1p(np.exp(lo - hi))
 
 
 def genotype_log_lhoods(
@@ -196,6 +196,10 @@ def genotype_log_lhoods(
     Exact vectorization of updateGenotypeLogLhoodFromAlleleLogLhood
     summed over supporting reads.
     """
+    # pure numpy: per-locus shapes vary (R reads x G genotypes) and the
+    # arrays are tiny — eager jnp here triggered one XLA compile per
+    # distinct shape at WGS scale
+    allele_lhoods = np.asarray(allele_lhoods, dtype=np.float64)
     R, A = allele_lhoods.shape
     ga = genotype_alleles(ploidy, A)  # [G, 2]
     G = len(ga)
@@ -210,8 +214,6 @@ def genotype_log_lhoods(
             int(allele_info.insert_len[j]), int(allele_info.delete_len[j]))
         log_ref_p[:, j] = lr
         log_alt_p[:, j] = la
-    log_ref_p = jnp.asarray(log_ref_p)
-    log_alt_p = jnp.asarray(log_alt_p)
 
     raws = []
     for a0, a1 in ga:
@@ -222,23 +224,23 @@ def genotype_log_lhoods(
             # ref/alt het: ratio-corrected priors from the alt allele
             p0 = log_ref_p[:, a1 - 1]
             p1 = log_alt_p[:, a1 - 1]
-            raw = jnp.logaddexp(allele_lhoods[:, 0] + p0,
-                                allele_lhoods[:, a1] + p1)
+            raw = np.logaddexp(allele_lhoods[:, 0] + p0,
+                               allele_lhoods[:, a1] + p1)
         else:
             # het-alt: allele1 prior from its own ratio call, allele0
             # prior from its call's indel side, renormalized (:83-97)
             p1 = log_alt_p[:, a1 - 1]
             p0 = log_alt_p[:, a0 - 1]
-            norm = jnp.logaddexp(p0, p1)
-            raw = jnp.logaddexp(allele_lhoods[:, a0] + (p0 - norm),
-                                allele_lhoods[:, a1] + (p1 - norm))
+            norm = np.logaddexp(p0, p1)
+            raw = np.logaddexp(allele_lhoods[:, a0] + (p0 - norm),
+                               allele_lhoods[:, a1] + (p1 - norm))
         raws.append(raw)
-    raw_g = jnp.stack(raws, axis=1)  # [R, G]
+    raw_g = np.stack(raws, axis=1)  # [R, G]
 
-    integ = integrate_out_mapping(raw_g, jnp.asarray(n_nonambig)[:, None])
-    integ = jnp.where(jnp.asarray(read_mask)[:, None], integ, 0.0)
+    integ = integrate_out_mapping(raw_g, np.asarray(n_nonambig)[:, None])
+    integ = np.where(np.asarray(read_mask)[:, None], integ, 0.0)
     del G
-    return jnp.sum(integ, axis=0)
+    return integ.sum(axis=0)
 
 
 def genotype_posteriors(genotype_lhood: np.ndarray, ln_priors: np.ndarray):

@@ -222,14 +222,17 @@ def read_segments_for_region(batch: ReadBatch, ea: rd.ExpandedAlignments,
     usable = np.isin(map_level, (rd.MapLevel.TIER1, rd.MapLevel.TIER2))
     spanning = np.nonzero(usable & (ea.ref_begin <= begin) &
                           (ea.ref_end >= end))[0]
-    n_aligned = int((usable[ea.match_read] &
-                     (ea.match_refpos >= begin) &
-                     (ea.match_refpos < end)).sum())
+    # match rows are contiguous and ascending in read index (the
+    # expansion emits reads in order), so each read's rows are a slice.
+    # The probe array must match the table dtype exactly or numpy casts
+    # the whole multi-million-row table per call.
+    probe = spanning.astype(ea.match_read.dtype, copy=False)
+    row_lo = np.searchsorted(ea.match_read, probe, side="left")
+    row_hi = np.searchsorted(ea.match_read, probe, side="right")
     segs = []
-    for r in spanning:
-        sel = (ea.match_read == r)
-        rp = ea.match_refpos[sel]
-        ro = ea.match_readoff[sel]
+    for r, lo, hi in zip(spanning, row_lo, row_hi):
+        rp = ea.match_refpos[lo:hi]
+        ro = ea.match_readoff[lo:hi]
         m0 = rp == begin
         m1 = rp == end - 1
         if not (m0.any() and m1.any()):

@@ -506,7 +506,7 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
             adr = np.zeros(A, np.int32)
         else:
             glh = ig.genotype_log_lhoods(
-                jnp.asarray(scores.allele_lhoods),
+                scores.allele_lhoods,
                 np.ones(len(scores.read_rows), bool),
                 scores.read_len, scores.n_nonambig, info,
                 ploidy, opt.default_min_read_bp_flank)
