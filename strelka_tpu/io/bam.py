@@ -85,6 +85,19 @@ class ReadBatch:
         s, e = self.cig_off[i], self.cig_off[i + 1]
         return self.cig_ops[s:e], self.cig_lens[s:e]
 
+    def ref_end_positions(self) -> np.ndarray:
+        """[n] exclusive reference end of each alignment (pos + CIGAR
+        reference span), vectorized over the whole batch. Used to slice
+        a chromosome batch down to the reads that can overlap one
+        halo'd genome segment."""
+        from ..utils.cigar import ADVANCES_REF
+        if self.n == 0:
+            return np.zeros(0, np.int64)
+        adv = ADVANCES_REF[np.clip(self.cig_ops, 0, 8)].astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(adv * self.cig_lens)])
+        spans = csum[self.cig_off[1:]] - csum[self.cig_off[:-1]]
+        return self.pos + spans
+
     def select(self, mask_or_idx) -> "ReadBatch":
         idx = np.asarray(mask_or_idx)
         if idx.dtype == bool:

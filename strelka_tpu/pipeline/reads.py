@@ -291,6 +291,9 @@ def mismatch_density_filter(
     Returns (mismatch_filter[read_total_bases] bool aligned with read
     base offsets via batch.seq_off, tier2_filter or None).
     """
+    if batch.n == 0:
+        z = np.zeros(0, dtype=bool)
+        return z, (z if tier2_max_mismatch is not None else None)
     F = flank_size
     F2 = 2 * F
     read_sizes = np.diff(batch.seq_off).astype(np.int64)

@@ -111,11 +111,6 @@ def run_germline(argv=None) -> int:
 
     t0 = time.time()
     opt = GermlineOptions(min_mapping_quality=args.min_mapping_quality)
-    if args.config:
-        from ..options import apply_ini
-        opt, ini_extras = apply_ini(opt, args.config)
-        if ini_extras.get("is_write_realigned_bam"):
-            args.output_realigned_bam = True
     snv_forest = None
     indel_forest = None
     if args.rna:
@@ -140,6 +135,11 @@ def run_germline(argv=None) -> int:
         if args.indel_scoring_model_file:
             indel_forest = load_scoring_model(
                 args.indel_scoring_model_file, "INDEL")
+    if args.config:
+        from ..options import apply_ini
+        opt, ini_extras = apply_ini(opt, args.config)
+        if ini_extras.get("is_write_realigned_bam"):
+            args.output_realigned_bam = True
     ref = FastaReference(args.reference)
     os.makedirs(args.output_dir, exist_ok=True)
     workspace = os.path.join(args.output_dir, "workspace")
@@ -265,14 +265,31 @@ def run_germline(argv=None) -> int:
 
     continuous_chroms = set(args.call_continuous_vf or [])
 
+    # per-chrom read ref-end positions: each segment task slices the
+    # chromosome batch down to reads overlapping its halo'd window, so
+    # per-segment work stays O(segment reads) instead of O(chrom reads)
+    ref_ends_per_chrom = {
+        c: [b.ref_end_positions() if b is not None else None for b in bl]
+        for c, bl in batches_per_chrom.items()}
+    seg_halo = opt.max_indel_size + 250 + 100
+
     def task_fn(group):
         lines_v = []
         lines_g = [[] for _ in range(n_samples)]
         stats = rn.RunStats()
         for seg in group:
-            batches = batches_per_chrom.get(seg.chrom)
-            if batches is None:
+            full_batches = batches_per_chrom.get(seg.chrom)
+            if full_batches is None:
                 continue
+            ref_ends = ref_ends_per_chrom[seg.chrom]
+            batches = []
+            for b, re_arr in zip(full_batches, ref_ends):
+                if b is None or b.n == 0:
+                    batches.append(b)
+                    continue
+                m = (re_arr > seg.begin - seg_halo) & \
+                    (b.pos < seg.end + seg_halo)
+                batches.append(b.select(m) if not m.all() else b)
             if seg.chrom in continuous_chroms:
                 from ..pipeline import continuous_caller as cc
                 for si in range(n_samples):
@@ -303,6 +320,8 @@ def run_germline(argv=None) -> int:
                 for si in range(n_samples):
                     keep_idx, kb = result.realigned[si]
                     full = scatter_rewrites(batches[si], keep_idx, kb)
+                    # batches[si] is the segment-sliced batch; keep_idx
+                    # indexes it, so the scatter target matches
                     sel = (full.pos >= seg.begin) & (full.pos < seg.end)
                     frag = os.path.join(
                         workspace,

@@ -163,20 +163,17 @@ def interrupted_hpol(ref_codes: np.ndarray, begin: int, pos: int, right: int) ->
     return best
 
 
-def _emit_somatic_segment(args, opt, res, nb, snv_forest, indel_forest,
-                          noise_at):
-    """Record lines for one called segment (snv, indel, callable)."""
-    from ..models import evs
+def _emit_somatic_segment(args, opt, res, norm_chrom_depth, snv_forest,
+                          indel_forest, noise_at):
+    """Record lines for one called segment (snv, indel, callable).
 
-    # normal chrom depth: only when the high-depth filter is active
-    # (strelkaSharedWorkflow.py isHighDepthFilter = not exome/rna;
-    # without it is_max_depth() is false and the EVS depth-rate
-    # feature pins to 1.0, position_somatic_snv_strand_grid_vcf.cpp
-    # :100-110)
-    norm_chrom_depth = None
-    if not getattr(args, "exome", False):
-        from .tools import chrom_depth_estimate
-        norm_chrom_depth = chrom_depth_estimate(nb, res.end) or None
+    norm_chrom_depth: per-chromosome normal depth estimate, or None
+    in exome mode (strelkaSharedWorkflow.py isHighDepthFilter = not
+    exome/rna; without it is_max_depth() is false and the EVS
+    depth-rate feature pins to 1.0,
+    position_somatic_snv_strand_grid_vcf.cpp:100-110).
+    """
+    from ..models import evs
 
     snv_evs = None
     if snv_forest is not None and res.snvs:
@@ -444,11 +441,31 @@ def run_somatic(argv=None) -> int:
             nbatch_all.select(np.asarray(nbatch_all.tid == ntid)),
             tbatch_all.select(np.asarray(tbatch_all.tid == ttid)))
 
+    # per-chrom ref-end positions for segment batch slicing (keeps
+    # per-segment work O(segment reads), not O(chrom reads)); chrom
+    # depth (GetChromDepth analog) comes from the full chrom batch
+    ref_ends_of = {c: (nbc.ref_end_positions(), tbc.ref_end_positions())
+                   for c, (nbc, tbc) in batches_of.items()}
+    chrom_depth_of = {}
+    if not getattr(args, "exome", False):
+        from .tools import chrom_depth_estimate
+        for c, (nbc, _tbc) in batches_of.items():
+            chrom_depth_of[c] = chrom_depth_estimate(
+                nbc, ref.contig_length(c)) or None
+    seg_halo = opt.max_indel_size + 250 + 100
+
     def task_fn(group):
         snv_lines, indel_lines, callable_lines = [], [], []
         stats = rn.RunStats()
         for seg in group:
             nb, tb = batches_of[seg.chrom]
+            nre, tre = ref_ends_of[seg.chrom]
+            nm = (nre > seg.begin - seg_halo) & (nb.pos < seg.end + seg_halo)
+            tm = (tre > seg.begin - seg_halo) & (tb.pos < seg.end + seg_halo)
+            if not nm.all():
+                nb = nb.select(nm)
+            if not tm.all():
+                tb = tb.select(tm)
             res = sc.call_somatic_region(
                 opt, ref, seg.chrom, seg.begin, seg.end, nb, tb,
                 external_indel_vcfs=args.indel_candidates,
@@ -469,7 +486,8 @@ def run_somatic(argv=None) -> int:
                         f"seg_{seg.label}.{label}.realigned.bam")
                     write_bam(frag, hdr, full.select(sel))
             sv, il, cl = _emit_somatic_segment(
-                args, opt, res, nb, snv_forest, indel_forest, noise_at)
+                args, opt, res, chrom_depth_of.get(seg.chrom),
+                snv_forest, indel_forest, noise_at)
             snv_lines.extend(sv)
             indel_lines.extend(il)
             callable_lines.extend(cl)
