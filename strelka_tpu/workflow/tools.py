@@ -8,6 +8,7 @@ candidate-ingestion steps.
 from __future__ import annotations
 
 import gzip
+import os
 import sys
 
 
@@ -217,6 +218,37 @@ def merge_counts(in_paths: list[str], out_path: str) -> None:
     save_context_counts(out_path, merged)
 
 
+def vcf_cmdline_swapper(in_path: str, out_path: str, cmdline: str) -> None:
+    """Replace or add the ##cmdline VCF header line
+    (libexec/vcfCmdlineSwapper.py): an existing ##cmdline is replaced
+    in place; otherwise the new line is inserted before #CHROM."""
+    written = False
+    with _open_text(in_path) as f, open(out_path, "w") as out:
+        for line in f:
+            if line.startswith("##cmdline="):
+                out.write(f"##cmdline={cmdline}\n")
+                written = True
+            elif line.startswith("#CHROM") and not written:
+                out.write(f"##cmdline={cmdline}\n")
+                out.write(line)
+                written = True
+            else:
+                out.write(line)
+
+
+def cat_files(in_paths: list[str], out_path: str) -> None:
+    """Portable concatenation (libexec/cat.py)."""
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "wb") as out:
+        for p in in_paths:
+            with open(p, "rb") as f:
+                while True:
+                    chunk = f.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+
+
 def estimate_parameters(counts_path: str, model: str,
                         lock_theta: bool = False) -> dict:
     """Research-grade error-model fits over a merged counts file
@@ -248,10 +280,16 @@ def main(argv=None) -> int:
         print("tools: extract-indel-candidates | sort-vcf | "
               "update-nopassed-filter | merge-chrom-depth | "
               "get-region-depth | dump-counts | merge-counts | "
-              "estimate-parameters",
+              "estimate-parameters | vcf-cmdline-swapper | cat",
               file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
+    if cmd == "vcf-cmdline-swapper":
+        vcf_cmdline_swapper(rest[0], rest[1], rest[2])
+        return 0
+    if cmd == "cat":
+        cat_files(rest[:-1], rest[-1])
+        return 0
     if cmd == "estimate-parameters":
         import json
         model = rest[1] if len(rest) > 1 else "indelIndy"

@@ -55,3 +55,32 @@ def test_update_nopassed_filter(tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_vcf_cmdline_swapper(tmp_path):
+    from strelka_tpu.workflow.tools import vcf_cmdline_swapper
+    src = tmp_path / "in.vcf"
+    src.write_text("##fileformat=VCFv4.1\n##cmdline=old args\n"
+                   "#CHROM\tPOS\nchr1\t5\n")
+    out = tmp_path / "out.vcf"
+    vcf_cmdline_swapper(str(src), str(out), "new args")
+    text = out.read_text()
+    assert "##cmdline=new args\n" in text
+    assert "old args" not in text
+    # insertion when absent
+    src2 = tmp_path / "in2.vcf"
+    src2.write_text("##fileformat=VCFv4.1\n#CHROM\tPOS\nchr1\t5\n")
+    out2 = tmp_path / "out2.vcf"
+    vcf_cmdline_swapper(str(src2), str(out2), "added")
+    lines = out2.read_text().splitlines()
+    assert lines[1] == "##cmdline=added"
+    assert lines[2].startswith("#CHROM")
+
+
+def test_cat_files(tmp_path):
+    from strelka_tpu.workflow.tools import cat_files
+    a = tmp_path / "a"; a.write_bytes(b"one")
+    b = tmp_path / "b"; b.write_bytes(b"two")
+    out = tmp_path / "sub" / "out"
+    cat_files([str(a), str(b)], str(out))
+    assert out.read_bytes() == b"onetwo"
