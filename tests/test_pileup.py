@@ -156,3 +156,38 @@ def test_pileup_demo_consistency(demo_bams, demo_fasta):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_spliced_read_pileup():
+    """RNA spliced alignments (N CIGAR): exons contribute coverage, the
+    skip gap contributes neither depth nor spanning-deletion counts
+    (read segment handling for RNA, starling_read_segment)."""
+    import numpy as np
+
+    from strelka_tpu.io.fasta import decode_bases
+    from strelka_tpu.pipeline import pileup as pl
+    from strelka_tpu.pipeline import reads as rd
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 500).astype(np.uint8)
+    refs = decode_bases(codes)
+    seq = refs[100:130] + refs[230:260]
+    batch = make_batch([(100, "30M100N30M", seq, [35] * 60, 0, 60)])
+    keep, level = rd.filter_and_classify_reads(batch, 20)
+    ea = rd.expand_alignments(batch)
+    for use_native in (False, True):
+        if use_native:
+            from strelka_tpu.io.native import pileup_native
+            res = pileup_native(batch, level, codes, 0, 0, 500,
+                                min_qscore=17, mm_flank=20, mm_max=2)
+            if res is None:
+                continue
+            pu = res[0]
+        else:
+            pu = pl.build_pileup(batch, ea, level, codes, 0, 500,
+                                 min_qscore=17, mm_filter=None)
+        d = pu.used.sum(axis=1)
+        assert d[100:130].sum() == 30
+        assert d[130:230].sum() == 0
+        assert d[230:260].sum() == 30
+        assert pu.spandel[130:230].sum() == 0
