@@ -306,13 +306,10 @@ def call_somatic_region(
             min_qscore=opt.min_qscore, mm_filter=mmf,
             tier2_mm_filter=t2mmf))
 
-    # --- SNVs: tier1 + tier2 grid lhoods over all positions ---
+    # --- SNVs: tier1 grid lhoods over all positions ---
     lh = []
-    lh_t2 = []
     for pu in pus:
         lh.append(_grid_lhoods_for_pileup(pu, pu.used & pu.valid, ref_gt))
-        t2_used = pu.tier2_used & pu.valid
-        lh_t2.append(_grid_lhoods_for_pileup(pu, t2_used, ref_gt))
 
     shared_rate = opt.shared_site_error_rate
     def run_tier(nlh, tlh):
@@ -325,14 +322,50 @@ def call_somatic_region(
             sse_strand_fraction=opt.shared_site_error_strand_bias_fraction)
 
     r1 = _somatic_snv_call_chunked(lh[0], lh[1], run_tier)
-    r2 = _somatic_snv_call_chunked(lh_t2[0], lh_t2[1], run_tier)
 
     q1 = np.asarray(r1.qphred)
-    q2 = np.asarray(r2.qphred)
     qn1 = np.asarray(r1.from_ntype_qphred)
-    qn2 = np.asarray(r2.from_ntype_qphred)
     nt1 = np.asarray(r1.ntype)
-    nt2 = np.asarray(r2.ntype)
+
+    # tier2 evidence only where tier1 is nonzero (the reference copies
+    # tier1 results when tier1 qphred == 0,
+    # position_somatic_snv_strand_grid.cpp:269-276); the subset is tiny
+    # so the relaxed-evidence grid pass runs on gathered rows
+    q2 = q1.copy()
+    qn2 = qn1.copy()
+    nt2 = nt1.copy()
+    t2_rows = np.nonzero(q1 != 0)[0]
+    if len(t2_rows):
+        T2_TILE = 1024
+        for t0 in range(0, len(t2_rows), T2_TILE):
+            rows = t2_rows[t0:t0 + T2_TILE]
+            nrows = len(rows)
+            sub_lh = []
+            for pu in pus:
+                t2_used = (pu.tier2_used & pu.valid)[rows]
+                D = t2_used.shape[1]
+                Dp = ((D + _TILE_D_PAD - 1) // _TILE_D_PAD) * _TILE_D_PAD
+
+                def padr(a, fill):
+                    o = np.full((T2_TILE, Dp), fill, dtype=a.dtype)
+                    o[:nrows, :D] = a
+                    return o
+                rg_pad = np.zeros(T2_TILE, np.int32)
+                rg_pad[:nrows] = ref_gt[rows]
+                # keep the fixed T2_TILE row count through the joint
+                # posterior so both device programs compile once
+                sub_lh.append(np.asarray(ss.freq_grid_lhoods(
+                    jnp.asarray(padr(np.where(t2_used, pu.base_id[rows],
+                                              -1), -1)),
+                    jnp.asarray(padr(np.where(t2_used, pu.qual[rows], 0),
+                                     0)),
+                    jnp.asarray(padr(t2_used, False)),
+                    jnp.asarray(padr(pu.is_fwd[rows], False)),
+                    jnp.asarray(rg_pad))))
+            rsub = _somatic_snv_call_chunked(sub_lh[0], sub_lh[1], run_tier)
+            q2[rows] = np.asarray(rsub.qphred)[:nrows]
+            qn2[rows] = np.asarray(rsub.from_ntype_qphred)[:nrows]
+            nt2[rows] = np.asarray(rsub.ntype)[:nrows]
 
     # tier merge (position_somatic_snv_strand_grid.cpp:309-365): take
     # min over tiers for each score; record which tier was used
