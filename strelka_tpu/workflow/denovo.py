@@ -50,10 +50,13 @@ def denovo_posterior(child_pl, mother_pl, father_pl, theta: float = 0.001,
     """[N] posterior probability that the child's alt allele is de novo.
 
     PLs are [N, 3] phred-scaled genotype likelihoods. Parent-pair prior
-    from theta (population polymorphism rate); de-novo configurations
-    are those where the child carries an alt allele absent from the
-    combination transmitted by the parents (i.e. both parents hom-ref
-    and child non-ref under the no-mutation model).
+    from theta (population polymorphism rate); the de-novo posterior is
+    the mass of (mother, father, child) configurations whose
+    transmission requires at least one allele mutation — any Mendelian
+    violation, not only hom-ref x hom-ref parents (e.g. a 1/1 child of
+    a 1/1 mother and 0/0 father is a paternal de novo; DeNovoGear's
+    pp_dnm counts these, validated against the reference's shipped
+    dng-auto-ref vectors in tests/test_denovo.py).
     """
     def pl_to_lh(pl):
         return np.power(10.0, -np.asarray(pl, dtype=np.float64) / 10.0)
@@ -64,14 +67,16 @@ def denovo_posterior(child_pl, mother_pl, father_pl, theta: float = 0.001,
 
     gt_prior = np.array([1.0 - 3 * theta / 2, theta, theta / 2])
     t = transmission_matrix(mu)
+    # mutation-requiring transmission mass: total minus the mu=0 part
+    t_mut = t - transmission_matrix(0.0)
 
-    # joint[m, f, c] per site
-    joint = (lm[:, :, None, None] * gt_prior[None, :, None, None]
-             * lf[:, None, :, None] * gt_prior[None, None, :, None]
-             * lc[:, None, None, :] * t[None, :, :, :])
-    total = joint.sum(axis=(1, 2, 3))
-    # de novo: parents hom-ref, child carries alt
-    dn = joint[:, 0, 0, 1] + joint[:, 0, 0, 2]
+    def joint_with(trans):
+        return (lm[:, :, None, None] * gt_prior[None, :, None, None]
+                * lf[:, None, :, None] * gt_prior[None, None, :, None]
+                * lc[:, None, None, :] * trans[None, :, :, :])
+
+    total = joint_with(t).sum(axis=(1, 2, 3))
+    dn = joint_with(t_mut).sum(axis=(1, 2, 3))
     with np.errstate(divide="ignore", invalid="ignore"):
         p_dn = np.where(total > 0, dn / np.maximum(total, 1e-300), 0.0)
     return p_dn

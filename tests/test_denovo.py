@@ -73,3 +73,61 @@ def test_denovo_cli_scores_against_homref_blocks(tmp_path):
     assert len(dq) >= 10, dq
     # the proband-only TAT insertion scores as de novo
     assert dq.get(1148, 0) >= 10, dq.get(1148)
+
+
+def test_denovo_posterior_matches_denovogear_reference():
+    """Validate the trio model against the DeNovoGear reference values
+    the reference ships (deNovoQualityScore/test/data/dng-auto-ref):
+    pp_dnm must agree closely on every confident call and ranking."""
+    import gzip
+    import re
+
+    import numpy as np
+
+    from strelka_tpu.workflow.denovo import denovo_posterior
+
+    base = "/root/reference/src/python/deNovoQualityScore/test/data"
+    dng = {}
+    with gzip.open(f"{base}/dng-auto-ref.txt.gz", "rt") as f:
+        for line in f:
+            m = re.search(r"chr: (\S+) pos: (\d+) .*pp_dnm: (\S+)", line)
+            if m:
+                dng[(m.group(1), int(m.group(2)))] = float(m.group(3))
+    pls = {}
+    with gzip.open(f"{base}/denovo-chr1-200-snv.vcf.gz", "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fx = line.rstrip("\n").split("\t")
+            fmt = fx[8].split(":")
+            if "PL" not in fmt or "," in fx[4]:
+                continue
+            pli = fmt.index("PL")
+            try:
+                trio = [list(map(int, fx[9 + i].split(":")[pli].split(",")))
+                        for i in range(3)]
+            except (ValueError, IndexError):
+                continue
+            if any(len(p) != 3 for p in trio):
+                continue
+            pls[(fx[0], int(fx[1]))] = trio
+    common = sorted(set(dng) & set(pls))
+    assert len(common) == 200
+    post = denovo_posterior(np.array([pls[k][0] for k in common]),
+                            np.array([pls[k][1] for k in common]),
+                            np.array([pls[k][2] for k in common]))
+    pp = np.array([dng[k] for k in common])
+    # the top DNG candidate (a Mendelian-violation hom-alt child) and
+    # every pp > 0.05 site agree within a small absolute margin
+    strong = pp > 0.05
+    assert strong.sum() >= 4
+    assert np.all(np.abs(post[strong] - pp[strong]) < 0.05)
+    # clear rejections stay rejected
+    lo = pp < 1e-6
+    assert float(post[lo].max()) < 1e-3
+    # overall ranking agreement
+    m = (pp > 1e-300) & (post > 1e-300)
+    corr = float(np.corrcoef(np.log10(pp[m]), np.log10(post[m]))[0, 1])
+    assert corr > 0.99
+    top10 = len(set(np.argsort(-pp)[:10]) & set(np.argsort(-post)[:10]))
+    assert top10 >= 9
