@@ -42,6 +42,16 @@ if _cache_dir and _cache_dir != "0":
     except Exception:  # noqa: BLE001 - cache is best-effort
         pass
 
+# Crash observability for the native layer (blt_util/sig_handler.cpp
+# analog): dump Python tracebacks on fatal signals so a fault inside
+# ctypes-called C++ still leaves a usable context in the task log.
+import faulthandler as _faulthandler
+
+try:
+    _faulthandler.enable()
+except Exception:  # noqa: BLE001 - unavailable in exotic embeddings
+    pass
+
 # Keep glibc from munmap'ing the large per-region tables (expansion,
 # pileup tiles) between calls: default malloc serves >128KB from mmap
 # and returns it to the kernel on free, so every region re-pays the
