@@ -154,9 +154,13 @@ def call_sample_sites(
         pu = pl.build_pileup(batch, ea, level, ref_codes, begin, end,
                              min_qscore=opt.min_qscore, mm_filter=mmf)
     rc = ref_codes[begin - ref_offset:end - ref_offset]
+    # unused lanes keep their raw base/qual values: every consumer in
+    # the SNV model masks on tile.mask, and one_hot of out-of-range
+    # codes is a zero row — skipping the two [L, D] np.where copies
+    # saves the dominant allocation of this function
     tile = snv_digt.SnvPileupTile(
-        base_id=np.where(pu.used, pu.base_id, 0),
-        qual=np.where(pu.used, pu.qual, 0),
+        base_id=pu.base_id,
+        qual=pu.qual,
         is_fwd=pu.is_fwd,
         mask=pu.used,
         ref_gt=rc.astype(np.int32),
