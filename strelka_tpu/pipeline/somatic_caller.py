@@ -105,9 +105,13 @@ _TILE_D_PAD = 32
 
 def _grid_lhoods_for_pileup(pu: pl.PileupRegion, used: np.ndarray,
                             ref_gt: np.ndarray):
-    """[L, GRID_SIZE] frequency-grid lhoods from a pileup + use mask."""
-    base = np.where(used, pu.base_id, -1)
-    qual = np.where(used, pu.qual, 0)
+    """[L, GRID_SIZE] frequency-grid lhoods from a pileup + use mask.
+
+    Raw base/qual lanes pass through unmasked: freq_grid_lhoods gates
+    every contribution on the mask (is_ref/is_alt are AND'd with it),
+    so the full-tile np.where copies would be pure allocation cost."""
+    base = pu.base_id
+    qual = pu.qual
     rg = ref_gt.astype(np.int32)
     L, D = base.shape
     if L <= _TILE_L:
@@ -355,10 +359,8 @@ def call_somatic_region(
                 # keep the fixed T2_TILE row count through the joint
                 # posterior so both device programs compile once
                 sub_lh.append(np.asarray(ss.freq_grid_lhoods(
-                    jnp.asarray(padr(np.where(t2_used, pu.base_id[rows],
-                                              -1), -1)),
-                    jnp.asarray(padr(np.where(t2_used, pu.qual[rows], 0),
-                                     0)),
+                    jnp.asarray(padr(pu.base_id[rows], -1)),
+                    jnp.asarray(padr(pu.qual[rows], 0)),
                     jnp.asarray(padr(t2_used, False)),
                     jnp.asarray(padr(pu.is_fwd[rows], False)),
                     jnp.asarray(rg_pad))))
