@@ -193,6 +193,22 @@ def scatter_rewrites(raw: "ReadBatch", keep_idx: np.ndarray,
     return out
 
 
+def read_alignments(path: str, reference=None,
+                    use_native: bool = True) -> tuple[BamHeader, ReadBatch]:
+    """Decode a BAM or CRAM alignment file by magic bytes.
+
+    Reference analog: htsapi/bam_streamer.cpp opens either format
+    through htslib. `reference` (path or FastaReference) is required
+    for reference-compressed CRAM.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"CRAM":
+        from .cram import read_cram
+        return read_cram(path, reference)
+    return read_bam(path, use_native=use_native)
+
+
 def read_bam(path: str, use_native: bool = True) -> tuple[BamHeader, ReadBatch]:
     """Decode a whole BAM file.
 

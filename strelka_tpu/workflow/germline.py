@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-from ..io.bam import read_bam
+from ..io.bam import read_alignments, read_bam
 from ..io.fasta import FastaReference
 from ..options import GermlineOptions
 from ..parallel import runner as rn
@@ -177,7 +177,7 @@ def run_germline(argv=None) -> int:
         sample_names.append(name)
     headers = []
     for si, path in enumerate(args.align_files):
-        hdr, batch = read_bam(path)
+        hdr, batch = read_alignments(path, ref)
         headers.append(hdr)
         for tid, cname in enumerate(hdr.ref_names):
             lst = batches_per_chrom.setdefault(cname, [None] * len(args.align_files))

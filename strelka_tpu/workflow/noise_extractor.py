@@ -13,7 +13,7 @@ import sys
 
 import numpy as np
 
-from ..io.bam import read_bam
+from ..io.bam import read_alignments
 from ..io.bgzf import BgzfWriter
 from ..io.fasta import FastaReference, decode_bases
 from ..pipeline import pileup as pl
@@ -42,7 +42,7 @@ def run_noise_extractor(argv=None) -> int:
         noise2 = np.zeros(clen, np.int32)
         covered = np.zeros(clen, np.int32)
         for path in args.align_files:
-            hdr, raw = read_bam(path)
+            hdr, raw = read_alignments(path, ref)
             if chrom not in hdr.ref_names:
                 continue
             tid = hdr.ref_names.index(chrom)

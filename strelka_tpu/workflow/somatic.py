@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 from .. import __version__
-from ..io.bam import read_bam
+from ..io.bam import read_alignments, read_bam
 from ..io.bgzf import BgzfWriter
 from ..io.fasta import FastaReference, decode_bases
 from ..options import SomaticOptions
@@ -383,8 +383,8 @@ def run_somatic(argv=None) -> int:
                   file=sys.stderr)
             return 0
 
-    nhdr, nbatch_all = read_bam(args.normal_align_file)
-    thdr, tbatch_all = read_bam(args.tumor_align_file)
+    nhdr, nbatch_all = read_alignments(args.normal_align_file, ref)
+    thdr, tbatch_all = read_alignments(args.tumor_align_file, ref)
 
     # input consistency validation (checkChromSet.py:144-211; the
     # somatic configure script validates normal+tumor vs the reference)

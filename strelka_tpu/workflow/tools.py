@@ -174,13 +174,14 @@ def merge_chrom_depth(in_paths: list[str], out_path: str) -> None:
                 out.write(f.read())
 
 
-def get_region_depth(bam_path: str, region: str) -> float:
+def get_region_depth(bam_path: str, region: str,
+                     reference: str | None = None) -> float:
     """GetRegionDepth analog: chrom-depth estimator restricted to one
-    region (chrom[:beg-end])."""
+    region (chrom[:beg-end]). Accepts BAM or CRAM input."""
     import numpy as np
 
-    from ..io.bam import read_bam
-    hdr, batch = read_bam(bam_path)
+    from ..io.bam import read_alignments
+    hdr, batch = read_alignments(bam_path, reference)
     if ":" in region:
         chrom, rng = region.split(":")
         beg, end = (int(x) for x in rng.replace(",", "").split("-"))
@@ -298,7 +299,8 @@ def main(argv=None) -> int:
         print(json.dumps(res, indent=1, sort_keys=True))
         return 0
     if cmd == "get-region-depth":
-        print(f"{rest[1]}\t{get_region_depth(rest[0], rest[1]):.3f}")
+        ref = rest[2] if len(rest) > 2 else None
+        print(f"{rest[1]}\t{get_region_depth(rest[0], rest[1], ref):.3f}")
         return 0
     if cmd == "dump-counts":
         dump_counts(rest[0])

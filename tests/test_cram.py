@@ -1,0 +1,69 @@
+"""CRAM 3.0 decoder parity tests.
+
+The committed fixtures under tests/data/cram/ are synthetic (generated
+by tests' own ReadBatch writer, paired/fixmated and re-encoded with
+samtools 1.6 built from the reference's bundled redist tarballs), so the
+BAM and CRAM files describe the identical record set. The decoder must
+reproduce the BAM decode field for field — including rANS 4x8 blocks,
+in-slice mate chains, soft/hard clips, splices, indels and unmapped
+reads — for reference-compressed, no-ref and embedded-ref encodings.
+
+Reference analog: htslib cram_decode.c via htsapi/bam_streamer
+(bam_streamer_test.cpp runs the same records as BAM and CRAM).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from strelka_tpu.io.bam import read_alignments, read_bam
+from strelka_tpu.io.cram import read_cram
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "cram")
+REF_TD = "/root/reference/src/c++/lib/htsapi/test/testData"
+
+_FIELDS = ("tid", "pos", "mapq", "flag", "mate_tid", "mate_pos", "tlen",
+           "seq", "qual", "seq_off", "cig_ops", "cig_lens", "cig_off")
+
+
+def _assert_batches_equal(bb, cb):
+    assert bb.n == cb.n
+    assert bb.names == cb.names
+    for f in _FIELDS:
+        a, b = np.asarray(getattr(bb, f)), np.asarray(getattr(cb, f))
+        assert np.array_equal(a, b), f"field {f} differs"
+
+
+@pytest.mark.parametrize("cram", ["synth.cram", "synth.noref.cram",
+                                  "synth.embed.cram"])
+def test_cram_matches_bam(cram):
+    bh, bb = read_bam(os.path.join(DATA, "synth.bam"))
+    ch, cb = read_cram(os.path.join(DATA, cram),
+                       os.path.join(DATA, "synth.fa"))
+    assert ch.ref_names == bh.ref_names
+    assert ch.ref_lengths == bh.ref_lengths
+    _assert_batches_equal(bb, cb)
+
+
+def test_noref_cram_without_reference():
+    # no_ref CRAM stores verbatim bases; must decode with reference=None
+    _, bb = read_bam(os.path.join(DATA, "synth.bam"))
+    _, cb = read_cram(os.path.join(DATA, "synth.noref.cram"), None)
+    _assert_batches_equal(bb, cb)
+
+
+def test_read_alignments_dispatch():
+    _, bb = read_alignments(os.path.join(DATA, "synth.bam"))
+    _, cb = read_alignments(os.path.join(DATA, "synth.cram"),
+                            os.path.join(DATA, "synth.fa"))
+    _assert_batches_equal(bb, cb)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_TD), reason="no reference checkout")
+def test_reference_htsapi_fixture():
+    # the reference's own paired BAM/CRAM unit-test fixture
+    bh, bb = read_bam(os.path.join(REF_TD, "alignment_test.bam"))
+    ch, cb = read_cram(os.path.join(REF_TD, "alignment_test.cram"),
+                       os.path.join(REF_TD, "alignment_test.fasta"))
+    assert ch.ref_names == bh.ref_names
+    _assert_batches_equal(bb, cb)
