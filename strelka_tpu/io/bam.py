@@ -227,10 +227,16 @@ def read_bam(path: str, use_native: bool = True) -> tuple[BamHeader, ReadBatch]:
     data = decompress_file(path)
     if data[:4] != b"BAM\x01":
         raise ValueError(f"{path}: not a BAM file")
+    header, off = _parse_header_uncompressed(data)
+    return header, parse_bam_body(memoryview(data)[off:], header)
+
+
+def _parse_header_uncompressed(data) -> tuple[BamHeader, int]:
+    """Parse the BAM header section; returns (header, body offset)."""
     off = 4
     (l_text,) = struct.unpack_from("<i", data, off)
     off += 4
-    text = data[off:off + l_text].rstrip(b"\x00").decode()
+    text = bytes(data[off:off + l_text]).rstrip(b"\x00").decode()
     off += l_text
     (n_ref,) = struct.unpack_from("<i", data, off)
     off += 4
@@ -238,12 +244,41 @@ def read_bam(path: str, use_native: bool = True) -> tuple[BamHeader, ReadBatch]:
     for _ in range(n_ref):
         (l_name,) = struct.unpack_from("<i", data, off)
         off += 4
-        ref_names.append(data[off:off + l_name - 1].decode())
+        ref_names.append(bytes(data[off:off + l_name - 1]).decode())
         off += l_name
         (l_ref,) = struct.unpack_from("<i", data, off)
         off += 4
         ref_lengths.append(l_ref)
-    header = BamHeader(text, ref_names, ref_lengths)
+    return BamHeader(text, ref_names, ref_lengths), off
+
+
+def read_bam_header_bytes(compressed: bytes) -> tuple[BamHeader, int]:
+    """Parse the BAM header from BGZF-compressed bytes, inflating only
+    as many leading blocks (one gzip member each) as the header section
+    needs. Returns (header, uncompressed header byte count)."""
+    import zlib
+    out = bytearray()
+    pos = 0
+    while True:
+        try:
+            return _parse_header_uncompressed(out)
+        except (struct.error, IndexError, UnicodeDecodeError):
+            pass
+        if len(out) >= 4 and bytes(out[:4]) != b"BAM\x01":
+            raise ValueError("not a BAM stream")
+        if pos >= len(compressed):
+            raise ValueError("truncated BAM header")
+        d = zlib.decompressobj(wbits=31)
+        out += d.decompress(compressed[pos:])
+        consumed = len(compressed) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("truncated BAM header")
+        pos += consumed
+
+
+def parse_bam_body(data, header: BamHeader) -> ReadBatch:
+    """Parse a concatenated BAM alignment-record section (no header)."""
+    off = 0
 
     names: list[str] = []
     tids: list[int] = []
@@ -269,7 +304,7 @@ def read_bam(path: str, use_native: bool = True) -> tuple[BamHeader, ReadBatch]:
         (refID, pos, l_rn_packed, mapq, _bin, n_cigar, flag, l_seq,
          next_refID, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", data, off)
         p = off + 32
-        name = data[p:p + l_rn_packed - 1].decode()
+        name = bytes(data[p:p + l_rn_packed - 1]).decode()
         p += l_rn_packed
         cig = np.frombuffer(data, dtype="<u4", count=n_cigar, offset=p)
         p += 4 * n_cigar
@@ -320,4 +355,4 @@ def read_bam(path: str, use_native: bool = True) -> tuple[BamHeader, ReadBatch]:
         cig_lens=np.concatenate(len_parts) if len_parts else np.empty(0, np.int32),
         cig_off=np.array(cig_off, np.int64),
     )
-    return header, batch
+    return batch

@@ -23,6 +23,14 @@ def decompress_file(path: str) -> bytes:
         data = f.read()
     if data[:2] != b"\x1f\x8b":
         raise ValueError(f"{path}: not a gzip/BGZF file (bad magic)")
+    try:
+        return decompress_stream(data)
+    except ValueError as e:
+        raise ValueError(f"{path}: {e}") from None
+
+
+def decompress_stream(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip/BGZF members from bytes."""
     out = []
     pos = 0
     n = len(data)
@@ -31,7 +39,7 @@ def decompress_file(path: str) -> bytes:
         try:
             out.append(d.decompress(data[pos:]))
         except zlib.error as e:
-            raise ValueError(f"{path}: corrupt gzip stream at offset {pos}: {e}") from e
+            raise ValueError(f"corrupt gzip stream at offset {pos}: {e}") from e
         consumed = n - pos - len(d.unused_data)
         if consumed <= 0:
             break

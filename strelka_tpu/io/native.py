@@ -136,8 +136,24 @@ def parse_bam_native(data: bytes):
         off += 4
         ref_lengths.append(l_ref)
     header = BamHeader(text, ref_names, ref_lengths)
+    batch = parse_bam_body_native(np.frombuffer(data, dtype=np.uint8,
+                                                offset=off))
+    if batch is None:
+        return None
+    return header, batch
 
-    body = np.frombuffer(data, dtype=np.uint8, offset=off)
+
+def parse_bam_body_native(body_bytes, header=None):
+    """Parse a concatenated BAM record section (no header) natively.
+
+    Returns a ReadBatch, or None when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    from .bam import ReadBatch
+
+    body = np.frombuffer(body_bytes, dtype=np.uint8)
     total_seq = np.zeros(1, np.int64)
     total_cig = np.zeros(1, np.int64)
     total_name = np.zeros(1, np.int64)
@@ -189,7 +205,7 @@ def parse_bam_native(data: bytes):
         seq=seq, qual=qual, seq_off=seq_off,
         cig_ops=cig_ops, cig_lens=cig_lens, cig_off=cig_off,
     )
-    return header, batch
+    return batch
 
 
 def read_bam_native(path: str, n_threads: int = 8):

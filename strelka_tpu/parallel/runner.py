@@ -75,6 +75,32 @@ def group_segments(segments: list[GenomeSegment],
     return groups
 
 
+def merge_group_spans(groups, halo: int,
+                      chrom_lengths: dict[str, int] | None = None):
+    """Union of the halo'd genome spans a set of segment groups touches,
+    merged per chromosome: the minimal input-read footprint of one
+    fan-out process (reference: starling_run.cpp:335-342 supplemental
+    region border around each per-process segment)."""
+    by_chrom: dict[str, list[tuple[int, int]]] = {}
+    for group in groups:
+        for seg in group:
+            clen = (chrom_lengths or {}).get(seg.chrom)
+            beg = max(0, seg.begin - halo)
+            end = seg.end + halo if clen is None else min(seg.end + halo, clen)
+            by_chrom.setdefault(seg.chrom, []).append((beg, end))
+    spans = []
+    for chrom, sp in by_chrom.items():
+        sp.sort()
+        merged: list[list[int]] = []
+        for beg, end in sp:
+            if merged and beg <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], end)
+            else:
+                merged.append([beg, end])
+        spans.extend((chrom, b, e) for b, e in merged)
+    return spans
+
+
 @dataclass
 class RunStats:
     """reference: appstats/RunStats.hh RunStatsData + MergeRunStats."""

@@ -170,6 +170,32 @@ def run_germline(argv=None) -> int:
             nocompress_by_chrom.setdefault(rec.chrom, []).append(
                 (rec.begin, rec.end))
 
+    # --- segment plan (before input reads, so fan-out processes can
+    # use the BAM index to load only their assigned spans) -------------
+    proc_idx, proc_cnt = rn.init_distributed()
+    if args.process_index is not None:
+        proc_idx = args.process_index
+        proc_cnt = args.process_count or 1
+    segments = []
+    for chrom, beg, end in regions:
+        for seg_beg in range(beg, end, args.max_region_size):
+            segments.append(rn.GenomeSegment(
+                chrom, seg_beg, min(seg_beg + args.max_region_size, end)))
+    groups = rn.group_segments(segments, min_group=1)
+    seg_halo = opt.max_indel_size + 250 + 100
+
+    # spans this process actually calls (halo'd, merged): indexed input
+    # reads load only these when the input is a proper genome subset
+    # (reference analog: starling_run.cpp:335-342 supplemental border +
+    # bam_streamer region open per 12Mb segment process)
+    my_groups = [g for i, g in enumerate(groups)
+                 if i % max(proc_cnt, 1) == proc_idx]
+    needed_spans = rn.merge_group_spans(my_groups, seg_halo,
+                                        {c: ref.contig_length(c)
+                                         for c, _b, _e in regions})
+    whole_genome = (args.region is None and proc_cnt <= 1
+                    and not args.call_regions_bed)
+
     sample_names = []
     batches_per_chrom: dict[str, list] = {}
     for path in args.align_files:
@@ -177,7 +203,15 @@ def run_germline(argv=None) -> int:
         sample_names.append(name)
     headers = []
     for si, path in enumerate(args.align_files):
-        hdr, batch = read_alignments(path, ref)
+        hdr, batch = None, None
+        if not whole_genome:
+            try:
+                from ..io.bai import read_bam_regions
+                hdr, batch = read_bam_regions(path, needed_spans)
+            except (FileNotFoundError, ValueError):
+                hdr = batch = None  # no usable index: whole-file read
+        if batch is None:
+            hdr, batch = read_alignments(path, ref)
         headers.append(hdr)
         for tid, cname in enumerate(hdr.ref_names):
             lst = batches_per_chrom.setdefault(cname, [None] * len(args.align_files))
@@ -249,17 +283,6 @@ def run_germline(argv=None) -> int:
             chrom_depth[chrom] = float(np.mean([d for d in depths if d > 0]) or 0)
 
     # --- segment tasks through the runner ------------------------------
-    proc_idx, proc_cnt = rn.init_distributed()
-    if args.process_index is not None:
-        proc_idx = args.process_index
-        proc_cnt = args.process_count or 1
-    segments = []
-    for chrom, beg, end in regions:
-        for seg_beg in range(beg, end, args.max_region_size):
-            segments.append(rn.GenomeSegment(
-                chrom, seg_beg, min(seg_beg + args.max_region_size, end)))
-    groups = rn.group_segments(segments, min_group=1)
-
     runner = rn.SegmentRunner(workspace, process_index=proc_idx,
                               process_count=proc_cnt)
 
@@ -271,7 +294,6 @@ def run_germline(argv=None) -> int:
     ref_ends_per_chrom = {
         c: [b.ref_end_positions() if b is not None else None for b in bl]
         for c, bl in batches_per_chrom.items()}
-    seg_halo = opt.max_indel_size + 250 + 100
 
     def task_fn(group):
         lines_v = []

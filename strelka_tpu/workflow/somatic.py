@@ -383,8 +383,40 @@ def run_somatic(argv=None) -> int:
                   file=sys.stderr)
             return 0
 
-    nhdr, nbatch_all = read_alignments(args.normal_align_file, ref)
-    thdr, tbatch_all = read_alignments(args.tumor_align_file, ref)
+    # segment plan before input reads: fan-out processes use the BAM
+    # index to load only their assigned halo'd spans (reference:
+    # bam_streamer region open per 12Mb segment process)
+    from ..parallel import runner as rn
+    proc_idx, proc_cnt = rn.init_distributed()
+    if args.process_index is not None:
+        proc_idx = args.process_index
+        proc_cnt = args.process_count or 1
+    segments = []
+    for chrom, beg, end in regions:
+        for seg_beg in range(beg, end, args.max_region_size):
+            segments.append(rn.GenomeSegment(
+                chrom, seg_beg, min(seg_beg + args.max_region_size, end)))
+    groups = rn.group_segments(segments, min_group=1)
+    seg_halo = opt.max_indel_size + 250 + 100
+    my_groups = [g for i, g in enumerate(groups)
+                 if i % max(proc_cnt, 1) == proc_idx]
+    needed_spans = rn.merge_group_spans(my_groups, seg_halo,
+                                        {c: ref.contig_length(c)
+                                         for c, _b, _e in regions})
+    whole_genome = (args.region is None and proc_cnt <= 1
+                    and not args.call_regions_bed)
+
+    def _read_input(path):
+        if not whole_genome:
+            try:
+                from ..io.bai import read_bam_regions
+                return read_bam_regions(path, needed_spans)
+            except (FileNotFoundError, ValueError):
+                pass  # no usable index: whole-file read
+        return read_alignments(path, ref)
+
+    nhdr, nbatch_all = _read_input(args.normal_align_file)
+    thdr, tbatch_all = _read_input(args.tumor_align_file)
 
     # input consistency validation (checkChromSet.py:144-211; the
     # somatic configure script validates normal+tumor vs the reference)
@@ -419,17 +451,6 @@ def run_somatic(argv=None) -> int:
                 noise_at[(v.chrom, v.pos)] = (
                     float(info.get("PNOISE", 0)), float(info.get("PNOISE2", 0)))
 
-    from ..parallel import runner as rn
-    proc_idx, proc_cnt = rn.init_distributed()
-    if args.process_index is not None:
-        proc_idx = args.process_index
-        proc_cnt = args.process_count or 1
-    segments = []
-    for chrom, beg, end in regions:
-        for seg_beg in range(beg, end, args.max_region_size):
-            segments.append(rn.GenomeSegment(
-                chrom, seg_beg, min(seg_beg + args.max_region_size, end)))
-    groups = rn.group_segments(segments, min_group=1)
     runner = rn.SegmentRunner(workspace, process_index=proc_idx,
                               process_count=proc_cnt)
 
@@ -452,7 +473,6 @@ def run_somatic(argv=None) -> int:
         for c, (nbc, _tbc) in batches_of.items():
             chrom_depth_of[c] = chrom_depth_estimate(
                 nbc, ref.contig_length(c)) or None
-    seg_halo = opt.max_indel_size + 250 + 100
 
     def task_fn(group):
         snv_lines, indel_lines, callable_lines = [], [], []
