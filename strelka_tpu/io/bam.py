@@ -209,6 +209,20 @@ def read_alignments(path: str, reference=None,
     return read_bam(path, use_native=use_native)
 
 
+def read_alignments_regions(path: str, regions, reference=None,
+                            ) -> tuple[BamHeader, ReadBatch]:
+    """Index-driven region read of a BAM (.bai) or CRAM (.crai) file:
+    decodes only the compressed spans/slices the regions touch.
+    Raises FileNotFoundError when the file has no usable index."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"CRAM":
+        from .cram import read_cram_regions
+        return read_cram_regions(path, regions, reference)
+    from .bai import read_bam_regions
+    return read_bam_regions(path, regions)
+
+
 def read_bam(path: str, use_native: bool = True) -> tuple[BamHeader, ReadBatch]:
     """Decode a whole BAM file.
 

@@ -810,12 +810,59 @@ def _chain_head(recs, i):
 # ---------------------------------------------------------------- driver
 
 
+def read_crai(path: str):
+    """Parse a .crai index: list of (seq_id, start0, span, container_off,
+    slice_off, slice_len) per slice (CRAM spec appendix; gzip text)."""
+    import gzip
+    entries = []
+    with gzip.open(path, "rt") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 6:
+                continue
+            seq_id, start, span, coff, soff, slen = (int(x) for x in parts)
+            entries.append((seq_id, start - 1 if start > 0 else 0, span,
+                            coff, soff, slen))
+    return entries
+
+
+def read_cram_regions(path: str, regions,
+                      reference: str | FastaReference | None = None,
+                      ) -> tuple[BamHeader, ReadBatch]:
+    """Decode only the slices overlapping `regions` using the .crai
+    index, then filter records to span overlap — the CRAM analog of
+    bai.read_bam_regions. Raises FileNotFoundError when no index."""
+    import os
+    crai = path + ".crai"
+    if not os.path.exists(crai):
+        base, _ = os.path.splitext(path)
+        if os.path.exists(base + ".crai"):
+            crai = base + ".crai"
+        else:
+            raise FileNotFoundError(f"no index for {path}")
+    header, batch = read_cram(path, reference, _crai_entries=read_crai(crai),
+                              _regions=regions)
+    ends = batch.ref_end_positions()
+    keep = np.zeros(batch.n, dtype=bool)
+    for chrom, beg, end in regions:
+        if chrom not in header.ref_names:
+            continue
+        tid = header.ref_names.index(chrom)
+        keep |= (batch.tid == tid) & (batch.pos < end) & (ends > beg)
+    if not keep.all():
+        batch = batch.select(keep)
+    return header, batch
+
+
 def read_cram(path: str, reference: str | FastaReference | None = None,
+              _crai_entries=None, _regions=None,
               ) -> tuple[BamHeader, ReadBatch]:
     """Decode a whole CRAM 3.0 file into (BamHeader, ReadBatch).
 
     `reference` is required unless every slice embeds its reference or
     the file was written reference-less (RR=false with verbatim bases).
+    When _crai_entries/_regions are given (via read_cram_regions), data
+    containers holding no overlapping slice are skipped wholesale.
     """
     with open(path, "rb") as f:
         data = f.read()
@@ -847,9 +894,16 @@ def read_cram(path: str, reference: str | FastaReference | None = None,
             return s[pos0]
         return "N"
 
+    wanted_offsets = None
+    if _crai_entries is not None and _regions is not None:
+        # filled once the header names are known (crai uses seq ids)
+        wanted_offsets = set()
+        reg_spans = _regions
+
     all_recs: list[_Rec] = []
     counter = 0
     while br.pos < len(data):
+        container_offset = br.pos
         # container header
         length = br.int32()
         ref_seq_id = br.itf8()
@@ -867,6 +921,10 @@ def read_cram(path: str, reference: str | FastaReference | None = None,
         if ref_seq_id == -1 and n_records == 0 and n_blocks == 1 \
                 and length == 15:
             break  # EOF container
+        if header is not None and wanted_offsets is not None \
+                and container_offset not in wanted_offsets:
+            br.pos = body_end
+            continue
         blocks = [_read_block(br) for _ in range(n_blocks)]
         assert br.pos == body_end, (br.pos, body_end)
         if header is None:
@@ -882,6 +940,14 @@ def read_cram(path: str, reference: str | FastaReference | None = None,
                     names.append(d["SN"])
                     lengths.append(int(d["LN"]))
             header = BamHeader(text.rstrip("\x00"), names, lengths)
+            if wanted_offsets is not None:
+                for chrom, beg, end in reg_spans:
+                    if chrom not in names:
+                        continue
+                    tid = names.index(chrom)
+                    for (sid, s0, span, coff, _soff, _slen) in _crai_entries:
+                        if sid == tid and s0 < end and s0 + span > beg:
+                            wanted_offsets.add(coff)
             continue
         # data container: compression header + slices
         ch = CompressionHeader(blocks[0].data)

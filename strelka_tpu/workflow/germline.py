@@ -206,8 +206,8 @@ def run_germline(argv=None) -> int:
         hdr, batch = None, None
         if not whole_genome:
             try:
-                from ..io.bai import read_bam_regions
-                hdr, batch = read_bam_regions(path, needed_spans)
+                from ..io.bam import read_alignments_regions
+                hdr, batch = read_alignments_regions(path, needed_spans, ref)
             except (FileNotFoundError, ValueError):
                 hdr = batch = None  # no usable index: whole-file read
         if batch is None:

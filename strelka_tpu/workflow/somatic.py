@@ -409,8 +409,8 @@ def run_somatic(argv=None) -> int:
     def _read_input(path):
         if not whole_genome:
             try:
-                from ..io.bai import read_bam_regions
-                return read_bam_regions(path, needed_spans)
+                from ..io.bam import read_alignments_regions
+                return read_alignments_regions(path, needed_spans, ref)
             except (FileNotFoundError, ValueError):
                 pass  # no usable index: whole-file read
         return read_alignments(path, ref)

@@ -67,3 +67,28 @@ def test_reference_htsapi_fixture():
                        os.path.join(REF_TD, "alignment_test.fasta"))
     assert ch.ref_names == bh.ref_names
     _assert_batches_equal(bb, cb)
+
+
+@pytest.mark.parametrize("regions", [
+    [("c1", 2000, 3000)],
+    [("c1", 0, 100), ("c1", 7000, 8000)],
+    [("c1", 0, 8000)],
+    [("cX", 5, 10)],
+])
+def test_crai_region_read_matches_filtered_full(regions):
+    from strelka_tpu.io.cram import read_cram_regions
+    hdr, full = read_bam(os.path.join(DATA, "synth.bam"))
+    _, sub = read_cram_regions(os.path.join(DATA, "synth.cram"), regions,
+                               os.path.join(DATA, "synth.fa"))
+    ends = full.ref_end_positions()
+    keep = np.zeros(full.n, bool)
+    for chrom, beg, end in regions:
+        if chrom not in hdr.ref_names:
+            continue
+        tid = hdr.ref_names.index(chrom)
+        keep |= (full.tid == tid) & (full.pos < end) & (ends > beg)
+    exp = full.select(keep)
+    assert sub.names == exp.names
+    for f in _FIELDS:
+        assert np.array_equal(np.asarray(getattr(exp, f)),
+                              np.asarray(getattr(sub, f))), f
