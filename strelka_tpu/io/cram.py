@@ -166,7 +166,38 @@ def _rans_table(freqs):
 
 
 def rans_decode(data: bytes) -> bytes:
-    """rANS 4x8 static decoder (CRAM 3.0 codec 4), order 0 and 1."""
+    """rANS 4x8 static decoder (CRAM 3.0 codec 4), order 0 and 1.
+    Prefers the native decoder (native/cramdecoder.cpp)."""
+    out = _rans_decode_native(data)
+    if out is not None:
+        return out
+    return _rans_decode_py(data)
+
+
+def _rans_decode_native(data: bytes) -> bytes | None:
+    import ctypes
+
+    from .native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rans_decode_4x8"):
+        return None
+    if len(data) < 9:
+        return None
+    import struct as _s
+    (n_out,) = _s.unpack_from("<I", data, 5)
+    out = np.empty(n_out, np.uint8)
+    buf = np.frombuffer(data, np.uint8)
+    rc = lib.rans_decode_4x8(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(data)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n_out))
+    if rc != 0:
+        return None
+    return out.tobytes()
+
+
+def _rans_decode_py(data: bytes) -> bytes:
     br = ByteReader(data)
     order = br.byte()
     br.uint32()  # compressed size (remaining)
@@ -336,6 +367,27 @@ class Encoding:
             self.offset = br.itf8()
         else:
             raise ValueError(f"CRAM encoding codec {codec} unsupported")
+
+    def serialize(self) -> list[int]:
+        """Flat int32 list consumed by the native slice decoder
+        (native/cramdecoder.cpp parse_encoding)."""
+        c = self.codec
+        if c == 0:
+            return [0]
+        if c == 1:
+            return [1, self.cid]
+        if c == 3:
+            return ([3, len(self.alphabet)] + list(self.alphabet)
+                    + [len(self.lengths)] + list(self.lengths))
+        if c == 4:
+            return [4] + self.len_enc.serialize() + self.val_enc.serialize()
+        if c == 5:
+            return [5, self.stop, self.cid]
+        if c == 6:
+            return [6, self.offset, self.nbits]
+        if c == 9:
+            return [9, self.offset]
+        raise ValueError(f"cannot serialize codec {c}")
 
     def _build_huffman(self):
         # canonical codes: stable-sort symbols by bit length, assign
@@ -511,21 +563,34 @@ _FREV = 0x10
 _FMREV = 0x20
 
 
-def _decode_slice(ch: CompressionHeader, slice_hdr: ByteReader,
+class _SliceHdr:
+    __slots__ = ("ref_id", "start", "span", "n_rec", "n_blocks",
+                 "embed_ref_cid")
+
+
+def _parse_slice_header(br: ByteReader) -> _SliceHdr:
+    h = _SliceHdr()
+    h.ref_id = br.itf8()
+    h.start = br.itf8()
+    h.span = br.itf8()
+    h.n_rec = br.itf8()
+    br.ltf8()  # record counter
+    h.n_blocks = br.itf8()
+    n_ids = br.itf8()
+    for _ in range(n_ids):
+        br.itf8()
+    h.embed_ref_cid = br.itf8()
+    br.bytes(16)  # md5
+    return h
+
+
+def _decode_slice(ch: CompressionHeader, hdr: _SliceHdr,
                   blocks: list[Block], ref_getter, counter_base: int):
     """Decode one mapped/unmapped slice into a list of _Rec."""
-    ref_id = slice_hdr.itf8()
-    start = slice_hdr.itf8()
-    slice_hdr.itf8()  # span
-    n_rec = slice_hdr.itf8()
-    slice_hdr.ltf8()  # record counter
-    n_blocks = slice_hdr.itf8()
-    n_ids = slice_hdr.itf8()
-    for _ in range(n_ids):
-        slice_hdr.itf8()
-    embed_ref_cid = slice_hdr.itf8()
-    slice_hdr.bytes(16)  # md5
-    del n_blocks
+    ref_id = hdr.ref_id
+    start = hdr.start
+    n_rec = hdr.n_rec
+    embed_ref_cid = hdr.embed_ref_cid
 
     core = None
     ext: dict[int, ByteReader] = {}
@@ -581,6 +646,12 @@ def _decode_slice(ch: CompressionHeader, slice_hdr: ByteReader,
             r.mate_tid = S["NS"].get_int(core, ext)
             r.mate_pos = S["NP"].get_int(core, ext)
             r.tlen = S["TS"].get_int(core, ext)
+            # MF carries the mate flags when the encoder stripped them
+            # from BF (OR is a no-op when BF kept them)
+            if r.mf & 1:
+                r.bf |= _FMREV
+            if r.mf & 2:
+                r.bf |= _FMUNMAP
         elif cf & 0x4:  # mate downstream in this slice
             r.nf = S["NF"].get_int(core, ext)
             r.mate = ri + 1 + r.nf
@@ -807,6 +878,199 @@ def _chain_head(recs, i):
     return recs[i]
 
 
+# ----------------------------------------------------- slice -> arrays
+
+
+class _Chunk:
+    """Struct-of-arrays for one decoded slice (0-based positions)."""
+    __slots__ = ("n", "names", "tid", "pos", "mapq", "flag", "mate_tid",
+                 "mate_pos", "tlen", "seq", "qual", "seq_off",
+                 "cig_ops", "cig_lens", "cig_off")
+
+
+def _recs_to_chunk(recs: list[_Rec]) -> _Chunk:
+    from .fasta import encode_bases
+    c = _Chunk()
+    c.n = len(recs)
+    c.names = [r.name for r in recs]
+    c.tid = np.array([r.tid for r in recs], np.int32)
+    c.pos = np.array([r.pos - 1 for r in recs], np.int64)
+    c.mapq = np.array([r.mapq & 0xFF for r in recs], np.uint8)
+    c.flag = np.array([r.bf & 0xFFFF for r in recs], np.uint16)
+    c.mate_tid = np.array([r.mate_tid for r in recs], np.int32)
+    mp = []
+    for r in recs:
+        if r.mate >= 0 or r.mate_tid >= 0:
+            # in-slice resolved mate_pos is already 0-based; detached NP
+            # is 1-based per spec
+            mp.append(r.mate_pos if r.mate >= 0 else r.mate_pos - 1
+                      if (r.cf & 0x2) else r.mate_pos)
+        else:
+            mp.append(-1)
+    c.mate_pos = np.array(mp, np.int64)
+    c.tlen = np.array([r.tlen for r in recs], np.int64)
+    seqs = [encode_bases(r.seq) for r in recs]
+    c.seq = (np.concatenate(seqs) if seqs else np.zeros(0, np.uint8)
+             ).astype(np.uint8)
+    c.qual = (np.concatenate([np.frombuffer(r.qual, np.uint8)
+                              for r in recs])
+              if recs else np.zeros(0, np.uint8))
+    c.seq_off = np.concatenate(
+        [[0], np.cumsum([len(r.seq) for r in recs])]).astype(np.int64)
+    c.cig_ops = (np.concatenate([r.cig_ops for r in recs])
+                 if recs else np.zeros(0, np.int8)).astype(np.int8)
+    c.cig_lens = (np.concatenate([r.cig_lens for r in recs])
+                  if recs else np.zeros(0, np.int32)).astype(np.int32)
+    c.cig_off = np.concatenate(
+        [[0], np.cumsum([len(r.cig_ops) for r in recs])]).astype(np.int64)
+    return c
+
+
+# native decoder series order (native/cramdecoder.cpp enum Series)
+_NATIVE_SERIES = ("BF", "CF", "RI", "RL", "AP", "RG", "RN", "MF", "NS",
+                  "NP", "TS", "NF", "TL", "FN", "FC", "FP", "DL", "BB",
+                  "QQ", "BS", "IN", "RS", "PD", "HC", "SC", "MQ", "BA",
+                  "QS")
+
+
+def _native_slice_chunk(ch: CompressionHeader, hdr: _SliceHdr,
+                        blocks: list[Block], contig_bytes,
+                        counter_base: int) -> _Chunk | None:
+    """Decode one slice with the native C++ decoder; None on any
+    unsupported structure (caller falls back to the Python path)."""
+    import ctypes
+
+    from .native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "cram_slice_decode"):
+        return None
+    if hdr.ref_id == -2:
+        return None  # multi-ref slice: per-record reference contigs
+
+    # serialized encodings
+    try:
+        enc: list[int] = []
+        for key in _NATIVE_SERIES:
+            e = ch.series.get(key)
+            enc.extend([0] if e is None else e.serialize())
+        enc.append(len(ch.tag_dict))
+        for line in ch.tag_dict:
+            enc.append(len(line))
+            for tag, typ in line:
+                key = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(typ)
+                te = ch.tag_enc.get(key)
+                if te is None:
+                    return None
+                enc.extend(te.serialize())
+    except ValueError:
+        return None
+    enc_blob = np.asarray(enc, dtype=np.int32).tobytes()
+
+    core_data = b""
+    ext_parts: list[bytes] = []
+    ext_ids: list[int] = []
+    for blk in blocks:
+        if blk.content_type == 5:
+            core_data = blk.data
+        elif blk.content_type == 4:
+            ext_ids.append(blk.content_id)
+            ext_parts.append(blk.data)
+    ext_buf = b"".join(ext_parts)
+    ext_offs = np.zeros(len(ext_parts), np.int64)
+    ext_lens = np.array([len(p) for p in ext_parts], np.int64)
+    if len(ext_parts):
+        np.cumsum(ext_lens[:-1], out=ext_offs[1:])
+    ext_ids_arr = np.asarray(ext_ids, np.int32)
+
+    # reference segment: embedded block, or the whole cached contig
+    if hdr.embed_ref_cid >= 0 and hdr.embed_ref_cid in ext_ids:
+        ref_seg = ext_parts[ext_ids.index(hdr.embed_ref_cid)]
+        ref_start = hdr.start
+    else:
+        ref_seg = contig_bytes(hdr.ref_id)
+        ref_start = 1
+
+    # substitution decode table as 5x4 chars
+    sub_tab = bytearray(20)
+    for r, refb in enumerate("ACGTN"):
+        row = ch.sub_table[refb]
+        for code in range(4):
+            sub_tab[r * 4 + code] = ord(row.get(code, "N"))
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def p8(b):
+        return ctypes.cast(ctypes.c_char_p(bytes(b) if not isinstance(b, bytes)
+                                           else b), u8p)
+
+    lib.cram_slice_decode.restype = ctypes.c_void_p
+    handle = lib.cram_slice_decode(
+        p8(core_data), ctypes.c_int64(len(core_data)),
+        p8(ext_buf),
+        ext_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ext_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ext_ids_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(len(ext_ids)),
+        p8(enc_blob), ctypes.c_int64(len(enc_blob)),
+        p8(ref_seg), ctypes.c_int64(len(ref_seg)),
+        ctypes.c_int64(ref_start),
+        p8(bytes(sub_tab)),
+        ctypes.c_int32(hdr.n_rec), ctypes.c_int32(hdr.ref_id),
+        ctypes.c_int64(hdr.start),
+        ctypes.c_int32(1 if ch.ap_delta else 0),
+        ctypes.c_int32(1 if ch.read_names else 0),
+        ctypes.c_int64(counter_base))
+    if not handle:
+        return None
+    try:
+        sizes = np.zeros(3, np.int64)
+        lib.cram_slice_sizes.restype = ctypes.c_int64
+        n = int(lib.cram_slice_sizes(
+            ctypes.c_void_p(handle),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))))
+        seq_total, cig_total, name_total = (int(x) for x in sizes)
+        c = _Chunk()
+        c.n = n
+        c.tid = np.empty(n, np.int32)
+        c.pos = np.empty(n, np.int64)
+        c.mapq = np.empty(n, np.uint8)
+        c.flag = np.empty(n, np.uint16)
+        c.mate_tid = np.empty(n, np.int32)
+        c.mate_pos = np.empty(n, np.int64)
+        c.tlen = np.empty(n, np.int64)
+        c.seq = np.empty(seq_total, np.uint8)
+        c.qual = np.empty(seq_total, np.uint8)
+        c.seq_off = np.empty(n + 1, np.int64)
+        c.cig_ops = np.empty(cig_total, np.int8)
+        c.cig_lens = np.empty(cig_total, np.int32)
+        c.cig_off = np.empty(n + 1, np.int64)
+        names_buf = np.empty(name_total, np.uint8)
+        name_off = np.empty(n + 1, np.int64)
+
+        def ap(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        rc = lib.cram_slice_export(
+            ctypes.c_void_p(handle),
+            ap(c.tid, ctypes.c_int32), ap(c.pos, ctypes.c_int64),
+            ap(c.mapq, ctypes.c_uint8), ap(c.flag, ctypes.c_uint16),
+            ap(c.mate_tid, ctypes.c_int32), ap(c.mate_pos, ctypes.c_int64),
+            ap(c.tlen, ctypes.c_int64),
+            ap(c.seq, ctypes.c_uint8), ap(c.qual, ctypes.c_uint8),
+            ap(c.seq_off, ctypes.c_int64),
+            ap(c.cig_ops, ctypes.c_int8), ap(c.cig_lens, ctypes.c_int32),
+            ap(c.cig_off, ctypes.c_int64),
+            ap(names_buf, ctypes.c_uint8), ap(name_off, ctypes.c_int64))
+        if rc != 0:
+            return None
+        nb = names_buf.tobytes()
+        c.names = [nb[name_off[i]:name_off[i + 1] - 1].decode()
+                   for i in range(n)]
+        return c
+    finally:
+        lib.cram_slice_free(ctypes.c_void_p(handle))
+
+
 # ---------------------------------------------------------------- driver
 
 
@@ -881,17 +1145,20 @@ def read_cram(path: str, reference: str | FastaReference | None = None,
         fasta = FastaReference(reference)
 
     header: BamHeader | None = None
-    contig_cache: dict[int, str] = {}
+    contig_cache: dict[int, bytes] = {}
 
-    def ref_getter(tid: int, pos0: int) -> str:
+    def contig_bytes(tid: int) -> bytes:
         if fasta is None or tid < 0:
-            return "N"
+            return b""
         if tid not in contig_cache:
             name = header.ref_names[tid]
-            contig_cache[tid] = decode_bases(fasta.load_contig(name))
-        s = contig_cache[tid]
+            contig_cache[tid] = decode_bases(fasta.load_contig(name)).encode()
+        return contig_cache[tid]
+
+    def ref_getter(tid: int, pos0: int) -> str:
+        s = contig_bytes(tid)
         if 0 <= pos0 < len(s):
-            return s[pos0]
+            return chr(s[pos0])
         return "N"
 
     wanted_offsets = None
@@ -900,7 +1167,7 @@ def read_cram(path: str, reference: str | FastaReference | None = None,
         wanted_offsets = set()
         reg_spans = _regions
 
-    all_recs: list[_Rec] = []
+    chunks: list[_Chunk] = []
     counter = 0
     while br.pos < len(data):
         container_offset = br.pos
@@ -957,54 +1224,55 @@ def read_cram(path: str, reference: str | FastaReference | None = None,
             if sh.content_type not in (2, 3):
                 raise ValueError(f"expected slice header, got type "
                                  f"{sh.content_type}")
-            shr = ByteReader(sh.data)
-            # peek nBlocks: refid,start,span,nrec,counter(ltf8),nblocks
-            probe = ByteReader(sh.data)
-            probe.itf8(); probe.itf8(); probe.itf8(); probe.itf8()
-            probe.ltf8()
-            s_nblocks = probe.itf8()
-            sblocks = blocks[bi + 1: bi + 1 + s_nblocks]
-            recs = _decode_slice(ch, shr, sblocks, ref_getter, counter)
-            counter += len(recs)
-            all_recs.extend(recs)
-            bi += 1 + s_nblocks
+            hdr = _parse_slice_header(ByteReader(sh.data))
+            sblocks = blocks[bi + 1: bi + 1 + hdr.n_blocks]
+            chunk = _native_slice_chunk(ch, hdr, sblocks, contig_bytes,
+                                        counter)
+            if chunk is None:
+                recs = _decode_slice(ch, hdr, sblocks, ref_getter, counter)
+                chunk = _recs_to_chunk(recs)
+            counter += chunk.n
+            chunks.append(chunk)
+            bi += 1 + hdr.n_blocks
 
     if header is None:
         raise ValueError(f"{path}: no SAM header container found")
 
-    # assemble ReadBatch (positions back to 0-based)
-    from .fasta import encode_bases
+    return header, _chunks_to_batch(chunks)
+
+
+def _chunks_to_batch(chunks: list["_Chunk"]) -> ReadBatch:
     b = ReadBatch()
-    n = len(all_recs)
-    b.n = n
-    b.names = [r.name for r in all_recs]
-    b.tid = np.array([r.tid for r in all_recs], np.int32)
-    b.pos = np.array([r.pos - 1 for r in all_recs], np.int64)
-    b.mapq = np.array([r.mapq & 0xFF for r in all_recs], np.uint8)
-    b.flag = np.array([r.bf for r in all_recs], np.uint16)
-    b.mate_tid = np.array([r.mate_tid for r in all_recs], np.int32)
-    mp = []
-    for r in all_recs:
-        if r.mate >= 0 or r.mate_tid >= 0:
-            # in-slice resolved mate_pos already 0-based; detached NP is
-            # 1-based per spec
-            mp.append(r.mate_pos if r.mate >= 0 else r.mate_pos - 1
-                      if (r.cf & 0x2) else r.mate_pos)
-        else:
-            mp.append(-1)
-    b.mate_pos = np.array(mp, np.int64)
-    b.tlen = np.array([r.tlen for r in all_recs], np.int64)
-    seqs = [encode_bases(r.seq) for r in all_recs]
-    b.seq = (np.concatenate(seqs) if seqs else np.zeros(0, np.uint8)).astype(np.uint8)
-    b.qual = (np.concatenate([np.frombuffer(r.qual, np.uint8)
-                              for r in all_recs])
-              if all_recs else np.zeros(0, np.uint8))
-    b.seq_off = np.concatenate(
-        [[0], np.cumsum([len(r.seq) for r in all_recs])]).astype(np.int64)
-    b.cig_ops = (np.concatenate([r.cig_ops for r in all_recs])
-                 if all_recs else np.zeros(0, np.int8)).astype(np.int8)
-    b.cig_lens = (np.concatenate([r.cig_lens for r in all_recs])
-                  if all_recs else np.zeros(0, np.int32)).astype(np.int32)
-    b.cig_off = np.concatenate(
-        [[0], np.cumsum([len(r.cig_ops) for r in all_recs])]).astype(np.int64)
-    return header, b
+    b.n = sum(c.n for c in chunks)
+    b.names = [nm for c in chunks for nm in c.names]
+
+    def cat(field, dtype):
+        arrs = [getattr(c, field) for c in chunks]
+        if not arrs:
+            return np.zeros(0, dtype)
+        return np.concatenate(arrs).astype(dtype, copy=False)
+
+    b.tid = cat("tid", np.int32)
+    b.pos = cat("pos", np.int64)
+    b.mapq = cat("mapq", np.uint8)
+    b.flag = cat("flag", np.uint16)
+    b.mate_tid = cat("mate_tid", np.int32)
+    b.mate_pos = cat("mate_pos", np.int64)
+    b.tlen = cat("tlen", np.int64)
+    b.seq = cat("seq", np.uint8)
+    b.qual = cat("qual", np.uint8)
+    b.cig_ops = cat("cig_ops", np.int8)
+    b.cig_lens = cat("cig_lens", np.int32)
+
+    def cat_off(field):
+        out = [np.zeros(1, np.int64)]
+        base = 0
+        for c in chunks:
+            off = getattr(c, field)
+            out.append(off[1:] + base)
+            base += int(off[-1])
+        return np.concatenate(out)
+
+    b.seq_off = cat_off("seq_off")
+    b.cig_off = cat_off("cig_off")
+    return b

@@ -92,3 +92,64 @@ def test_crai_region_read_matches_filtered_full(regions):
     for f in _FIELDS:
         assert np.array_equal(np.asarray(getattr(exp, f)),
                               np.asarray(getattr(sub, f))), f
+
+
+def test_native_slice_decoder_engages(monkeypatch):
+    # htslib-style files must decode fully natively: make the Python
+    # fallback an error so any silent regression to it fails loudly
+    import strelka_tpu.io.cram as cram_mod
+    from strelka_tpu.io.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    def boom(*a, **k):
+        raise AssertionError("python fallback used for a supported slice")
+
+    monkeypatch.setattr(cram_mod, "_decode_slice", boom)
+    _, bb = read_bam(os.path.join(DATA, "synth.bam"))
+    _, cb = cram_mod.read_cram(os.path.join(DATA, "synth.cram"),
+                               os.path.join(DATA, "synth.fa"))
+    _assert_batches_equal(bb, cb)
+
+
+def test_native_rans_matches_python():
+    # the rANS blocks inside the fixture must decode identically through
+    # the native codec and the pure-Python one
+    import strelka_tpu.io.cram as cram_mod
+    from strelka_tpu.io.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    with open(os.path.join(DATA, "synth.cram"), "rb") as f:
+        data = f.read()
+    # walk blocks, compare every rANS-compressed payload
+    br = cram_mod.ByteReader(data)
+    br.pos = 26
+    n_checked = 0
+    while br.pos < len(data):
+        length = br.int32()
+        br.itf8(); br.itf8(); br.itf8()
+        n_records = br.itf8()
+        br.ltf8(); br.ltf8()
+        n_blocks = br.itf8()
+        n_land = br.itf8()
+        for _ in range(n_land):
+            br.itf8()
+        br.uint32()
+        if length == 15 and n_records == 0:
+            break
+        end = br.pos + length
+        for _ in range(n_blocks):
+            method = br.byte()
+            br.byte()
+            br.itf8()
+            csize = br.itf8()
+            br.itf8()
+            payload = br.bytes(csize)
+            br.uint32()
+            if method == 4:
+                a = cram_mod._rans_decode_py(payload)
+                b = cram_mod._rans_decode_native(payload)
+                assert b is not None and a == b
+                n_checked += 1
+        assert br.pos == end
+    assert n_checked > 0
