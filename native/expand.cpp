@@ -7,6 +7,8 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -46,7 +48,7 @@ void expand_count(
 
 // Pass 2: fill all tables (preallocated by the caller at the pass-1
 // sizes).
-void expand_fill(
+static void expand_fill_range(
     const int64_t* pos, const uint16_t* flag, const int64_t* seq_off,
     const uint8_t* seq,
     const int64_t* cig_off, const int8_t* cig_ops, const int32_t* cig_lens,
@@ -64,10 +66,12 @@ void expand_fill(
     int32_t* devent_len, uint8_t* devent_is_edge,
     // per-read summaries
     int64_t* ref_begin, int64_t* ref_end,
-    int64_t* read_begin, int64_t* read_end)
+    int64_t* read_begin, int64_t* read_end,
+    int64_t r_first, int64_t r_last,
+    int64_t mi, int64_t di, int64_t ii, int64_t dei)
 {
-    int64_t mi = 0, di = 0, ii = 0, dei = 0;
-    for (int64_t r = 0; r < n_reads; ++r)
+    (void)n_reads;
+    for (int64_t r = r_first; r < r_last; ++r)
     {
         const int64_t c0 = cig_off[r], c1 = cig_off[r + 1];
         // edge flags: segments before the first / after the last match
@@ -146,6 +150,96 @@ void expand_fill(
         read_begin[r] = b;
         read_end[r] = e;
     }
+}
+
+#define EXPAND_ARGS pos, flag, seq_off, seq, cig_off, cig_ops, cig_lens, \
+    n_reads, match_read, match_refpos, match_readoff, del_read, \
+    del_refpos, del_is_edge, ins_read, ins_refpos, ins_readoff, ins_len, \
+    ins_is_edge, devent_read, devent_refpos, devent_readoff, devent_len, \
+    devent_is_edge, ref_begin, ref_end, read_begin, read_end
+
+void expand_fill(
+    const int64_t* pos, const uint16_t* flag, const int64_t* seq_off,
+    const uint8_t* seq,
+    const int64_t* cig_off, const int8_t* cig_ops, const int32_t* cig_lens,
+    int64_t n_reads,
+    int32_t* match_read, int32_t* match_refpos, int32_t* match_readoff,
+    int32_t* del_read, int32_t* del_refpos, uint8_t* del_is_edge,
+    int32_t* ins_read, int32_t* ins_refpos, int32_t* ins_readoff,
+    int32_t* ins_len, uint8_t* ins_is_edge,
+    int32_t* devent_read, int32_t* devent_refpos, int32_t* devent_readoff,
+    int32_t* devent_len, uint8_t* devent_is_edge,
+    int64_t* ref_begin, int64_t* ref_end,
+    int64_t* read_begin, int64_t* read_end)
+{
+    expand_fill_range(EXPAND_ARGS, 0, n_reads, 0, 0, 0, 0);
+}
+
+// Threaded fill: contiguous read chunks with per-chunk table offsets
+// from a light counting pre-pass.
+void expand_fill_mt(
+    const int64_t* pos, const uint16_t* flag, const int64_t* seq_off,
+    const uint8_t* seq,
+    const int64_t* cig_off, const int8_t* cig_ops, const int32_t* cig_lens,
+    int64_t n_reads,
+    int32_t* match_read, int32_t* match_refpos, int32_t* match_readoff,
+    int32_t* del_read, int32_t* del_refpos, uint8_t* del_is_edge,
+    int32_t* ins_read, int32_t* ins_refpos, int32_t* ins_readoff,
+    int32_t* ins_len, uint8_t* ins_is_edge,
+    int32_t* devent_read, int32_t* devent_refpos, int32_t* devent_readoff,
+    int32_t* devent_len, uint8_t* devent_is_edge,
+    int64_t* ref_begin, int64_t* ref_end,
+    int64_t* read_begin, int64_t* read_end,
+    int32_t n_threads)
+{
+    int64_t T = n_threads;
+    if (T < 1) T = 1;
+    if (T > n_reads) T = n_reads ? n_reads : 1;
+    if (T == 1)
+    {
+        expand_fill_range(EXPAND_ARGS, 0, n_reads, 0, 0, 0, 0);
+        return;
+    }
+    const int64_t per = (n_reads + T - 1) / T;
+    std::vector<int64_t> r0(T), r1(T), cm(T, 0), cd(T, 0), ci(T, 0),
+        cde(T, 0);
+    for (int64_t t = 0; t < T; ++t)
+    {
+        r0[t] = std::min(t * per, n_reads);
+        r1[t] = std::min((t + 1) * per, n_reads);
+    }
+    {
+        std::vector<std::thread> th;
+        for (int64_t t = 0; t < T; ++t)
+            th.emplace_back([&, t] {
+                int64_t nm = 0, nd = 0, ni = 0, nde = 0;
+                for (int64_t r = r0[t]; r < r1[t]; ++r)
+                    for (int64_t c = cig_off[r]; c < cig_off[r + 1]; ++c)
+                    {
+                        const int8_t op = cig_ops[c];
+                        if (op_is_match(op)) nm += cig_lens[c];
+                        else if (op == OP_D) { nd += cig_lens[c]; nde++; }
+                        else if (op == OP_I) ni++;
+                    }
+                cm[t] = nm; cd[t] = nd; ci[t] = ni; cde[t] = nde;
+            });
+        for (auto& x : th) x.join();
+    }
+    std::vector<int64_t> om(T, 0), od(T, 0), oi(T, 0), ode(T, 0);
+    for (int64_t t = 1; t < T; ++t)
+    {
+        om[t] = om[t - 1] + cm[t - 1];
+        od[t] = od[t - 1] + cd[t - 1];
+        oi[t] = oi[t - 1] + ci[t - 1];
+        ode[t] = ode[t - 1] + cde[t - 1];
+    }
+    std::vector<std::thread> th;
+    for (int64_t t = 0; t < T; ++t)
+        th.emplace_back([&, t] {
+            expand_fill_range(EXPAND_ARGS, r0[t], r1[t],
+                              om[t], od[t], oi[t], ode[t]);
+        });
+    for (auto& x : th) x.join();
 }
 
 }  // extern "C"

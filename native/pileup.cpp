@@ -224,8 +224,9 @@ int32_t pileup_fill(
     const int64_t* exempt_keys, int64_t n_exempt,
     int32_t D,
     int32_t* slot,
-    // tile outputs [L, D]
-    int32_t* t_base, int32_t* t_qual, int32_t* t_rawq, uint8_t* t_fwd,
+    // tile outputs [L, D] (narrow dtypes: the tiles dominate memory
+    // traffic at whole-region scale)
+    int8_t* t_base, int16_t* t_qual, int16_t* t_rawq, uint8_t* t_fwd,
     int32_t* t_ridx, int32_t* t_roff, uint8_t* t_valid, uint8_t* t_used,
     uint8_t* t_t2used,
     // per-position outputs [L] (+ [L,4] counts)
@@ -294,9 +295,9 @@ int32_t pileup_fill(
                     const int rawq = qual[s0 + rp];
                     const int adjq = mapq_adjust ? mapq_adjusted_q(rawq, mq) : rawq;
                     const int64_t ti = (int64_t)li * D + d;
-                    t_base[ti] = b;
-                    t_qual[ti] = adjq;
-                    t_rawq[ti] = rawq;
+                    t_base[ti] = (int8_t)b;
+                    t_qual[ti] = (int16_t)adjq;
+                    t_rawq[ti] = (int16_t)rawq;
                     t_fwd[ti] = fwd;
                     t_ridx[ti] = (int32_t)r;
                     t_roff[ti] = (int32_t)rp;
@@ -342,6 +343,11 @@ int32_t pileup_fill(
             if (op_refs(op)) ref_p += ln;
         }
     }
+    // invalid slots read as read_idx -1 (callers index read arrays
+    // through the tile without re-checking the valid mask)
+    for (int64_t li = 0; li < region_end - region_begin; ++li)
+        for (int32_t d = slot[li]; d < D; ++d)
+            t_ridx[(int64_t)li * D + d] = -1;
     return 0;
 }
 

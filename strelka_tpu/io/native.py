@@ -247,6 +247,7 @@ def pileup_native(batch, level, ref_codes, ref_offset,
             i64p, u8p, u16p, i8p, i64p, u8p, u8p, i64p, i8p, i32p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p]
         lib.pileup_fill.restype = ctypes.c_int32
+        i16p = ctypes.POINTER(ctypes.c_int16)
         lib.pileup_fill.argtypes = [
             i64p, u8p, u16p, i8p, i64p, u8p, u8p, i64p, i8p, i32p,
             ctypes.c_int64,
@@ -256,7 +257,7 @@ def pileup_native(batch, level, ref_codes, ref_offset,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             i64p, ctypes.c_int64,
             ctypes.c_int32, i32p,
-            i32p, i32p, i32p, u8p, i32p, i32p, u8p, u8p, u8p,
+            i8p, i16p, i16p, u8p, i32p, i32p, u8p, u8p, u8p,
             i32p, i32p, i32p, f64p, i32p, i32p, i32p, i64p]
         lib._pileup_bound = True
 
@@ -295,9 +296,9 @@ def pileup_native(batch, level, ref_codes, ref_offset,
     def tile(dtype):
         return np.zeros((L, D), dtype=dtype)
 
-    t_base = tile(np.int32)
-    t_qual = tile(np.int32)
-    t_rawq = tile(np.int32)
+    t_base = tile(np.int8)
+    t_qual = tile(np.int16)
+    t_rawq = tile(np.int16)
     t_fwd = tile(np.uint8)
     t_ridx = tile(np.int32)
     t_roff = tile(np.int32)
@@ -322,8 +323,8 @@ def pileup_native(batch, level, ref_codes, ref_offset,
         mm_flank, mm_max, -1 if t2_mm_max is None else t2_mm_max,
         _p(ek, ctypes.c_int64), n_ek,
         D, _p(slot, ctypes.c_int32),
-        _p(t_base, ctypes.c_int32), _p(t_qual, ctypes.c_int32),
-        _p(t_rawq, ctypes.c_int32), _p(t_fwd, ctypes.c_uint8),
+        _p(t_base, ctypes.c_int8), _p(t_qual, ctypes.c_int16),
+        _p(t_rawq, ctypes.c_int16), _p(t_fwd, ctypes.c_uint8),
         _p(t_ridx, ctypes.c_int32), _p(t_roff, ctypes.c_int32),
         _p(t_valid, ctypes.c_uint8), _p(t_used, ctypes.c_uint8),
         _p(t_t2used, ctypes.c_uint8),
@@ -334,13 +335,12 @@ def pileup_native(batch, level, ref_codes, ref_offset,
         _p(edge_sum, ctypes.c_int64))
     if rc != 0:
         return None
-    t_ridx[t_valid == 0] = -1
     return PileupRegion(
         begin=region_begin, end=region_end, depth=depth,
         base_id=t_base, qual=t_qual, raw_qual=t_rawq,
-        is_fwd=t_fwd.astype(bool), read_idx=t_ridx, read_off=t_roff,
-        valid=t_valid.astype(bool), used=t_used.astype(bool),
-        tier2_used=t_t2used.astype(bool), spandel=spandel,
+        is_fwd=t_fwd.view(bool), read_idx=t_ridx, read_off=t_roff,
+        valid=t_valid.view(bool), used=t_used.view(bool),
+        tier2_used=t_t2used.view(bool), spandel=spandel,
         submapped=submapped, mapq_n=mapq_n, mapq_sumsq=mapq_sumsq,
         mapq_zero=mapq_zero, _used_counts=used_counts,
         edge_dist_sum=edge_sum,
@@ -371,6 +371,10 @@ def expand_native(batch):
             + [i32p] * 4 + [u8p]
             + [i32p] * 4 + [u8p]
             + [i64p] * 4)
+        if hasattr(lib, "expand_fill_mt"):
+            lib.expand_fill_mt.restype = None
+            lib.expand_fill_mt.argtypes = (list(lib.expand_fill.argtypes)
+                                           + [ctypes.c_int32])
         lib._expand_bound = True
 
     pos = np.ascontiguousarray(batch.pos, dtype=np.int64)
@@ -403,7 +407,12 @@ def expand_native(batch):
     ref_begin, ref_end = a(batch.n), a(batch.n)
     read_begin, read_end = a(batch.n), a(batch.n)
 
-    lib.expand_fill(
+    fill = lib.expand_fill
+    extra = ()
+    if hasattr(lib, "expand_fill_mt"):
+        fill = lib.expand_fill_mt
+        extra = (ctypes.c_int32(8),)
+    fill(
         _p(pos, ctypes.c_int64), _p(flag, ctypes.c_uint16),
         _p(seq_off, ctypes.c_int64), _p(seq, ctypes.c_uint8),
         _p(cig_off, ctypes.c_int64), _p(cig_ops, ctypes.c_int8),
@@ -419,12 +428,13 @@ def expand_native(batch):
         _p(de_readoff, ctypes.c_int32), _p(de_len, ctypes.c_int32),
         _p(de_edge, ctypes.c_uint8),
         _p(ref_begin, ctypes.c_int64), _p(ref_end, ctypes.c_int64),
-        _p(read_begin, ctypes.c_int64), _p(read_end, ctypes.c_int64))
+        _p(read_begin, ctypes.c_int64), _p(read_end, ctypes.c_int64),
+        *extra)
 
     return (m_read, m_refpos, m_readoff,
-            d_read, d_refpos, d_edge.astype(bool),
-            i_read, i_refpos, i_readoff, i_len, i_edge.astype(bool),
-            de_read, de_refpos, de_readoff, de_len, de_edge.astype(bool),
+            d_read, d_refpos, d_edge.view(bool),
+            i_read, i_refpos, i_readoff, i_len, i_edge.view(bool),
+            de_read, de_refpos, de_readoff, de_len, de_edge.view(bool),
             ref_begin, ref_end, read_begin, read_end)
 
 

@@ -425,7 +425,16 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
             out[:rows, :D] = a
             return out
 
+        # device->host traffic is the bottleneck at scale (fresh numpy
+        # buffers page-fault slowly on this class of VM): pull only the
+        # fields the gVCF pipeline consumes — the [L] vectors, int32
+        # PLs, and lhood-at-max-gt (for strand bias). The full [L,10]
+        # lhood/pprob matrices stay on device.
         parts = []
+        lt_parts = []
+        _PULL = ("genome_max_gt", "poly_max_gt", "snv_qphred",
+                 "genome_max_gt_qphred", "poly_max_gt_qphred",
+                 "phred_loghood")
         for t0 in range(0, L, SNV_TILE_L):
             t1 = min(t0 + SNV_TILE_L, L)
             rows = t1 - t0
@@ -445,18 +454,35 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
             res = call_snv_tile(sub, theta, sub_hap,
                                 het_vf_extension, het_vf_increment,
                                 compute_sb=False)
-            parts.append(SnvCallResult(*[np.asarray(x)[:rows] for x in res]))
-        out = SnvCallResult(*[np.concatenate([getattr(p, f) for p in parts])
-                              for f in SnvCallResult._fields])
+            lt_dev = jnp.take_along_axis(
+                res.lhood, res.genome_max_gt[:, None], axis=-1)[:, 0]
+            parts.append({f: np.asarray(getattr(res, f))[:rows]
+                          for f in _PULL})
+            lt_parts.append(np.asarray(lt_dev)[:rows])
+        cat = {f: np.concatenate([p[f] for p in parts]) for f in _PULL}
+        lt_all = np.concatenate(lt_parts)
+        out = SnvCallResult(
+            lhood=None, genome_pprob=None, poly_pprob=None,
+            genome_max_gt=cat["genome_max_gt"],
+            poly_max_gt=cat["poly_max_gt"],
+            snv_qphred=cat["snv_qphred"],
+            genome_max_gt_qphred=cat["genome_max_gt_qphred"],
+            poly_max_gt_qphred=cat["poly_max_gt_qphred"],
+            phred_loghood=cat["phred_loghood"],
+            strand_bias=None)
 
     # strand bias on the SNP subset only (is_snp gate, reference :524)
     snp_rows = np.nonzero(np.asarray(out.snv_qphred) != 0)[0]
-    sb = np.zeros(L, dtype=np.asarray(out.lhood).dtype)
+    sb = np.zeros(L, dtype=np.float64)
     if len(snp_rows):
         Dsb = ((D + SNV_TILE_D_PAD - 1) // SNV_TILE_D_PAD) * SNV_TILE_D_PAD
-        lt = np.take_along_axis(
-            np.asarray(out.lhood)[snp_rows],
-            np.asarray(out.genome_max_gt)[snp_rows][:, None], axis=-1)[:, 0]
+        if out.lhood is not None:
+            lt = np.take_along_axis(
+                np.asarray(out.lhood)[snp_rows],
+                np.asarray(out.genome_max_gt)[snp_rows][:, None],
+                axis=-1)[:, 0]
+        else:
+            lt = lt_all[snp_rows]
         for t0 in range(0, len(snp_rows), SNV_SB_TILE):
             rows = snp_rows[t0:t0 + SNV_SB_TILE]
             n = len(rows)
