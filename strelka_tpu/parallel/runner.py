@@ -274,3 +274,52 @@ def init_distributed() -> tuple[int, int]:
         return jax.process_index(), jax.process_count()
     except Exception:  # noqa: BLE001
         return 0, 1
+
+
+def run_local_jobs(module: str, argv: list[str], jobs) -> int:
+    """pyflow local-mode analog: spawn `jobs` worker processes of the
+    same workflow CLI (each taking every jobs-th segment group via
+    --process-index/--process-count), retry failures once, then run the
+    ordered merge (reference: pyflow.py RunMode local + per-task retry
+    pyflow.py:939-967; merge tasks strelkaSharedWorkflow.py:102-148)."""
+    import subprocess
+    import sys
+
+    from .hardware import suggest_jobs
+
+    n = suggest_jobs() if str(jobs) in ("auto", "0") else int(jobs)
+    if n <= 1:
+        return -1  # caller falls through to the single-process path
+
+    child_argv: list[str] = []
+    skip = False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a == "--jobs":
+            skip = True
+            continue
+        if a.startswith("--jobs="):
+            continue
+        child_argv.append(a)
+
+    def spawn(i):
+        return subprocess.Popen(
+            [sys.executable, "-m", module, *child_argv,
+             "--process-index", str(i), "--process-count", str(n)])
+
+    procs = {i: spawn(i) for i in range(n)}
+    failed = []
+    for i, pr in procs.items():
+        if pr.wait() != 0:
+            failed.append(i)
+    for i in failed:  # one retry round; resume skips finished segments
+        if spawn(i).wait() != 0:
+            print(f"worker {i}/{n} failed twice; aborting merge",
+                  file=sys.stderr)
+            return 1
+    merge = subprocess.run(
+        [sys.executable, "-m", module, *child_argv,
+         "--merge-only", "--process-count", str(n)])
+    return merge.returncode

@@ -98,6 +98,14 @@ def run_germline(argv=None) -> int:
                         "fan-out (pyflow-style); run one process per "
                         "index 0..count-1, then --merge-only")
     p.add_argument("--process-count", type=int, default=None)
+    p.add_argument("--jobs", default=None,
+                   help="spawn N local worker processes and merge "
+                        "(pyflow local-mode analog); 'auto' sizes N "
+                        "from cores and memory")
+    p.add_argument("--platform", default=None, choices=["cpu"],
+                   help="force the jax platform for this process "
+                        "(e.g. cpu when a remote TPU backend is "
+                        "preloaded)")
     p.add_argument("--config", default=None,
                    help="reference-style ini file overriding caller "
                         "options (configureStrelkaGermlineWorkflow.py.ini)")
@@ -108,6 +116,18 @@ def run_germline(argv=None) -> int:
                    help="skip calling; concatenate existing workspace "
                         "fragments into final outputs")
     args = p.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.jobs is not None and args.process_index is None \
+            and not args.merge_only:
+        from ..parallel.runner import run_local_jobs
+        rc = run_local_jobs("strelka_tpu.workflow.germline",
+                            list(argv) if argv is not None else sys.argv[1:],
+                            args.jobs)
+        if rc >= 0:
+            return rc
 
     t0 = time.time()
     opt = GermlineOptions(min_mapping_quality=args.min_mapping_quality)

@@ -326,6 +326,14 @@ def run_somatic(argv=None) -> int:
                         "fan-out (pyflow-style); run one process per "
                         "index 0..count-1, then --merge-only")
     p.add_argument("--process-count", type=int, default=None)
+    p.add_argument("--jobs", default=None,
+                   help="spawn N local worker processes and merge "
+                        "(pyflow local-mode analog); 'auto' sizes N "
+                        "from cores and memory")
+    p.add_argument("--platform", default=None, choices=["cpu"],
+                   help="force the jax platform for this process "
+                        "(e.g. cpu when a remote TPU backend is "
+                        "preloaded)")
     p.add_argument("--merge-only", action="store_true",
                    help="skip calling; concatenate existing workspace "
                         "fragments into final outputs")
@@ -355,6 +363,18 @@ def run_somatic(argv=None) -> int:
     p.add_argument("--noise-vcf", action="append", default=None,
                    help="panel-of-normals site noise VCF(s)")
     args = p.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.jobs is not None and args.process_index is None \
+            and not args.merge_only:
+        from ..parallel.runner import run_local_jobs
+        rc = run_local_jobs("strelka_tpu.workflow.somatic",
+                            list(argv) if argv is not None else sys.argv[1:],
+                            args.jobs)
+        if rc >= 0:
+            return rc
 
     t0 = time.time()
     opt = SomaticOptions()
