@@ -55,6 +55,50 @@ STRAND_FRACTIONS = np.array([(i + 1) * RATIO_INCREMENT for i in range(HET_RES)])
 
 # --- per-sample frequency-grid likelihoods --------------------------------
 
+_QTAB_SIZE = 128
+
+
+@functools.lru_cache(maxsize=1)
+def _freq_grid_tables():
+    """[Q, F] / [Q, S] f32 log-contribution tables per basecall qscore
+    (numpy, cached outside any trace; see CLAUDE.md lru_cache note).
+    Values match the inline f32 formulas bit for bit."""
+    q = np.arange(_QTAB_SIZE, dtype=np.float32)
+    with np.errstate(divide="ignore"):
+        e = np.power(np.float32(10.0), -q / np.float32(10.0),
+                     dtype=np.float32)
+        ce = (np.float32(1.0) - e).astype(np.float32)
+        f = np.asarray(FRACTIONS, np.float32)
+        r = np.asarray(STRAND_FRACTIONS, np.float32)
+        ref_t = np.log(ce[:, None] * (1 - f) + (e[:, None] / 3.0) * f
+                       ).astype(np.float32)
+        alt_t = np.log(ce[:, None] * f + (e[:, None] / 3.0) * (1 - f)
+                       ).astype(np.float32)
+        on_ref = np.log(ce[:, None] * (1 - r) + (e[:, None] / 3.0) * r
+                        ).astype(np.float32)
+        on_alt = np.log(ce[:, None] * r + (e[:, None] / 3.0) * (1 - r)
+                        ).astype(np.float32)
+        off_ref = (np.log(ce)[:, None] * np.ones_like(r)).astype(np.float32)
+        off_alt = ((np.log(e) + np.log(np.float32(1.0 / 3.0)))[:, None]
+                   * np.ones_like(r)).astype(np.float32)
+    return ref_t, alt_t, on_ref, on_alt, off_ref, off_alt
+
+
+@functools.lru_cache(maxsize=1)
+def _freq_grid_matmul_tables():
+    """Tables for the histogram->matmul formulation, with the three
+    -inf entries (q=0: ln(1-e)=ln 0) zeroed out of the matmul and
+    re-applied exactly afterwards (numpy, cached outside any trace)."""
+    ref_t, alt_t, on_ref, on_alt, off_ref, off_alt = _freq_grid_tables()
+    ref_m = ref_t.copy()
+    alt_m = alt_t.copy()
+    off_ref_m = off_ref.copy()
+    ref_m[0, 0] = 0.0        # ref call, f=0 state (REF) at q=0
+    alt_m[0, 1] = 0.0        # alt call, f=1 state (HOM) at q=0
+    off_ref_m[0, :] = 0.0    # off-strand ref call at q=0
+    return ref_m, alt_m, on_ref, on_alt, off_ref_m, off_alt
+
+
 @jax.jit
 def freq_grid_lhoods(base_id, qual, mask, is_fwd, ref_gt):
     """[L, GRID_SIZE] log lhoods for a pileup tile.
@@ -62,34 +106,51 @@ def freq_grid_lhoods(base_id, qual, mask, is_fwd, ref_gt):
     base_id/qual/mask/is_fwd: [L, D]; ref_gt: [L].
     States 0..20 = symmetric frequency grid; 21..29 = strand states
     (max over fwd-only / rev-only noise, get_strand_ratio_lhood_spi).
+
+    TPU-first formulation of het_ratio_cache (het_ratio_cache.hh:40-46):
+    each call's contribution depends only on (qscore, is_alt, strand),
+    so the tile reduces to per-locus qscore histograms followed by
+    [L,Q] x [Q,F] matmuls against precomputed log-contribution tables —
+    MXU work instead of per-call transcendentals. The q=0 -inf entries
+    (ln(1-e) = ln 0) are excluded from the matmul and re-applied
+    exactly afterwards.
     """
-    e = jnp.power(10.0, -qual.astype(jnp.float32) / 10.0)
-    ce = 1.0 - e
+    L, D = base_id.shape
+    q_idx = jnp.clip(qual.astype(jnp.int32), 0, _QTAB_SIZE - 1)
+    (ref_m, alt_m, t_on_ref, t_on_alt, off_ref_m, t_off_alt) = (
+        jnp.asarray(t) for t in _freq_grid_matmul_tables())
     is_ref = (base_id == ref_gt[:, None]) & mask
     is_alt = (base_id != ref_gt[:, None]) & mask
-    f = jnp.asarray(FRACTIONS, jnp.float32)                         # [F]
-    # per-call, per-freq contributions
-    ref_c = jnp.log(ce[..., None] * (1 - f) + (e[..., None] / 3.0) * f)
-    alt_c = jnp.log(ce[..., None] * f + (e[..., None] / 3.0) * (1 - f))
-    lh = jnp.sum(jnp.where(is_ref[..., None], ref_c, 0.0), axis=1) + \
-         jnp.sum(jnp.where(is_alt[..., None], alt_c, 0.0), axis=1)   # [L, F]
+    valid = is_ref | is_alt
+    # class packing: (is_alt << 1) | is_fwd; invalid lanes -> overflow bin
+    cls = (is_alt.astype(jnp.int32) << 1) | is_fwd.astype(jnp.int32)
+    idx = jnp.where(valid, q_idx * 4 + cls, 4 * _QTAB_SIZE)
+    hist = jnp.zeros((L, 4 * _QTAB_SIZE + 1), jnp.float32)
+    hist = hist.at[jnp.arange(L)[:, None], idx].add(1.0)
+    h = hist[:, :4 * _QTAB_SIZE].reshape(L, _QTAB_SIZE, 4)
+    h_ref_rev, h_ref_fwd = h[:, :, 0], h[:, :, 1]
+    h_alt_rev, h_alt_fwd = h[:, :, 2], h[:, :, 3]
+    h_ref = h_ref_rev + h_ref_fwd
+    h_alt = h_alt_rev + h_alt_fwd
 
-    # strand states: noise on one strand at ratio r, other strand pure ref
-    r = jnp.asarray(STRAND_FRACTIONS, jnp.float32)                  # [S]
-    on_ref = jnp.log(ce[..., None] * (1 - r) + (e[..., None] / 3.0) * r)
-    on_alt = jnp.log(ce[..., None] * r + (e[..., None] / 3.0) * (1 - r))
-    off_ref = jnp.log(ce)[..., None] * jnp.ones_like(r)
-    off_alt = (jnp.log(e) + jnp.log(1.0 / 3.0))[..., None] * jnp.ones_like(r)
-    fwd = is_fwd[..., None]
-    # "on-strand is fwd"
-    c_fwd = jnp.where(is_ref[..., None], jnp.where(fwd, on_ref, off_ref),
-                      jnp.where(is_alt[..., None],
-                                jnp.where(fwd, on_alt, off_alt), 0.0))
-    c_rev = jnp.where(is_ref[..., None], jnp.where(fwd, off_ref, on_ref),
-                      jnp.where(is_alt[..., None],
-                                jnp.where(fwd, off_alt, on_alt), 0.0))
-    lh_fwd = jnp.sum(c_fwd, axis=1)
-    lh_rev = jnp.sum(c_rev, axis=1)                                  # [L, S]
+    lh = h_ref @ ref_m + h_alt @ alt_m                              # [L, F]
+    # strand states: on-strand noise at ratio r, off strand pure ref
+    lh_fwd = (h_ref_fwd @ t_on_ref + h_alt_fwd @ t_on_alt
+              + h_ref_rev @ off_ref_m + h_alt_rev @ t_off_alt)       # [L, S]
+    lh_rev = (h_ref_rev @ t_on_ref + h_alt_rev @ t_on_alt
+              + h_ref_fwd @ off_ref_m + h_alt_fwd @ t_off_alt)
+
+    # exact -inf re-application for the q=0 ln(0) entries
+    ninf = jnp.float32(-jnp.inf)
+    q0_ref_fwd = h_ref_fwd[:, 0] > 0
+    q0_ref_rev = h_ref_rev[:, 0] > 0
+    q0_alt = (h_alt_fwd[:, 0] + h_alt_rev[:, 0]) > 0
+    lh = lh.at[:, 0].set(jnp.where(q0_ref_fwd | q0_ref_rev, ninf,
+                                   lh[:, 0]))
+    lh = lh.at[:, 1].set(jnp.where(q0_alt, ninf, lh[:, 1]))
+    lh_fwd = jnp.where(q0_ref_rev[:, None], ninf, lh_fwd)
+    lh_rev = jnp.where(q0_ref_fwd[:, None], ninf, lh_rev)
+
     ln_half = jnp.float32(np.log(0.5))
     strand = jnp.logaddexp(lh_fwd, lh_rev) + ln_half
     return jnp.concatenate([lh, strand], axis=-1)                    # [L, 30]
