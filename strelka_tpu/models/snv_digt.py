@@ -164,13 +164,59 @@ def _call_vals(qual, eprob_floor: float = 1e-35):
     return jnp.stack([v0, v1, v2], axis=-1)
 
 
-def _masked_lhood(base_id, vals, mask, force_ref=None, ref_gt=None):
-    """lhood[l,g] via the W @ T12 einsum.
+_SNV_QTAB_SIZE = 128
+
+
+@functools.lru_cache(maxsize=1)
+def _snv_qtab():
+    """[(Q*4), 10] per-(qscore, obs-base) genotype log-lhood
+    contribution table: tab[q*4+b, g] = val(q)[expect2(g, b)]
+    (get_diploid_gt_lhood; numpy, cached outside any trace)."""
+    q = np.arange(_SNV_QTAB_SIZE, dtype=np.float32)
+    e = np.power(np.float32(10.0), -q / np.float32(10.0), dtype=np.float32)
+    ce = (np.float32(1.0) - e).astype(np.float32)
+    floor = np.float32(1e-35)
+    v = np.stack([
+        np.log(np.maximum(e, floor)) + np.float32(LN_ONE_THIRD),
+        np.log(ce + (1.0 - ce) / np.float32(3.0)) + np.float32(LN_ONE_HALF),
+        np.log(np.maximum(ce, floor)),
+    ], axis=-1).astype(np.float32)                                  # [Q,3]
+    exp2 = np.asarray(digt.EXPECT2, np.int64)                       # [10,4]
+    tab = np.empty((_SNV_QTAB_SIZE * digt.N_BASE, digt.SIZE),
+                   np.float32)
+    for b in range(digt.N_BASE):
+        tab[b::digt.N_BASE, :] = v[:, exp2[:, b]]
+    return tab
+
+
+def _masked_lhood_hist(base_id, qual, mask):
+    """lhood[l,g] as a (qscore, base) histogram matmul — the germline
+    analog of the somatic het_ratio_cache formulation: contributions
+    depend only on (q, obs), so the [L,D] tile reduces to [L, Q*4]
+    counts x the cached contribution table (MXU work on TPU)."""
+    L, D = base_id.shape
+    q_idx = jnp.clip(qual.astype(jnp.int32), 0, _SNV_QTAB_SIZE - 1)
+    b = base_id.astype(jnp.int32)
+    valid = mask & (b >= 0) & (b < digt.N_BASE)
+    idx = jnp.where(valid, q_idx * digt.N_BASE + b,
+                    _SNV_QTAB_SIZE * digt.N_BASE)
+    hist = jnp.zeros((L, _SNV_QTAB_SIZE * digt.N_BASE + 1), jnp.float32)
+    hist = hist.at[jnp.arange(L)[:, None], idx].add(1.0)
+    tab = jnp.asarray(_snv_qtab())
+    return hist[:, :_SNV_QTAB_SIZE * digt.N_BASE] @ tab             # [L,10]
+
+
+def _masked_lhood(base_id, vals, mask, force_ref=None, ref_gt=None,
+                  qual=None):
+    """lhood[l,g] via the W @ T12 einsum (or the histogram matmul when
+    qual is provided and no per-call forcing is needed).
 
     When force_ref is given (bool [L,D]), those calls use the genotype
     column fixed to ref_gt (strand-bias recomputation semantics,
     position_snp_call_pprob_digt.cpp:356-361).
     """
+    if force_ref is None and qual is not None:
+        return _masked_lhood_hist(base_id, qual, mask)
     L, D = base_id.shape
     obs_onehot = jax.nn.one_hot(base_id, digt.N_BASE, dtype=vals.dtype)  # [L,D,4]
     w = obs_onehot[..., :, None] * vals[..., None, :]                     # [L,D,4,3]
@@ -334,7 +380,8 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
     vals = _call_vals(tile.qual)
     mask = tile.mask
 
-    lhood = _masked_lhood(tile.base_id.astype(jnp.int32), vals, mask)
+    lhood = _masked_lhood(tile.base_id.astype(jnp.int32), vals, mask,
+                          qual=tile.qual)
 
     if het_vf_extension > 0:
         ext_terms, n_subgt = _het_vf_extension_lhoods(
