@@ -183,8 +183,8 @@ def score_loci_batched(
                 jnp.asarray(lnmis_b), jnp.asarray(win_b))
         else:
             best, off = pk.reference_best_offsets(
-                jnp.asarray(codes_b.astype(np.int32)), jnp.asarray(delta_b),
-                jnp.asarray(lnmis_b), jnp.asarray(win_b.astype(np.int32)))
+                jnp.asarray(codes_b), jnp.asarray(delta_b),
+                jnp.asarray(lnmis_b), jnp.asarray(win_b))
         best = np.asarray(best, dtype=np.float64)
         off = np.asarray(off, dtype=np.int64)
         for bi, (wi, hi) in enumerate(pairs):
