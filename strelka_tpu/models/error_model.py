@@ -115,6 +115,8 @@ def load_error_model_json(path: str) -> dict[str, IndelErrorRateSet]:
     {indelRate, noisyLocusRate, repeatCount, repeatPatternSize}."""
     with open(path) as f:
         doc = json.load(f)
+    from .schema import validate_model
+    validate_model(doc, "indel-error", source=path)
     out = {}
     for sample in doc["sample"]:
         rates = IndelErrorRateSet()

@@ -126,6 +126,8 @@ def load_scoring_model(path: str, variant_type: str,
     <category> -> <type>)."""
     with open(path) as f:
         doc = json.load(f)
+    from ..models.schema import validate_model
+    validate_model(doc, "evs", source=path)
     models = doc["CalibrationModels"]
     if category is None:
         category = next(iter(models))

@@ -281,7 +281,8 @@ def main(argv=None) -> int:
         print("tools: extract-indel-candidates | sort-vcf | "
               "update-nopassed-filter | merge-chrom-depth | "
               "get-region-depth | dump-counts | merge-counts | "
-              "estimate-parameters | vcf-cmdline-swapper | cat",
+              "estimate-parameters | validate-model | "
+              "vcf-cmdline-swapper | cat",
               file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
@@ -318,6 +319,15 @@ def main(argv=None) -> int:
     if cmd == "update-nopassed-filter":
         n = update_no_passed_variant_gts_filter(rest[0], rest[1])
         print(f"updated {n} records", file=sys.stderr)
+        return 0
+    if cmd == "validate-model":
+        from ..models.schema import ModelValidationError, validate_model_file
+        try:
+            validate_model_file(rest[0], rest[1] if len(rest) > 1 else "evs")
+        except ModelValidationError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        print("valid", file=sys.stderr)
         return 0
     if cmd == "merge-chrom-depth":
         merge_chrom_depth(rest[:-1], rest[-1])
