@@ -1,0 +1,105 @@
+"""Profile the host-side germline call path on synthetic data.
+
+Usage:
+  python benchmarks/profile_host.py [--mode indel|snv|mixed] [--length N]
+      [--depth D] [--profile] [--sens]
+
+Runs call_region + emit_region on one synthetic region and reports
+reads/s; with --profile prints the cProfile hotspots (generation and
+jit-compile excluded by a warmup run on a small prefix).
+"""
+from __future__ import annotations
+
+import argparse
+import cProfile
+import pstats
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from strelka_tpu.io.fasta import FastaReference  # noqa: E402
+from strelka_tpu.options import GermlineOptions  # noqa: E402
+from strelka_tpu.pipeline import germline_caller as gc  # noqa: E402
+from strelka_tpu.pipeline import gvcf  # noqa: E402
+
+from benchmarks import synth  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="indel", choices=["indel", "snv", "mixed"])
+    ap.add_argument("--length", type=int, default=400_000)
+    ap.add_argument("--depth", type=int, default=40)
+    ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--sens", action="store_true", help="report indel recall")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    kw = dict(L=args.length, depth=args.depth)
+    if args.mode == "indel":
+        kw.update(indel_every=300)
+    elif args.mode == "snv":
+        kw.update(snv_every=300)
+    else:
+        kw.update(snv_every=600, indel_every=600)
+
+    print(f"generating {args.mode} region L={args.length} depth={args.depth}",
+          file=sys.stderr)
+    refs, batch, truth = synth.generate(**kw)
+
+    import tempfile, os
+    td = tempfile.mkdtemp()
+    fa = os.path.join(td, "ref.fa")
+    with open(fa, "w") as f:
+        f.write(">syn\n" + refs + "\n")
+    ref = FastaReference(fa)
+    opt = GermlineOptions()
+
+    # warmup on a small prefix to populate jit caches
+    warm_kw = dict(kw)
+    warm_kw["L"] = 40_000
+    wrefs, wbatch, _ = synth.generate(**warm_kw)
+    wfa = os.path.join(td, "wref.fa")
+    with open(wfa, "w") as f:
+        f.write(">syn\n" + wrefs + "\n")
+    gc.call_region(opt, FastaReference(wfa), "syn", 0, 40_000, [wbatch])
+
+    def run():
+        res = gc.call_region(opt, ref, "syn", 0, args.length, [batch])
+        g, v = gvcf.emit_region(opt, res, ["S"])
+        return v
+
+    t0 = time.perf_counter()
+    if args.profile:
+        pr = cProfile.Profile()
+        pr.enable()
+        vlines = run()
+        pr.disable()
+    else:
+        vlines = run()
+    dt = time.perf_counter() - t0
+
+    print(f"reads={batch.n} wall={dt:.2f}s reads/s={batch.n / dt:,.0f} "
+          f"variants={len(vlines)}")
+    if args.sens:
+        called_indel = set()
+        for l in vlines:
+            f = l.split("\t")
+            if len(f[3]) != len(f[4]):
+                called_indel.add(int(f[1]))
+        for kind in ("del", "ins"):
+            t = truth[kind]
+            tp = sum(1 for p in t if any(abs(p - c) <= 3 for c in called_indel))
+            if t:
+                print(f"{kind} recall: {tp}/{len(t)} = {tp / len(t):.3f}")
+    if args.profile:
+        st = pstats.Stats(pr)
+        st.sort_stats("cumulative").print_stats(args.top)
+        st.sort_stats("tottime").print_stats(args.top)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ from .realign import (LocusReadScores, apply_indel_to_window,
 R_BUCKETS = (32, 128, 512)
 L_PAD = 32     # read length padded to multiple
 W_PAD = 64     # offset window padded to multiple
+B_CHUNK = 64   # locus-hap pairs per kernel launch (jit shape stability)
 
 
 def _round_up(x, m):
@@ -157,44 +158,56 @@ def score_loci_batched(
 
     results: dict[int, np.ndarray] = {}  # work idx -> [R, H] lhoods
     offsets: dict[int, np.ndarray] = {}  # work idx -> [R, H] best offsets
-    for (Rb, Lb, Wb), pairs in buckets.items():
-        B = len(pairs)
-        codes_b = np.full((B, Rb, Lb), 4, dtype=np.int8)
-        delta_b = np.zeros((B, Rb, Lb), dtype=np.float32)
-        lnmis_b = np.zeros((B, Rb), dtype=np.float32)
-        win_b = np.full((B, Wb, Lb), 4, dtype=np.int8)
-        for bi, (wi, hi) in enumerate(pairs):
-            c, d, ln, nv = read_tensors(wi, Rb, Lb)
-            codes_b[bi] = c
-            delta_b[bi] = d
-            lnmis_b[bi] = ln
-            hap = work[wi].haps[hi]
-            n_off = min(len(hap) - work[wi].read_len_max + 1, Wb)
-            n_off = max(n_off, 1)
-            for o in range(n_off):
-                seg = hap[o:o + Lb]
-                win_b[bi, o, :len(seg)] = seg
-        import jax.numpy as jnp
+    import jax
+    import jax.numpy as jnp
 
-        from ..ops import pallas_readlik as pk
-        if use_pallas:
-            best, off = pk.score_best_offsets(
-                jnp.asarray(codes_b), jnp.asarray(delta_b),
-                jnp.asarray(lnmis_b), jnp.asarray(win_b))
-        else:
-            best, off = pk.reference_best_offsets(
-                jnp.asarray(codes_b), jnp.asarray(delta_b),
-                jnp.asarray(lnmis_b), jnp.asarray(win_b))
-        best = np.asarray(best, dtype=np.float64)
-        off = np.asarray(off, dtype=np.int64)
-        for bi, (wi, hi) in enumerate(pairs):
-            arr = results.setdefault(
-                wi, np.zeros((len(work[wi].rows), len(work[wi].haps))))
-            arr[:, hi] = best[bi, :len(work[wi].rows)]
-            oarr = offsets.setdefault(
-                wi, np.zeros((len(work[wi].rows), len(work[wi].haps)),
-                             dtype=np.int64))
-            oarr[:, hi] = off[bi, :len(work[wi].rows)]
+    from ..ops import pallas_readlik as pk
+    kernel = pk.score_best_offsets if use_pallas else pk.reference_best_offsets
+    for (Rb, Lb, Wb), pairs in buckets.items():
+        # fixed-size batch chunks: the pair count varies per region, so a
+        # single [len(pairs), ...] launch would recompile every region
+        # (and the einsum one-hot expansion would materialize hundreds
+        # of MB). Chunks of B_CHUNK pad the tail to a power of two, so
+        # the whole run hits a handful of jit cache entries.
+        codes_b = np.full((B_CHUNK, Rb, Lb), 4, dtype=np.int8)
+        delta_b = np.zeros((B_CHUNK, Rb, Lb), dtype=np.float32)
+        lnmis_b = np.zeros((B_CHUNK, Rb), dtype=np.float32)
+        win_b = np.full((B_CHUNK, Wb, Lb), 4, dtype=np.int8)
+        pending: list[tuple[list[tuple[int, int]], int, object]] = []
+        for cs in range(0, len(pairs), B_CHUNK):
+            chunk = pairs[cs:cs + B_CHUNK]
+            n = len(chunk)
+            Bp = B_CHUNK if n == B_CHUNK else max(8, 1 << (n - 1).bit_length())
+            codes_b[:Bp] = 4
+            delta_b[:Bp] = 0.0
+            lnmis_b[:Bp] = 0.0
+            win_b[:Bp] = 4
+            for bi, (wi, hi) in enumerate(chunk):
+                c, d, ln, nv = read_tensors(wi, Rb, Lb)
+                codes_b[bi] = c
+                delta_b[bi] = d
+                lnmis_b[bi] = ln
+                hap = work[wi].haps[hi]
+                n_off = min(len(hap) - work[wi].read_len_max + 1, Wb)
+                n_off = max(n_off, 1)
+                for o in range(n_off):
+                    seg = hap[o:o + Lb]
+                    win_b[bi, o, :len(seg)] = seg
+            best, off = kernel(
+                jnp.asarray(codes_b[:Bp]), jnp.asarray(delta_b[:Bp]),
+                jnp.asarray(lnmis_b[:Bp]), jnp.asarray(win_b[:Bp]))
+            pending.append((chunk, Bp, (best, off)))
+        for chunk, Bp, (best, off) in pending:
+            best = np.asarray(best, dtype=np.float64)
+            off = np.asarray(off, dtype=np.int64)
+            for bi, (wi, hi) in enumerate(chunk):
+                arr = results.setdefault(
+                    wi, np.zeros((len(work[wi].rows), len(work[wi].haps))))
+                arr[:, hi] = best[bi, :len(work[wi].rows)]
+                oarr = offsets.setdefault(
+                    wi, np.zeros((len(work[wi].rows), len(work[wi].haps)),
+                                 dtype=np.int64))
+                oarr[:, hi] = off[bi, :len(work[wi].rows)]
 
     out: dict[int, LocusReadScores] = {}
     for wi, w in enumerate(work):
