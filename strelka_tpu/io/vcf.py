@@ -30,6 +30,30 @@ class VcfRecord:
         return len(self.ref) == 1 and any(len(a) == 1 and a != "." for a in self.alts)
 
 
+def identity_header_lines(cmdline: str | None = None,
+                          reference_path: str | None = None) -> list[str]:
+    """Audit metadata header lines in the reference's order
+    (htsapi/vcf_util.cpp vcf_fileDate + write_vcf_audit_info analog:
+    fileDate, source, source_version, startTime, cmdline, reference).
+    All are in the volatile set the reference's demo diff filters."""
+    import os
+    import time
+
+    from .. import __version__
+
+    lines = [
+        f"##fileDate={time.strftime('%Y%m%d')}",
+        "##source=strelka_tpu",
+        f"##source_version={__version__}",
+        f"##startTime={time.ctime()}",
+    ]
+    if cmdline:
+        lines.append(f"##cmdline={cmdline}")
+    if reference_path:
+        lines.append(f"##reference=file://{os.path.abspath(reference_path)}")
+    return lines
+
+
 def _open_maybe_gz(path: str):
     with open(path, "rb") as probe:
         magic = probe.read(2)

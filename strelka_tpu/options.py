@@ -25,6 +25,10 @@ class BaseOptions:
     max_het_variant_frequency_increment: float = 0.0501  # blt_shared.hh:105
     max_win_mismatch: int = 2                  # MMDF: max mismatches
     max_win_mismatch_flank_size: int = 20      # in +/-20bp window (methods.tex:481)
+    # VCF audit metadata (##cmdline / ##reference header lines,
+    # vcf_util.cpp write_vcf_audit_info analog); set by the CLIs
+    cmdline: str | None = None
+    reference_path: str | None = None
     is_ignore_anom_proper_pair: bool = True
     # dependent-error (off by default; bsnp_ssd_* = 0, blt_shared.hh:83-84)
     bsnp_ssd_no_mismatch: float = 0.0

@@ -10,8 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import __version__
 from ..io.fasta import decode_bases
+from ..io.vcf import identity_header_lines
 from ..models import digt
 from ..options import GermlineOptions
 from .germline_caller import IndelCall, RegionCallResult, snv_hpol
@@ -109,7 +109,7 @@ def gvcf_header(opt: GermlineOptions, chrom: str, chrom_len: int,
                 sample_names: list[str]) -> str:
     lines = [
         "##fileformat=VCFv4.1",
-        f"##source=strelka_tpu {__version__}",
+        *identity_header_lines(opt.cmdline, opt.reference_path),
         "##content=strelka_tpu germline small-variant calls",
         f"##contig=<ID={chrom},length={chrom_len}>",
         '##INFO=<ID=END,Number=1,Type=Integer,Description="End position of the region described in this record">',

@@ -162,6 +162,9 @@ def run_germline(argv=None) -> int:
             args.output_realigned_bam = True
     ref = FastaReference(args.reference)
     os.makedirs(args.output_dir, exist_ok=True)
+    opt.cmdline = ("strelka_tpu.workflow.germline "
+                   + " ".join(argv if argv is not None else sys.argv[1:]))
+    opt.reference_path = args.reference
     workspace = os.path.join(args.output_dir, "workspace")
 
     regions = ([parse_region(r, ref) for r in args.region] if args.region

@@ -14,8 +14,8 @@ import time
 
 import numpy as np
 
-from .. import __version__
 from ..io.bam import read_alignments, read_bam
+from ..io.vcf import identity_header_lines
 from ..io.bgzf import BgzfWriter
 from ..io.fasta import FastaReference, decode_bases
 from ..options import SomaticOptions
@@ -27,7 +27,7 @@ BASES = "ACGT"
 def snv_header(chrom, clen, opt, evs_on=True, depth_filter=False):
     return "\n".join([
         "##fileformat=VCFv4.1",
-        f"##source=strelka_tpu {__version__}",
+        *identity_header_lines(opt.cmdline, opt.reference_path),
         f"##contig=<ID={chrom},length={clen}>",
         "##content=strelka_tpu somatic snv calls",
         "##priorSomaticSnvRate=0.0001",
@@ -72,7 +72,7 @@ def snv_header(chrom, clen, opt, evs_on=True, depth_filter=False):
 def indel_header(chrom, clen, opt, evs_on=True, depth_filter=False):
     return "\n".join([
         "##fileformat=VCFv4.1",
-        f"##source=strelka_tpu {__version__}",
+        *identity_header_lines(opt.cmdline, opt.reference_path),
         f"##contig=<ID={chrom},length={clen}>",
         "##content=strelka_tpu somatic indel calls",
         "##priorSomaticIndelRate=1e-06",
@@ -385,6 +385,9 @@ def run_somatic(argv=None) -> int:
             args.output_realigned_bam = True
     ref = FastaReference(args.reference)
     os.makedirs(args.output_dir, exist_ok=True)
+    opt.cmdline = ("strelka_tpu.workflow.somatic "
+                   + " ".join(argv if argv is not None else sys.argv[1:]))
+    opt.reference_path = args.reference
 
     from .germline import parse_region
     regions = ([parse_region(r, ref) for r in args.region] if args.region

@@ -22,7 +22,7 @@ def _records(lines):
     # else including FILTER/FORMAT headers and every record field
     return [l for l in lines
             if not l.startswith(("##source", "##content", "##fileDate",
-                                 "##cmdline", "##startTime"))]
+                                 "##cmdline", "##startTime", "##reference"))]
 
 
 @pytest.mark.skipif(not os.path.exists(DEMO), reason="no demo data")
