@@ -211,6 +211,20 @@ class DiscoveredVariants:
     snvs: list[tuple[int, int, int]] = field(default_factory=list)    # (pos, base, hap_id)
 
 
+def _region_scan_ctx(batch: ReadBatch, ea: rd.ExpandedAlignments,
+                     map_level: np.ndarray):
+    """Cached (usable mask, max aligned span): regions are processed in
+    the hundreds per batch, so the O(reads) mask and span reduction must
+    not be recomputed per region."""
+    ctx = getattr(ea, "_region_scan_ctx", None)
+    if ctx is None or ctx[0] is not map_level:
+        usable = np.isin(map_level, (rd.MapLevel.TIER1, rd.MapLevel.TIER2))
+        max_span = int((ea.ref_end - batch.pos).max()) if batch.n else 0
+        ctx = (map_level, usable, max(max_span, 1))
+        ea._region_scan_ctx = ctx
+    return ctx[1], ctx[2]
+
+
 def read_segments_for_region(batch: ReadBatch, ea: rd.ExpandedAlignments,
                              map_level: np.ndarray, begin: int, end: int):
     """Read substrings fully covering [begin, end) in haplotype space.
@@ -219,9 +233,15 @@ def read_segments_for_region(batch: ReadBatch, ea: rd.ExpandedAlignments,
     offset aligned at begin to the offset aligned at end-1 (inclusive),
     naturally including inserted bases between them.
     """
-    usable = np.isin(map_level, (rd.MapLevel.TIER1, rd.MapLevel.TIER2))
-    spanning = np.nonzero(usable & (ea.ref_begin <= begin) &
-                          (ea.ref_end >= end))[0]
+    usable, max_span = _region_scan_ctx(batch, ea, map_level)
+    # batch.pos ascends and ref_begin >= pos, ref_end <= pos + max_span:
+    # only reads with pos in (begin - max_span, begin] can span the
+    # region, so the O(reads) comparisons run on that window only.
+    lo = int(np.searchsorted(batch.pos, begin - max_span, side="left"))
+    hi = int(np.searchsorted(batch.pos, begin, side="right"))
+    w = slice(lo, hi)
+    spanning = lo + np.nonzero(usable[w] & (ea.ref_begin[w] <= begin) &
+                               (ea.ref_end[w] >= end))[0]
     # match rows are contiguous and ascending in read index (the
     # expansion emits reads in order), so each read's rows are a slice.
     # The probe array must match the table dtype exactly or numpy casts
@@ -304,9 +324,12 @@ def process_active_region(
         # generateHaplotypesWithAssembly: contigs from all overlapping
         # read subsequences
         from .assembly import assemble_region
-        usable = np.isin(map_level, (rd.MapLevel.TIER1, rd.MapLevel.TIER2))
-        overl = np.nonzero(usable & (ea.ref_begin < region.end) &
-                           (ea.ref_end > region.begin))[0]
+        usable, max_span = _region_scan_ctx(batch, ea, map_level)
+        lo = int(np.searchsorted(batch.pos, region.begin - max_span, "left"))
+        hi = int(np.searchsorted(batch.pos, region.end, "right"))
+        w = slice(lo, hi)
+        overl = lo + np.nonzero(usable[w] & (ea.ref_begin[w] < region.end) &
+                                (ea.ref_end[w] > region.begin))[0]
         read_seqs = []
         for r in overl[:1000]:
             s = batch.get_seq(r)

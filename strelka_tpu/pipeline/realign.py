@@ -104,7 +104,16 @@ def select_overlapping_reads(ea: rd.ExpandedAlignments, map_level: np.ndarray,
     brackets the whole indel; used for realignment read collection)
     and returns the rows array only.
     """
-    in_tier = np.isin(map_level, tiers)
+    # per-(map_level, tiers) mask cache: this runs once per locus, and
+    # an O(reads) isin per call dominates indel-dense regions
+    cache = getattr(ea, "_tier_mask_cache", None)
+    if cache is None or cache[0] is not map_level:
+        cache = (map_level, {})
+        ea._tier_mask_cache = cache
+    in_tier = cache[1].get(tiers)
+    if in_tier is None:
+        in_tier = np.isin(map_level, tiers)
+        cache[1][tiers] = in_tier
     if min_bp_flank is None:
         span = (ea.ref_begin < key_pos) & (ea.ref_end > right_pos)
         # insertions at pos: read must span the insertion point

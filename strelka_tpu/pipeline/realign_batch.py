@@ -190,9 +190,12 @@ def score_loci_batched(
                 hap = work[wi].haps[hi]
                 n_off = min(len(hap) - work[wi].read_len_max + 1, Wb)
                 n_off = max(n_off, 1)
-                for o in range(n_off):
-                    seg = hap[o:o + Lb]
-                    win_b[bi, o, :len(seg)] = seg
+                # all offset windows in one strided copy (pad the hap
+                # tail so every window is full-length)
+                hp = hap if len(hap) >= n_off - 1 + Lb else np.concatenate(
+                    [hap, np.full(n_off - 1 + Lb - len(hap), 4, np.uint8)])
+                win_b[bi, :n_off] = np.lib.stride_tricks.sliding_window_view(
+                    hp, Lb)[:n_off]
             best, off = kernel(
                 jnp.asarray(codes_b[:Bp]), jnp.asarray(delta_b[:Bp]),
                 jnp.asarray(lnmis_b[:Bp]), jnp.asarray(win_b[:Bp]))
