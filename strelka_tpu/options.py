@@ -29,6 +29,9 @@ class BaseOptions:
     # vcf_util.cpp write_vcf_audit_info analog); set by the CLIs
     cmdline: str | None = None
     reference_path: str | None = None
+    # --report-evs-features: append ;EVSF=<scoring feature vector> to
+    # variant records for offline EVS training (isReportEVSFeatures)
+    is_report_evs_features: bool = False
     is_ignore_anom_proper_pair: bool = True
     # dependent-error (off by default; bsnp_ssd_* = 0, blt_shared.hh:83-84)
     bsnp_ssd_no_mismatch: float = 0.0

@@ -115,6 +115,8 @@ def gvcf_header(opt: GermlineOptions, chrom: str, chrom_len: int,
         '##INFO=<ID=END,Number=1,Type=Integer,Description="End position of the region described in this record">',
         f'##INFO=<ID={opt.block_label},Number=0,Type=Flag,Description="Non-variant multi-site block">',
         '##INFO=<ID=SNVHPOL,Number=1,Type=Integer,Description="SNV contextual homopolymer length">',
+        *(['##INFO=<ID=EVSF,Number=.,Type=Float,Description="Empirical variant scoring features.">']
+          if opt.is_report_evs_features else []),
         '##INFO=<ID=CIGAR,Number=A,Type=String,Description="CIGAR alignment for each alternate indel allele">',
         '##INFO=<ID=RU,Number=A,Type=String,Description="Smallest repeating sequence unit extended or contracted in the indel allele relative to the reference">',
         '##INFO=<ID=REFREP,Number=A,Type=Integer,Description="Number of times RU is repeated in reference">',
@@ -204,6 +206,41 @@ def _gt_string_indel(gt_index: int, ploidy: int, n_alleles: int) -> str:
     if ploidy == 1:
         return str(int(a0))
     return f"{int(a0)}/{int(a1)}"
+
+
+# EVSF reporting (--report-evs-features): feature-vector emission for
+# offline EVS training (gvcf_writer.cpp:515-527 ";EVSF=" with
+# setprecision(5)). When no scoring model is loaded, features are
+# reported in these default orders (the reference's development
+# features are not tracked and are omitted from the list).
+DEFAULT_GERMLINE_SNV_EVSF = (
+    "SiteHomopolymerLength", "SampleStrandBias",
+    "SamplePrimaryAltAlleleDepth", "VariantAlleleQuality",
+    "SampleMeanDistanceFromReadEdge", "SamplePrimaryAltAlleleDepthFraction",
+    "SampleRMSMappingQuality", "SampleUsedDepthFraction")
+DEFAULT_GERMLINE_INDEL_EVSF = (
+    "GenotypeCategory", "SampleIndelRepeatCount", "SampleIndelRepeatUnitSize",
+    "SampleIndelAlleleBiasLower", "SampleIndelAlleleBias",
+    "SampleProxyRMSMappingQuality", "RelativeTotalLocusDepth",
+    "SamplePrimaryAltAlleleDepthFraction", "ConservativeGenotypeQuality",
+    "InterruptedHomopolymerLength", "ContextCompressability",
+    "IndelCategory", "SampleAlleleCountStrandBias")
+
+
+class _FeatureList:
+    """Stand-in for a Forest when only its feature-name order is needed."""
+
+    def __init__(self, names):
+        self.features = list(names)
+
+
+_EVSF_SNV_DEFAULT = _FeatureList(DEFAULT_GERMLINE_SNV_EVSF)
+_EVSF_INDEL_DEFAULT = _FeatureList(DEFAULT_GERMLINE_INDEL_EVSF)
+
+
+def format_evsf(values) -> str:
+    """%.5g matches the reference's default-float setprecision(5)."""
+    return ",".join(f"{float(v):.5g}" for v in values)
 
 
 def germline_snv_features(forest, sd, i, hpol, qual, alt_id, sb):
@@ -457,9 +494,17 @@ def emit_region(
         sample_cols = []
         any_pass_variant = False
         any_phased = False
+        evsf = ""
         phases = []
         for s in range(n_samples):
             dp, dpf, ggt, pgt, gq, gqx, variant, sb = per_sample[s]
+            if s == 0 and variant and alts and opt.is_report_evs_features:
+                # first sample's features (training runs are
+                # single-sample; gvcf_writer.cpp:515-527)
+                f0 = germline_snv_features(
+                    snv_forest or _EVSF_SNV_DEFAULT, result.samples[0], i,
+                    hpol, int(sv[0]["q"][i]), alts[0], sb)
+                evsf = ";EVSF=" + format_evsf(f0)
             a_pair = digt.ALLELES[pgt]
             gt_idx = sorted(allele_map.get(a, 0) for a in a_pair)
             pl_s = (pre[s]["ploidy"][i] if pre[s]["ploidy"] is not None
@@ -526,7 +571,8 @@ def emit_region(
 
         locus_filter = "PASS" if any_pass_variant else "NoPassedVariantGTs"
         line = (f"{result.chrom}\t{pos + 1}\t.\t{ref_base}\t{alt_str}\t{qual}\t"
-                f"{locus_filter}\t{info}\t{fmt}\t" + "\t".join(sample_cols))
+                f"{locus_filter}\t{info}{evsf}\t{fmt}\t"
+                + "\t".join(sample_cols))
         var_lines.append(line)
         for s in range(n_samples):
             blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)
@@ -659,6 +705,7 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
     fmt = "GT:GQ:GQX:DPI:AD:ADF:ADR:FT:PL"
     cols = []
     any_pass_variant = False
+    evsf = ""
     for s in range(n_samples):
         ploidy = (call.sample_ploidy[s] if call.sample_ploidy is not None
                   else 2)
@@ -675,6 +722,11 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
                          _gt_string_indel(call.sample_gt[s], max(ploidy, 1),
                                           A).replace("|", "/").split("/")
                          if a != "."))
+        if s == 0 and is_var_gt and opt.is_report_evs_features:
+            f0 = germline_indel_features(
+                indel_forest or _EVSF_INDEL_DEFAULT, result, call, 0,
+                chrom_depth)
+            evsf = ";EVSF=" + format_evsf(f0)
         if indel_forest is not None and is_var_gt:
             # EVS replaces GQX and drives the LowGQX filter
             # (ScoringModelManager classify_indel semantics)
@@ -704,7 +756,8 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
     if call.is_conflict:
         locus_filter = "IndelConflict"
     line = (f"{result.chrom}\t{pos0 + 1}\t.\t{ref_str}\t{','.join(alts)}\t"
-            f"{call.qual}\t{locus_filter}\t{info}\t{fmt}\t" + "\t".join(cols))
+            f"{call.qual}\t{locus_filter}\t{info}{evsf}\t{fmt}\t"
+            + "\t".join(cols))
     var_lines.append(line)
     for s in range(n_samples):
         blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)

@@ -102,3 +102,70 @@ def evaluate_precision_recall(forest, features: np.ndarray,
         rec = tp / max(pos, 1)
         out.append((float(t), prec, rec))
     return out
+
+
+def read_evsf_vcf(path: str, variant_type: str | None = None):
+    """Yield EVSF feature vectors from a --report-evs-features run
+    (vcf_to_feature_csv.py analog). variant_type: "SNV"/"INDEL"/None."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.rstrip("\n").split("\t")
+            ref, alts = fields[3], fields[4].split(",")
+            is_snv = len(ref) == 1 and all(len(a) == 1 for a in alts)
+            if variant_type == "SNV" and not is_snv:
+                continue
+            if variant_type == "INDEL" and is_snv:
+                continue
+            for kv in fields[7].split(";"):
+                if kv.startswith("EVSF="):
+                    vals = [float(x) for x in kv[5:].split(",")]
+                    yield (fields[0], int(fields[1]), ref, fields[4],
+                           "SNV" if is_snv else "INDEL", vals)
+                    break
+
+
+def vcf_to_feature_csv(tp_vcfs: list[str], fp_vcfs: list[str],
+                       out_path: str, variant_type: str | None = None,
+                       feature_names: list[str] | None = None) -> int:
+    """Labeled training CSV from EVSF-annotated VCFs
+    (scoringModelTraining/somatic/bin/vcf_to_feature_csv.py analog:
+    TP/FP label comes from which input set a record belongs to)."""
+    n = 0
+    with open(out_path, "w") as out:
+        header_written = False
+        for label, paths in ((1, tp_vcfs), (0, fp_vcfs)):
+            for p in paths:
+                for chrom, pos, ref, alt, vt, vals in read_evsf_vcf(
+                        p, variant_type):
+                    if not header_written:
+                        names = (feature_names if feature_names else
+                                 [f"F{i}" for i in range(len(vals))])
+                        out.write("CHROM,POS,TYPE,label,"
+                                  + ",".join(names) + "\n")
+                        header_written = True
+                    out.write(f"{chrom},{pos},{vt},{label},"
+                              + ",".join(repr(v) for v in vals) + "\n")
+                    n += 1
+    return n
+
+
+def load_feature_csv(path: str):
+    """(features [N,F] f64, labels [N] int, feature_names) from a
+    vcf_to_feature_csv output."""
+    import csv
+
+    feats, labels = [], []
+    with open(path) as f:
+        r = csv.reader(f)
+        header = next(r)
+        names = header[4:]
+        for row in r:
+            labels.append(int(row[3]))
+            feats.append([float(x) for x in row[4:]])
+    return (np.array(feats, dtype=np.float64),
+            np.array(labels, dtype=np.int64), names)

@@ -66,6 +66,11 @@ def run_germline(argv=None) -> int:
                    help="germline SNV EVS model JSON")
     p.add_argument("--indel-scoring-model-file", default=None,
                    help="germline indel EVS model JSON")
+    p.add_argument("--report-evs-features", action="store_true",
+                   help="append ;EVSF=<scoring features> to variant "
+                        "records for offline EVS training "
+                        "(reference --reportEVSFeatures; development "
+                        "features are not included)")
     p.add_argument("--output-realigned-bam", action="store_true",
                    help="write per-sample realigned.SN.bam with the "
                         "post-realignment alignments (reference "
@@ -162,6 +167,7 @@ def run_germline(argv=None) -> int:
             args.output_realigned_bam = True
     ref = FastaReference(args.reference)
     os.makedirs(args.output_dir, exist_ok=True)
+    opt.is_report_evs_features = args.report_evs_features
     opt.cmdline = ("strelka_tpu.workflow.germline "
                    + " ".join(argv if argv is not None else sys.argv[1:]))
     opt.reference_path = args.reference

@@ -20,6 +20,7 @@ from ..io.bgzf import BgzfWriter
 from ..io.fasta import FastaReference, decode_bases
 from ..options import SomaticOptions
 from ..pipeline import somatic_caller as sc
+from ..pipeline.gvcf import format_evsf
 
 BASES = "ACGT"
 
@@ -46,6 +47,9 @@ def snv_header(chrom, clen, opt, evs_on=True, depth_filter=False):
         '##INFO=<ID=PNOISE,Number=1,Type=Float,Description="Fraction of panel containing non-reference noise at this site">',
         '##INFO=<ID=PNOISE2,Number=1,Type=Float,Description="Fraction of panel containing more than one non-reference noise obs at this site">',
         '##INFO=<ID=SomaticEVS,Number=1,Type=Float,Description="Somatic Empirical Variant Score (EVS) expressing the phred-scaled probability of the call being a false positive observation.">',
+    ] + ([
+        '##INFO=<ID=EVSF,Number=.,Type=Float,Description="Empirical variant scoring features.">',
+    ] if opt.is_report_evs_features else []) + [
         '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth for tier1 (used+filtered)">',
         '##FORMAT=<ID=FDP,Number=1,Type=Integer,Description="Number of basecalls filtered from original read depth for tier1">',
         '##FORMAT=<ID=SDP,Number=1,Type=Integer,Description="Number of reads with deletions spanning this site at tier1">',
@@ -91,6 +95,9 @@ def indel_header(chrom, clen, opt, evs_on=True, depth_filter=False):
         '##INFO=<ID=SOMATIC,Number=0,Type=Flag,Description="Somatic mutation">',
         '##INFO=<ID=OVERLAP,Number=0,Type=Flag,Description="Somatic indel possibly overlaps a second indel.">',
         '##INFO=<ID=SomaticEVS,Number=1,Type=Float,Description="Somatic Empirical Variant Score (EVS) expressing the phred-scaled probability of the call being a false positive observation.">',
+    ] + ([
+        '##INFO=<ID=EVSF,Number=.,Type=Float,Description="Empirical variant scoring features.">',
+    ] if opt.is_report_evs_features else []) + [
         '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth for tier1">',
         '##FORMAT=<ID=DP2,Number=1,Type=Integer,Description="Read depth for tier2">',
         '##FORMAT=<ID=TAR,Number=2,Type=Integer,Description="Reads strongly supporting alternate allele for tiers 1,2">',
@@ -175,23 +182,28 @@ def _emit_somatic_segment(args, opt, res, norm_chrom_depth, snv_forest,
     """
     from ..models import evs
 
+    snv_rows = None
+    if res.snvs and (snv_forest is not None or opt.is_report_evs_features):
+        snv_rows = [evs.somatic_snv_features(s, norm_chrom_depth)
+                    for s in res.snvs]
     snv_evs = None
-    if snv_forest is not None and res.snvs:
-        rows = [evs.somatic_snv_features(s, norm_chrom_depth)
-                for s in res.snvs]
-        snv_evs = evs.score_sites(snv_forest, rows)
+    if snv_forest is not None and snv_rows:
+        snv_evs = evs.score_sites(snv_forest, snv_rows)
         # non-ref normal genotypes are forced to EVS 0
         # (somaticAlleleUtil.cpp:39-42)
         for i, s in enumerate(res.snvs):
             if s.ntype != 0:
                 snv_evs[i] = 0.0
-    indel_evs = None
-    if indel_forest is not None and res.indels:
-        rows = [evs.somatic_indel_features(
+    indel_rows = None
+    if res.indels and (indel_forest is not None
+                       or opt.is_report_evs_features):
+        indel_rows = [evs.somatic_indel_features(
             c, interrupted_hpol(res.ref_codes, res.begin, c.key.pos,
                                 c.key.right_pos), norm_chrom_depth)
             for c in res.indels]
-        indel_evs = evs.score_sites(indel_forest, rows)
+    indel_evs = None
+    if indel_forest is not None and indel_rows:
+        indel_evs = evs.score_sites(indel_forest, indel_rows)
         for i, c in enumerate(res.indels):
             if c.ntype != 0:
                 indel_evs[i] = 0.0
@@ -236,6 +248,10 @@ def _emit_somatic_segment(args, opt, res, norm_chrom_depth, snv_forest,
             info += f";PNOISE={pn[0]:.2f};PNOISE2={pn[1]:.2f}"
         if snv_evs is not None:
             info += f";SomaticEVS={snv_evs[si_idx]:.2f}"
+        if opt.is_report_evs_features and snv_rows is not None:
+            # scoring features only; the reference appends its
+            # development features after them (not tracked here)
+            info += ";EVSF=" + format_evsf(snv_rows[si_idx])
         cols = []
         for s in range(2):
             au = [f"{site.acgt_tier1[s][b]},{site.acgt_tier2[s][b]}"
@@ -295,6 +311,8 @@ def _emit_somatic_segment(args, opt, res, norm_chrom_depth, snv_forest,
             info += ";OVERLAP"
         if indel_evs is not None:
             info += f";SomaticEVS={indel_evs[ci_idx]:.2f}"
+        if opt.is_report_evs_features and indel_rows is not None:
+            info += ";EVSF=" + format_evsf(indel_rows[ci_idx])
         cols = []
         for s in range(2):
             w = call.win[s] if s < len(call.win) else (0.0, 0.0, 0.0, 0.0)
@@ -355,6 +373,11 @@ def run_somatic(argv=None) -> int:
     p.add_argument("--somatic-snv-scoring-model-file", default=None)
     p.add_argument("--somatic-indel-scoring-model-file", default=None)
     p.add_argument("--disable-evs", action="store_true")
+    p.add_argument("--report-evs-features", action="store_true",
+                   help="append ;EVSF=<scoring features> to records for "
+                        "offline EVS training (reference "
+                        "--reportEVSFeatures; development features are "
+                        "not included)")
     p.add_argument("--exome", action="store_true",
                    help="targeted/exome input: disable the high-depth "
                         "filter and chrom-depth estimation")
@@ -385,6 +408,7 @@ def run_somatic(argv=None) -> int:
             args.output_realigned_bam = True
     ref = FastaReference(args.reference)
     os.makedirs(args.output_dir, exist_ok=True)
+    opt.is_report_evs_features = args.report_evs_features
     opt.cmdline = ("strelka_tpu.workflow.somatic "
                    + " ".join(argv if argv is not None else sys.argv[1:]))
     opt.reference_path = args.reference

@@ -282,7 +282,7 @@ def main(argv=None) -> int:
               "update-nopassed-filter | merge-chrom-depth | "
               "get-region-depth | dump-counts | merge-counts | "
               "estimate-parameters | validate-model | "
-              "vcf-cmdline-swapper | cat",
+              "vcf-cmdline-swapper | evs-feature-csv | cat",
               file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
@@ -328,6 +328,32 @@ def main(argv=None) -> int:
             print(str(e), file=sys.stderr)
             return 1
         print("valid", file=sys.stderr)
+        return 0
+    if cmd == "evs-feature-csv":
+        # evs-feature-csv [--type SNV|INDEL] --tp a.vcf[.gz]... --fp b.vcf... out.csv
+        from ..training.evs_train import vcf_to_feature_csv
+        vt = None
+        tp, fp = [], []
+        cur = None
+        out = rest[-1]
+        i = 0
+        while i < len(rest) - 1:
+            a = rest[i]
+            if a == "--type":
+                vt = rest[i + 1]
+                i += 2
+            elif a == "--tp":
+                cur = tp
+                i += 1
+            elif a == "--fp":
+                cur = fp
+                i += 1
+            else:
+                assert cur is not None, "expected --tp/--fp before paths"
+                cur.append(a)
+                i += 1
+        n = vcf_to_feature_csv(tp, fp, out, vt)
+        print(f"wrote {n} labeled feature rows", file=sys.stderr)
         return 0
     if cmd == "merge-chrom-depth":
         merge_chrom_depth(rest[:-1], rest[-1])
