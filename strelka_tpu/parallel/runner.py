@@ -276,12 +276,21 @@ def init_distributed() -> tuple[int, int]:
         return 0, 1
 
 
-def run_local_jobs(module: str, argv: list[str], jobs) -> int:
-    """pyflow local-mode analog: spawn `jobs` worker processes of the
-    same workflow CLI (each taking every jobs-th segment group via
+def run_local_jobs(module: str, argv: list[str], jobs,
+                   cluster_submit: str | None = None) -> int:
+    """pyflow local/sge-mode analog: spawn `jobs` worker processes of
+    the same workflow CLI (each taking every jobs-th segment group via
     --process-index/--process-count), retry failures once, then run the
-    ordered merge (reference: pyflow.py RunMode local + per-task retry
-    pyflow.py:939-967; merge tasks strelkaSharedWorkflow.py:102-148)."""
+    ordered merge (reference: pyflow.py RunMode local/sge + per-task
+    retry pyflow.py:939-967; merge strelkaSharedWorkflow.py:102-148).
+
+    cluster_submit: optional blocking submit command wrapping each
+    worker (the sge qsub driver analog, pyflow.py:1424-1435) — either a
+    prefix ("qsub -sync y -b y") or a template containing "{cmd}". The
+    submit command must block until the job exits and propagate its
+    exit status.
+    """
+    import shlex
     import subprocess
     import sys
 
@@ -297,17 +306,23 @@ def run_local_jobs(module: str, argv: list[str], jobs) -> int:
         if skip:
             skip = False
             continue
-        if a == "--jobs":
+        if a in ("--jobs", "--cluster-submit"):
             skip = True
             continue
-        if a.startswith("--jobs="):
+        if a.startswith(("--jobs=", "--cluster-submit=")):
             continue
         child_argv.append(a)
 
     def spawn(i):
-        return subprocess.Popen(
-            [sys.executable, "-m", module, *child_argv,
-             "--process-index", str(i), "--process-count", str(n)])
+        cmd = [sys.executable, "-m", module, *child_argv,
+               "--process-index", str(i), "--process-count", str(n)]
+        if cluster_submit:
+            if "{cmd}" in cluster_submit:
+                cmd = shlex.split(
+                    cluster_submit.replace("{cmd}", shlex.join(cmd)))
+            else:
+                cmd = shlex.split(cluster_submit) + cmd
+        return subprocess.Popen(cmd)
 
     procs = {i: spawn(i) for i in range(n)}
     failed = []

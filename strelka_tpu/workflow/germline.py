@@ -107,6 +107,10 @@ def run_germline(argv=None) -> int:
                    help="spawn N local worker processes and merge "
                         "(pyflow local-mode analog); 'auto' sizes N "
                         "from cores and memory")
+    p.add_argument("--cluster-submit", default=None,
+                   help="blocking submit command wrapping each --jobs "
+                        "worker (pyflow sge-mode analog), e.g. "
+                        "'qsub -sync y -b y' or a '{cmd}' template")
     p.add_argument("--platform", default=None, choices=["cpu"],
                    help="force the jax platform for this process "
                         "(e.g. cpu when a remote TPU backend is "
@@ -130,7 +134,7 @@ def run_germline(argv=None) -> int:
         from ..parallel.runner import run_local_jobs
         rc = run_local_jobs("strelka_tpu.workflow.germline",
                             list(argv) if argv is not None else sys.argv[1:],
-                            args.jobs)
+                            args.jobs, args.cluster_submit)
         if rc >= 0:
             return rc
 

@@ -50,3 +50,29 @@ def test_jobs_fanout_matches_single_process(tmp_path):
         records(multi / "genome.S1.vcf.gz")
     assert records(single / "variants.vcf.gz") == \
         records(multi / "variants.vcf.gz")
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO), reason="no demo data")
+def test_cluster_submit_wraps_workers(tmp_path):
+    """--cluster-submit (pyflow sge-mode analog): every worker command
+    runs through the blocking submit wrapper; output matches a plain
+    run."""
+    sub = tmp_path / "submit.sh"
+    log = tmp_path / "submits.log"
+    sub.write_text("#!/bin/sh\necho \"$@\" >> %s\nexec \"$@\"\n" % log)
+    sub.chmod(0o755)
+    out = tmp_path / "out"
+    base = ["--reference", f"{DEMO}/demo20.fa",
+            "--align-file", f"{DEMO}/NA12892_demo20.bam",
+            "--exome", "--max-region-size", "1500", "--platform", "cpu"]
+    r = subprocess.run(
+        [sys.executable, "-m", "strelka_tpu.workflow.germline", *base,
+         "--output-dir", str(out), "--jobs", "2",
+         "--cluster-submit", str(sub)],
+        env=dict(os.environ), capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    lines = log.read_text().splitlines()
+    assert len(lines) == 2  # one submission per worker, none for merge
+    assert all("--process-index" in l for l in lines)
+    with gzip.open(out / "variants.vcf.gz", "rt") as f:
+        assert sum(1 for l in f if not l.startswith("#")) > 0
