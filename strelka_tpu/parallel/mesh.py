@@ -111,3 +111,54 @@ def dryrun(n_devices: int) -> None:
         q, gt, best = step(*args)
         jax.block_until_ready((q, gt, best))
     assert q.shape[0] == args[0].shape[0]
+
+
+# --- engine mesh: opt-in multi-device sharding of the production call
+# path (CLI --mesh). The fan-out default stays one device per process
+# (the analog of the reference's one core per process); the engine mesh
+# instead spreads each process's kernel launches over all local
+# devices, dp-sharding the batch axis (no cross-shard collectives in
+# the scoring kernel: offsets reduce within a shard).
+
+_ENGINE_MESH: Mesh | None = None
+_SHARDED_KERNELS: dict = {}
+
+
+def set_engine_mesh(mesh: Mesh | None) -> None:
+    global _ENGINE_MESH
+    _ENGINE_MESH = mesh
+    _SHARDED_KERNELS.clear()
+
+
+def engine_mesh() -> Mesh | None:
+    return _ENGINE_MESH
+
+
+def engine_mesh_from_spec(spec: str | None) -> Mesh | None:
+    """--mesh parsing: "auto" = all local devices (dp only),
+    "N" = first N devices, "DPxSP" = explicit factors."""
+    if not spec:
+        return None
+    devs = jax.devices()
+    if spec == "auto":
+        return Mesh(np.array(devs).reshape(len(devs), 1), ("dp", "sp"))
+    if "x" in spec:
+        dp, sp = (int(x) for x in spec.split("x"))
+        return Mesh(np.array(devs[:dp * sp]).reshape(dp, sp), ("dp", "sp"))
+    n = int(spec)
+    return Mesh(np.array(devs[:n]).reshape(n, 1), ("dp", "sp"))
+
+
+def sharded_best_offsets(kernel, mesh: Mesh):
+    """Wrap a best-offsets kernel (codes, delta, lnmis, win) -> (best,
+    off) to run dp-sharded over the leading batch axis."""
+    key = (kernel, id(mesh))
+    fn = _SHARDED_KERNELS.get(key)
+    if fn is None:
+        b3 = P("dp", None, None)
+        b2 = P("dp", None)
+        inner = jax.shard_map(kernel, mesh=mesh,
+                              in_specs=(b3, b3, b2, b3),
+                              out_specs=(b2, b2), check_vma=False)
+        _SHARDED_KERNELS[key] = fn = inner
+    return fn

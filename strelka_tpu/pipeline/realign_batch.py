@@ -162,7 +162,9 @@ def score_loci_batched(
     import jax.numpy as jnp
 
     from ..ops import pallas_readlik as pk
+    from ..parallel import mesh as pmesh
     kernel = pk.score_best_offsets if use_pallas else pk.reference_best_offsets
+    emesh = pmesh.engine_mesh()
     for (Rb, Lb, Wb), pairs in buckets.items():
         # fixed-size batch chunks: the pair count varies per region, so a
         # single [len(pairs), ...] launch would recompile every region
@@ -196,7 +198,13 @@ def score_loci_batched(
                     [hap, np.full(n_off - 1 + Lb - len(hap), 4, np.uint8)])
                 win_b[bi, :n_off] = np.lib.stride_tricks.sliding_window_view(
                     hp, Lb)[:n_off]
-            best, off = kernel(
+            kfn = kernel
+            if emesh is not None and Bp % emesh.shape["dp"] == 0:
+                # dp-shard the batch axis over the engine mesh
+                # (--mesh): per-pair work is independent, so each
+                # device scores Bp/dp pairs with no collectives
+                kfn = pmesh.sharded_best_offsets(kernel, emesh)
+            best, off = kfn(
                 jnp.asarray(codes_b[:Bp]), jnp.asarray(delta_b[:Bp]),
                 jnp.asarray(lnmis_b[:Bp]), jnp.asarray(win_b[:Bp]))
             pending.append((chunk, Bp, (best, off)))

@@ -352,6 +352,10 @@ def run_somatic(argv=None) -> int:
                    help="blocking submit command wrapping each --jobs "
                         "worker (pyflow sge-mode analog), e.g. "
                         "'qsub -sync y -b y' or a '{cmd}' template")
+    p.add_argument("--mesh", default=None,
+                   help="shard this process's kernel launches over a "
+                        "local device mesh: 'auto' (all devices), N, "
+                        "or DPxSP")
     p.add_argument("--platform", default=None, choices=["cpu"],
                    help="force the jax platform for this process "
                         "(e.g. cpu when a remote TPU backend is "
@@ -394,6 +398,9 @@ def run_somatic(argv=None) -> int:
     if args.platform == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.mesh:
+        from ..parallel import mesh as pmesh
+        pmesh.set_engine_mesh(pmesh.engine_mesh_from_spec(args.mesh))
     if args.jobs is not None and args.process_index is None \
             and not args.merge_only:
         from ..parallel.runner import run_local_jobs

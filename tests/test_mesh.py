@@ -54,3 +54,40 @@ def test_sharded_scoring_matches_single_device(devices):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_engine_mesh_matches_single_device(tmp_path):
+    """--mesh sharding of the production scoring launches must be
+    record-identical to the single-device path (8 virtual CPU devices
+    via conftest)."""
+    import gzip
+    import os
+
+    import pytest
+
+    DEMO = "/root/reference/src/demo/data"
+    if not os.path.exists(DEMO):
+        pytest.skip("no demo data")
+    from strelka_tpu.parallel import mesh as pmesh
+    from strelka_tpu.workflow.somatic import run_somatic
+
+    def run(out, mesh_args):
+        rc = run_somatic([
+            "--reference", f"{DEMO}/demo20.fa",
+            "--normal-align-file", f"{DEMO}/NA12892_demo20.bam",
+            "--tumor-align-file", f"{DEMO}/NA12891_demo20.bam",
+            "--output-dir", str(out), "--exome", *mesh_args])
+        assert rc == 0
+        with gzip.open(out / "somatic.snvs.vcf.gz", "rt") as f:
+            return [l for l in f
+                    if not l.startswith(("##cmdline", "##startTime",
+                                         "##fileDate"))]
+
+    try:
+        plain = run(tmp_path / "plain", [])
+        meshed = run(tmp_path / "mesh", ["--mesh", "4"])
+        assert pmesh.engine_mesh() is not None
+        assert pmesh.engine_mesh().shape["dp"] == 4
+        assert meshed == plain
+    finally:
+        pmesh.set_engine_mesh(None)
