@@ -30,7 +30,8 @@ from benchmarks import synth  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="indel", choices=["indel", "snv", "mixed"])
+    ap.add_argument("--mode", default="indel",
+                    choices=["indel", "snv", "mixed", "somatic"])
     ap.add_argument("--length", type=int, default=400_000)
     ap.add_argument("--depth", type=int, default=40)
     ap.add_argument("--profile", action="store_true")
@@ -38,6 +39,7 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
+    somatic = args.mode == "somatic"
     kw = dict(L=args.length, depth=args.depth)
     if args.mode == "indel":
         kw.update(indel_every=300)
@@ -48,7 +50,15 @@ def main():
 
     print(f"generating {args.mode} region L={args.length} depth={args.depth}",
           file=sys.stderr)
-    refs, batch, truth = synth.generate(**kw)
+    if somatic:
+        # germline het SNVs shared by both samples + tumor at 2x depth
+        refs, normal, truth = synth.generate(**dict(kw, snv_every=900,
+                                                    seed=11))
+        _, tumor, _ = synth.generate(**dict(kw, snv_every=900,
+                                            depth=2 * args.depth, seed=12))
+        batch = tumor  # reads/s counts tumor+normal below
+    else:
+        refs, batch, truth = synth.generate(**kw)
 
     import tempfile, os
     td = tempfile.mkdtemp()
@@ -65,12 +75,29 @@ def main():
     wfa = os.path.join(td, "wref.fa")
     with open(wfa, "w") as f:
         f.write(">syn\n" + wrefs + "\n")
-    gc.call_region(opt, FastaReference(wfa), "syn", 0, 40_000, [wbatch])
 
-    def run():
-        res = gc.call_region(opt, ref, "syn", 0, args.length, [batch])
-        g, v = gvcf.emit_region(opt, res, ["S"])
-        return v
+    if somatic:
+        from strelka_tpu.options import SomaticOptions
+        from strelka_tpu.pipeline import somatic_caller as scall
+        sopt = SomaticOptions()
+        _, wtumor, _ = synth.generate(**dict(warm_kw, depth=2 * args.depth,
+                                             seed=12))
+        scall.call_somatic_region(sopt, FastaReference(wfa), "syn", 0,
+                                  40_000, wbatch, wtumor)
+        n_reads = normal.n + tumor.n
+
+        def run():
+            res = scall.call_somatic_region(sopt, ref, "syn", 0,
+                                            args.length, normal, tumor)
+            return [f"{s.pos}" for s in res.snvs]
+    else:
+        gc.call_region(opt, FastaReference(wfa), "syn", 0, 40_000, [wbatch])
+        n_reads = batch.n
+
+        def run():
+            res = gc.call_region(opt, ref, "syn", 0, args.length, [batch])
+            g, v = gvcf.emit_region(opt, res, ["S"])
+            return v
 
     t0 = time.perf_counter()
     if args.profile:
@@ -82,7 +109,7 @@ def main():
         vlines = run()
     dt = time.perf_counter() - t0
 
-    print(f"reads={batch.n} wall={dt:.2f}s reads/s={batch.n / dt:,.0f} "
+    print(f"reads={n_reads} wall={dt:.2f}s reads/s={n_reads / dt:,.0f} "
           f"variants={len(vlines)}")
     if args.sens:
         called_indel = set()

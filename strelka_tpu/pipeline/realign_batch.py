@@ -75,26 +75,37 @@ def score_loci_batched(
         import jax
         use_pallas = jax.default_backend() == "tpu"
 
-    ub = rlen_full = None
+    rlen_full = np.diff(batch.seq_off)
+    ub = in_tier = None
+    max_reach = max_clip = 0
     if selection == "overlap":
         ub = rd.unclipped_read_starts(batch)
-        rlen_full = np.diff(batch.seq_off)
+        in_tier = np.isin(map_level, tiers)
+        if batch.n:
+            # candidates live in a pos-sorted window: pos >= ub and
+            # ub + rlen bound how far a read can reach either way
+            max_reach = int((ub + rlen_full - batch.pos).max())
+            max_clip = int((batch.pos - ub).max())
 
     work: list[_LocusWork] = []
     for li, alt_keys in enumerate(loci):
         key0 = alt_keys[0]
         if selection == "overlap":
-            in_tier = np.isin(map_level, tiers)
-            touch = ((ub < key0.right_pos + 1)
-                     & (ub + rlen_full > key0.pos - 1))
-            rows = np.nonzero(in_tier & touch)[0]
+            lo = int(np.searchsorted(batch.pos, key0.pos - max_reach,
+                                     side="left"))
+            hi = int(np.searchsorted(batch.pos, key0.right_pos + max_clip + 1,
+                                     side="right"))
+            w = slice(lo, hi)
+            touch = ((ub[w] < key0.right_pos + 1)
+                     & (ub[w] + rlen_full[w] > key0.pos - 1))
+            rows = lo + np.nonzero(in_tier[w] & touch)[0]
         else:
             rows = select_overlapping_reads(ea, map_level, key0.pos,
                                             key0.right_pos, tiers=tiers)
         if len(rows) == 0:
             continue
         rows = rows[:max_reads]
-        read_lens = np.diff(batch.seq_off)[rows]
+        read_lens = rlen_full[rows]
         Lr = int(read_lens.max())
         locus_begin = min(k.pos for k in alt_keys)
         locus_end = max(k.right_pos for k in alt_keys)
@@ -225,7 +236,7 @@ def score_loci_batched(
         c, d, ln, nvalid = read_cache.get(wi) or read_tensors(
             wi, next(r for r in R_BUCKETS if len(w.rows) <= r),
             _round_up(w.read_len_max, L_PAD))
-        read_lens = np.diff(batch.seq_off)[w.rows]
+        read_lens = rlen_full[w.rows]
         gmask = None
         n_subover = 0
         if min_bp_flank is not None and offsets.get(wi) is not None:
