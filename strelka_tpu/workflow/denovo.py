@@ -141,14 +141,90 @@ def _homref_pl_at(blocks_by_chrom, key):
     return [0, max(int(gqx), 0), 2 * max(int(gqx), 0)]
 
 
+def _run_denovo_multisample(args) -> int:
+    """Reference-style interface (denovo.py:1040-1070): one
+    multi-sample VCF + pedigree sample IDs -> DQ-annotated VCF. PLs are
+    taken from the biallelic diploid FORMAT fields of the three named
+    sample columns; records where any trio member lacks a 3-value PL
+    pass through unscored."""
+    from ..io.bgzf import BgzfWriter
+
+    opener = gzip.open if args.vcf.endswith(".gz") else open
+    n_scored = 0
+    with opener(args.vcf, "rt") as fin, BgzfWriter(args.output) as w:
+        cols = None
+        for line in fin:
+            if line.startswith("##"):
+                w.write(line.encode())
+                continue
+            if line.startswith("#CHROM"):
+                w.write(b'##INFO=<ID=DQ,Number=1,Type=Float,'
+                        b'Description="Phred-scaled de novo quality">\n')
+                w.write(line.encode())
+                names = line.rstrip("\n").split("\t")[9:]
+                try:
+                    cols = [names.index(s) for s in
+                            (args.proband_id, args.mother_id,
+                             args.father_id)]
+                except ValueError as e:
+                    print(f"denovo: sample not in VCF: {e}",
+                          file=sys.stderr)
+                    return 1
+                continue
+            fields = line.rstrip("\n").split("\t")
+            fmt = fields[8].split(":")
+            pls = None
+            if "PL" in fmt and len(fields[4].split(",")) == 1 \
+                    and fields[4] != ".":
+                pi = fmt.index("PL")
+                pls = []
+                for c in cols:
+                    sub = fields[9 + c].split(":")
+                    if pi >= len(sub):
+                        pls = None
+                        break
+                    vals = sub[pi].split(",")
+                    if len(vals) != 3 or "." in vals:
+                        pls = None
+                        break
+                    pls.append([int(v) for v in vals])
+            if pls is not None:
+                p_dn = denovo_posterior(
+                    np.array([pls[0]]), np.array([pls[1]]),
+                    np.array([pls[2]]))[0]
+                tiny = np.finfo(np.float64).tiny
+                dq = min(round(-10 * np.log10(max(1 - p_dn, tiny))), 999)
+                if dq >= args.min_dq:
+                    fields[7] = (f"{fields[7]};DQ={dq:.0f}"
+                                 if fields[7] != "." else f"DQ={dq:.0f}")
+                    n_scored += 1
+            w.write(("\t".join(fields) + "\n").encode())
+    print(f"denovo: scored {n_scored} trio records -> {args.output}",
+          file=sys.stderr)
+    return 0
+
+
 def run_denovo(argv=None) -> int:
     p = argparse.ArgumentParser(prog="strelka_tpu denovo")
-    p.add_argument("--proband", required=True)
-    p.add_argument("--mother", required=True)
-    p.add_argument("--father", required=True)
+    p.add_argument("--proband", help="proband gVCF (per-sample mode)")
+    p.add_argument("--mother", help="mother gVCF (per-sample mode)")
+    p.add_argument("--father", help="father gVCF (per-sample mode)")
+    p.add_argument("--vcf", help="multi-sample VCF (reference-style "
+                                 "mode; use --proband-id/--mother-id/"
+                                 "--father-id)")
+    p.add_argument("--proband-id")
+    p.add_argument("--mother-id")
+    p.add_argument("--father-id")
     p.add_argument("--output", required=True)
     p.add_argument("--min-dq", type=float, default=0.0)
     args = p.parse_args(argv)
+
+    if args.vcf:
+        if not (args.proband_id and args.mother_id and args.father_id):
+            p.error("--vcf requires --proband-id/--mother-id/--father-id")
+        return _run_denovo_multisample(args)
+    if not (args.proband and args.mother and args.father):
+        p.error("either --vcf or --proband/--mother/--father is required")
 
     child, _cb = _read_gvcf_sites(args.proband)
     mother, mb = _read_gvcf_sites(args.mother)

@@ -131,3 +131,42 @@ def test_denovo_posterior_matches_denovogear_reference():
     assert corr > 0.99
     top10 = len(set(np.argsort(-pp)[:10]) & set(np.argsort(-post)[:10]))
     assert top10 >= 9
+
+
+def test_denovo_multisample_vcf_mode(tmp_path):
+    """Reference-style interface: multi-sample VCF + sample IDs
+    (denovo.py in_vcf/--proband/--mother/--father)."""
+    import gzip
+
+    from strelka_tpu.workflow.denovo import run_denovo
+
+    vcf = tmp_path / "trio.vcf"
+    # site 100: clear de novo (parents hom-ref, child het)
+    # site 200: inherited het (mother het)
+    # site 300: multi-allelic -> passes through unscored
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">',
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="pl">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tKID\tMOM\tDAD",
+        "chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT:PL\t0/1:150,0,150\t0/0:0,120,990\t0/0:0,120,990",
+        "chr1\t200\t.\tC\tT\t50\tPASS\t.\tGT:PL\t0/1:60,0,60\t0/1:50,0,50\t0/0:0,90,990",
+        "chr1\t300\t.\tG\tA,C\t50\tPASS\t.\tGT:PL\t1/2:90,60,50,60,0,50\t0/0:0,90,990,90,990,990\t0/0:0,90,990,90,990,990",
+    ]) + "\n")
+    out = tmp_path / "out.vcf.gz"
+    rc = run_denovo(["--vcf", str(vcf), "--proband-id", "KID",
+                     "--mother-id", "MOM", "--father-id", "DAD",
+                     "--output", str(out)])
+    assert rc == 0
+    dq = {}
+    with gzip.open(out, "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.split("\t")
+            for kv in fields[7].split(";"):
+                if kv.startswith("DQ="):
+                    dq[int(fields[1])] = float(kv[3:])
+    assert 100 in dq and dq[100] > 10   # de novo scores high
+    assert dq.get(200, 0.0) <= 1.0      # inherited het scores ~0
+    assert 300 not in dq                # multi-allelic unscored
