@@ -45,17 +45,19 @@ def main():
         kw.update(indel_every=300)
     elif args.mode == "snv":
         kw.update(snv_every=300)
+    elif args.mode == "somatic":
+        kw.update(snv_every=900)
     else:
         kw.update(snv_every=600, indel_every=600)
 
     print(f"generating {args.mode} region L={args.length} depth={args.depth}",
           file=sys.stderr)
     if somatic:
-        # germline het SNVs shared by both samples + tumor at 2x depth
-        refs, normal, truth = synth.generate(**dict(kw, snv_every=900,
-                                                    seed=11))
-        _, tumor, _ = synth.generate(**dict(kw, snv_every=900,
-                                            depth=2 * args.depth, seed=12))
+        # one reference + shared germline het-SNV truth (ref_seed);
+        # independent read sampling per sample, tumor at 2x depth
+        refs, normal, truth = synth.generate(**kw, seed=11, ref_seed=11)
+        _, tumor, _ = synth.generate(**dict(kw, depth=2 * args.depth),
+                                     seed=12, ref_seed=11)
         batch = tumor  # reads/s counts tumor+normal below
     else:
         refs, batch, truth = synth.generate(**kw)
@@ -80,8 +82,9 @@ def main():
         from strelka_tpu.options import SomaticOptions
         from strelka_tpu.pipeline import somatic_caller as scall
         sopt = SomaticOptions()
-        _, wtumor, _ = synth.generate(**dict(warm_kw, depth=2 * args.depth,
-                                             seed=12))
+        _, wtumor, _ = synth.generate(**dict(warm_kw, depth=2 * args.depth),
+                                      seed=12, ref_seed=warm_kw.get(
+                                          "seed", 7))
         scall.call_somatic_region(sopt, FastaReference(wfa), "syn", 0,
                                   40_000, wbatch, wtumor)
         n_reads = normal.n + tumor.n
@@ -111,7 +114,7 @@ def main():
 
     print(f"reads={n_reads} wall={dt:.2f}s reads/s={n_reads / dt:,.0f} "
           f"variants={len(vlines)}")
-    if args.sens:
+    if args.sens and not somatic:
         called_indel = set()
         for l in vlines:
             f = l.split("\t")

@@ -15,7 +15,8 @@ from strelka_tpu.utils import cigar as cg
 
 
 def make_batch(reads):
-    """reads: list of (pos, cigar_str, seq_codes, qual, flag, mapq)."""
+    """reads: list of (pos, cigar_str, seq, qual, flag, mapq); seq may
+    be a base string or a uint8 code array (shared with tests)."""
     b = bamio.ReadBatch()
     b.n = len(reads)
     b.names = [f"r{i}" for i in range(b.n)]
@@ -29,8 +30,9 @@ def make_batch(reads):
     seqs, quals, ops_l, lens_l = [], [], [], []
     so, co = [0], [0]
     for pos, cstr, scodes, ql, flag, mapq in reads:
-        seqs.append(scodes)
-        quals.append(ql)
+        seqs.append(encode_bases(scodes) if isinstance(scodes, str)
+                    else scodes)
+        quals.append(np.asarray(ql, np.uint8))
         o, l = cg.cigar_from_string(cstr)
         ops_l.append(o)
         lens_l.append(l)
@@ -47,14 +49,18 @@ def make_batch(reads):
 
 def generate(L=200_000, depth=40, read_len=100, snv_every=0,
              indel_every=0, indel_len=2, seed=7, err_rate=0.0015,
-             qual=32):
+             qual=32, ref_seed=None):
     """Return (ref_str, batch, truth) for a het-planted diploid sample.
 
     snv_every / indel_every: average spacing of planted het variants
     (0 disables). Indels alternate del/ins of `indel_len` bases.
+    ref_seed: seed for the reference sequence AND planted variant set
+    (defaults to `seed`); pass the same ref_seed with different `seed`s
+    to sample independent read sets (e.g. tumor/normal) from one truth.
     """
+    ref_rng = np.random.default_rng(seed if ref_seed is None else ref_seed)
     rng = np.random.default_rng(seed)
-    ref_codes = rng.integers(0, 4, L).astype(np.uint8)
+    ref_codes = ref_rng.integers(0, 4, L).astype(np.uint8)
 
     pad = read_len + 50
     spots = []
@@ -64,7 +70,7 @@ def generate(L=200_000, depth=40, read_len=100, snv_every=0,
     if step:
         grid = np.arange(pad, L - pad, step)
         for i, p in enumerate(grid):
-            p = int(p + rng.integers(-step // 4, step // 4 + 1))
+            p = int(p + ref_rng.integers(-step // 4, step // 4 + 1))
             if snv_every and indel_every:
                 kind = "snv" if i % 2 == 0 else ("del" if i % 4 == 1 else "ins")
             elif snv_every:
@@ -85,7 +91,7 @@ def generate(L=200_000, depth=40, read_len=100, snv_every=0,
         elif kind == "del":
             del_set[p] = indel_len
         else:
-            ins_set[p] = rng.integers(0, 4, indel_len).astype(np.uint8)
+            ins_set[p] = ref_rng.integers(0, 4, indel_len).astype(np.uint8)
 
     n_reads = L * depth // read_len
     reads = []

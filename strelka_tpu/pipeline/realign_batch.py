@@ -176,21 +176,24 @@ def score_loci_batched(
     from ..parallel import mesh as pmesh
     kernel = pk.score_best_offsets if use_pallas else pk.reference_best_offsets
     emesh = pmesh.engine_mesh()
+    dp = emesh.shape["dp"] if emesh is not None else 1
+    buf_b = -(-B_CHUNK // dp) * dp  # chunk buffer padded to a dp multiple
     for (Rb, Lb, Wb), pairs in buckets.items():
         # fixed-size batch chunks: the pair count varies per region, so a
         # single [len(pairs), ...] launch would recompile every region
         # (and the einsum one-hot expansion would materialize hundreds
         # of MB). Chunks of B_CHUNK pad the tail to a power of two, so
         # the whole run hits a handful of jit cache entries.
-        codes_b = np.full((B_CHUNK, Rb, Lb), 4, dtype=np.int8)
-        delta_b = np.zeros((B_CHUNK, Rb, Lb), dtype=np.float32)
-        lnmis_b = np.zeros((B_CHUNK, Rb), dtype=np.float32)
-        win_b = np.full((B_CHUNK, Wb, Lb), 4, dtype=np.int8)
+        codes_b = np.full((buf_b, Rb, Lb), 4, dtype=np.int8)
+        delta_b = np.zeros((buf_b, Rb, Lb), dtype=np.float32)
+        lnmis_b = np.zeros((buf_b, Rb), dtype=np.float32)
+        win_b = np.full((buf_b, Wb, Lb), 4, dtype=np.int8)
         pending: list[tuple[list[tuple[int, int]], int, object]] = []
         for cs in range(0, len(pairs), B_CHUNK):
             chunk = pairs[cs:cs + B_CHUNK]
             n = len(chunk)
             Bp = B_CHUNK if n == B_CHUNK else max(8, 1 << (n - 1).bit_length())
+            Bp = -(-Bp // dp) * dp  # every launch stays dp-shardable
             codes_b[:Bp] = 4
             delta_b[:Bp] = 0.0
             lnmis_b[:Bp] = 0.0
@@ -210,10 +213,11 @@ def score_loci_batched(
                 win_b[bi, :n_off] = np.lib.stride_tricks.sliding_window_view(
                     hp, Lb)[:n_off]
             kfn = kernel
-            if emesh is not None and Bp % emesh.shape["dp"] == 0:
+            if emesh is not None:
                 # dp-shard the batch axis over the engine mesh
                 # (--mesh): per-pair work is independent, so each
                 # device scores Bp/dp pairs with no collectives
+                # (Bp is always a dp multiple by construction above)
                 kfn = pmesh.sharded_best_offsets(kernel, emesh)
             best, off = kfn(
                 jnp.asarray(codes_b[:Bp]), jnp.asarray(delta_b[:Bp]),

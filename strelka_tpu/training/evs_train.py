@@ -107,10 +107,9 @@ def evaluate_precision_recall(forest, features: np.ndarray,
 def read_evsf_vcf(path: str, variant_type: str | None = None):
     """Yield EVSF feature vectors from a --report-evs-features run
     (vcf_to_feature_csv.py analog). variant_type: "SNV"/"INDEL"/None."""
-    import gzip
+    from ..io.vcf import _open_maybe_gz
 
-    opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "rt") as f:
+    with _open_maybe_gz(path) as f:
         for line in f:
             if line.startswith("#"):
                 continue
@@ -136,18 +135,24 @@ def vcf_to_feature_csv(tp_vcfs: list[str], fp_vcfs: list[str],
     (scoringModelTraining/somatic/bin/vcf_to_feature_csv.py analog:
     TP/FP label comes from which input set a record belongs to)."""
     n = 0
+    width = None
     with open(out_path, "w") as out:
-        header_written = False
         for label, paths in ((1, tp_vcfs), (0, fp_vcfs)):
             for p in paths:
                 for chrom, pos, ref, alt, vt, vals in read_evsf_vcf(
                         p, variant_type):
-                    if not header_written:
+                    if width is None:
+                        width = len(vals)
                         names = (feature_names if feature_names else
-                                 [f"F{i}" for i in range(len(vals))])
+                                 [f"F{i}" for i in range(width)])
                         out.write("CHROM,POS,TYPE,label,"
                                   + ",".join(names) + "\n")
-                        header_written = True
+                    elif len(vals) != width:
+                        raise ValueError(
+                            f"{p}:{chrom}:{pos}: EVSF width {len(vals)}"
+                            f" != {width}; SNV and indel feature sets "
+                            "differ — pass variant_type='SNV' or "
+                            "'INDEL' to select one")
                     out.write(f"{chrom},{pos},{vt},{label},"
                               + ",".join(repr(v) for v in vals) + "\n")
                     n += 1

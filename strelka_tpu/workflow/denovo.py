@@ -172,6 +172,11 @@ def _run_denovo_multisample(args) -> int:
                     return 1
                 continue
             fields = line.rstrip("\n").split("\t")
+            # records before #CHROM or without FORMAT+sample columns
+            # pass through unscored
+            if cols is None or len(fields) < 10 + max(cols):
+                w.write(line.encode())
+                continue
             fmt = fields[8].split(":")
             pls = None
             if "PL" in fmt and len(fields[4].split(",")) == 1 \

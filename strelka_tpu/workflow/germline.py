@@ -133,9 +133,7 @@ def run_germline(argv=None) -> int:
     if args.platform == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
-    if args.mesh:
-        from ..parallel import mesh as pmesh
-        pmesh.set_engine_mesh(pmesh.engine_mesh_from_spec(args.mesh))
+
     if args.jobs is not None and args.process_index is None \
             and not args.merge_only:
         from ..parallel.runner import run_local_jobs
@@ -144,6 +142,11 @@ def run_germline(argv=None) -> int:
                             args.jobs, args.cluster_submit)
         if rc >= 0:
             return rc
+    if args.mesh:
+        # after the --jobs early-return: the fan-out parent must not
+        # initialize devices it never uses (workers set their own mesh)
+        from ..parallel import mesh as pmesh
+        pmesh.set_engine_mesh(pmesh.engine_mesh_from_spec(args.mesh))
 
     t0 = time.time()
     opt = GermlineOptions(min_mapping_quality=args.min_mapping_quality)

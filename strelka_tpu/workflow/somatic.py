@@ -398,9 +398,7 @@ def run_somatic(argv=None) -> int:
     if args.platform == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
-    if args.mesh:
-        from ..parallel import mesh as pmesh
-        pmesh.set_engine_mesh(pmesh.engine_mesh_from_spec(args.mesh))
+
     if args.jobs is not None and args.process_index is None \
             and not args.merge_only:
         from ..parallel.runner import run_local_jobs
@@ -409,6 +407,11 @@ def run_somatic(argv=None) -> int:
                             args.jobs, args.cluster_submit)
         if rc >= 0:
             return rc
+    if args.mesh:
+        # after the --jobs early-return: the fan-out parent must not
+        # initialize devices it never uses (workers set their own mesh)
+        from ..parallel import mesh as pmesh
+        pmesh.set_engine_mesh(pmesh.engine_mesh_from_spec(args.mesh))
 
     t0 = time.time()
     opt = SomaticOptions()

@@ -330,17 +330,21 @@ def main(argv=None) -> int:
         print("valid", file=sys.stderr)
         return 0
     if cmd == "evs-feature-csv":
-        # evs-feature-csv [--type SNV|INDEL] --tp a.vcf[.gz]... --fp b.vcf... out.csv
+        # evs-feature-csv [--type SNV|INDEL] --tp a.vcf[.gz]...
+        #                 --fp b.vcf... --out out.csv
         from ..training.evs_train import vcf_to_feature_csv
         vt = None
+        out = None
         tp, fp = [], []
         cur = None
-        out = rest[-1]
         i = 0
-        while i < len(rest) - 1:
+        while i < len(rest):
             a = rest[i]
             if a == "--type":
                 vt = rest[i + 1]
+                i += 2
+            elif a == "--out":
+                out = rest[i + 1]
                 i += 2
             elif a == "--tp":
                 cur = tp
@@ -348,10 +352,17 @@ def main(argv=None) -> int:
             elif a == "--fp":
                 cur = fp
                 i += 1
+            elif cur is None:
+                print("evs-feature-csv: expected --tp/--fp before "
+                      f"input path {a!r}", file=sys.stderr)
+                return 2
             else:
-                assert cur is not None, "expected --tp/--fp before paths"
                 cur.append(a)
                 i += 1
+        if not out or not out.endswith(".csv"):
+            print("evs-feature-csv: --out must name a .csv output "
+                  "(refusing to overwrite a VCF input)", file=sys.stderr)
+            return 2
         n = vcf_to_feature_csv(tp, fp, out, vt)
         print(f"wrote {n} labeled feature rows", file=sys.stderr)
         return 0

@@ -11,34 +11,10 @@ from strelka_tpu.utils import cigar as cg
 
 
 def make_batch(reads):
-    """reads: list of (pos, cigar_str, seq_str, qual_list, flag, mapq)."""
-    b = bamio.ReadBatch()
-    b.n = len(reads)
-    b.names = [f"r{i}" for i in range(b.n)]
-    b.tid = np.zeros(b.n, np.int32)
-    b.pos = np.array([r[0] for r in reads], np.int64)
-    b.mapq = np.array([r[5] for r in reads], np.uint8)
-    b.flag = np.array([r[4] for r in reads], np.uint16)
-    b.mate_tid = np.full(b.n, -1, np.int32)
-    b.mate_pos = np.zeros(b.n, np.int64)
-    b.tlen = np.zeros(b.n, np.int64)
-    seqs, quals, ops_l, lens_l = [], [], [], []
-    so, co = [0], [0]
-    for pos, cstr, sstr, ql, flag, mapq in reads:
-        seqs.append(encode_bases(sstr))
-        quals.append(np.array(ql, np.uint8))
-        o, l = cg.cigar_from_string(cstr)
-        ops_l.append(o)
-        lens_l.append(l)
-        so.append(so[-1] + len(sstr))
-        co.append(co[-1] + len(o))
-    b.seq = np.concatenate(seqs)
-    b.qual = np.concatenate(quals)
-    b.seq_off = np.array(so, np.int64)
-    b.cig_ops = np.concatenate(ops_l)
-    b.cig_lens = np.concatenate(lens_l)
-    b.cig_off = np.array(co, np.int64)
-    return b
+    """reads: list of (pos, cigar_str, seq_str, qual_list, flag, mapq).
+    Delegates to the shared constructor in benchmarks/synth.py."""
+    from benchmarks.synth import make_batch as _mb
+    return _mb(reads)
 
 
 def test_expand_alignments_basic():
