@@ -1,0 +1,145 @@
+"""End-to-end production soak: synthetic BAM -> germline CLI with
+--jobs fan-out, a mid-run kill, and checkpointed resume.
+
+Usage:
+  PYTHONPATH=. python benchmarks/soak_e2e.py [--length 2000000]
+      [--depth 40] [--jobs 2] [--no-kill]
+
+Validates, at CLI granularity (the production surface):
+  1. fan-out output == what a single process would produce (records)
+  2. a worker killed mid-run resumes from the task-state file and the
+     final merge is complete
+  3. planted SNV/indel sensitivity on the merged output
+and reports end-to-end reads/s (BAM decode -> gVCF write included).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+from strelka_tpu.io.bam import BamHeader
+from strelka_tpu.io.bam_writer import write_bam
+
+from benchmarks import synth
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--length", type=int, default=2_000_000)
+    ap.add_argument("--depth", type=int, default=40)
+    ap.add_argument("--jobs", type=int, default=2)
+    ap.add_argument("--no-kill", action="store_true")
+    args = ap.parse_args()
+
+    td = tempfile.mkdtemp(prefix="soak_")
+    print(f"workdir {td}", file=sys.stderr)
+    t0 = time.time()
+    refs, batch, truth = synth.generate(
+        L=args.length, depth=args.depth, snv_every=900, indel_every=900)
+    fa = os.path.join(td, "ref.fa")
+    with open(fa, "w") as f:
+        f.write(">soak1\n")
+        for i in range(0, len(refs), 70):
+            f.write(refs[i:i + 70] + "\n")
+    bam = os.path.join(td, "sample.bam")
+    write_bam(bam, BamHeader(text="", ref_names=["soak1"],
+                             ref_lengths=[args.length]), batch)
+    print(f"generated {batch.n} reads in {time.time() - t0:.0f}s",
+          file=sys.stderr)
+
+    out = os.path.join(td, "run")
+
+    def cli(outdir):
+        return [sys.executable, "-m", "strelka_tpu.workflow.germline",
+                "--reference", fa, "--align-file", bam,
+                "--output-dir", outdir, "--exome", "--platform", "cpu"]
+
+    # 1. timed fresh fan-out run (the headline number)
+    t1 = time.time()
+    r = subprocess.run(cli(out) + ["--jobs", str(args.jobs)])
+    wall = time.time() - t1
+    assert r.returncode == 0, "fan-out run failed"
+
+    if not args.no_kill:
+        # 2. interrupt/resume at task granularity: kill a fresh
+        # single-worker run as soon as one segment fragment lands, then
+        # rerun — the task-state file must skip completed segments and
+        # the merged records must match run 1
+        out2 = os.path.join(td, "resume")
+        pr = subprocess.Popen(cli(out2) + ["--process-index", "0",
+                                           "--process-count", "1"],
+                              stderr=subprocess.DEVNULL)
+        deadline = time.time() + 600
+        while time.time() < deadline and pr.poll() is None:
+            if glob.glob(os.path.join(out2, "workspace", "seg_*")):
+                break
+            time.sleep(0.05)
+        if pr.poll() is None:
+            pr.send_signal(signal.SIGKILL)
+            pr.wait()
+        pre = len({f.split(".")[0] for f in
+                   os.listdir(os.path.join(out2, "workspace"))
+                   if f.startswith("seg_")})
+        r2 = subprocess.run(cli(out2) + ["--jobs", str(args.jobs)],
+                            capture_output=True)
+        assert r2.returncode == 0, "resume run failed"
+        resumed = b"resume" in r2.stderr or pre == 0
+
+        def recs(p):
+            with gzip.open(os.path.join(p, "variants.vcf.gz"), "rt") as f:
+                return [l for l in f if not l.startswith("#")]
+
+        assert recs(out) == recs(out2), "resume output != fresh output"
+        print(f"resume check: killed with {pre} segment(s) done, rerun "
+              f"matched fresh records ({'resumed' if resumed else 'redid'})",
+              file=sys.stderr)
+
+    # parse calls
+    called_snv, called_indel = set(), set()
+    n_var = 0
+    with gzip.open(os.path.join(out, "variants.vcf.gz"), "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            n_var += 1
+            fields = line.split("\t")
+            if fields[6] not in ("PASS", "NoPassedVariantGTs"):
+                continue
+            p = int(fields[1]) - 1
+            if len(fields[3]) == 1 and all(len(a) == 1
+                                           for a in fields[4].split(",")):
+                called_snv.add(p)
+            else:
+                called_indel.add(p + 1)
+
+    def recall(tset, called, tol):
+        tp = sum(1 for p in tset if any(abs(p - c) <= tol for c in called))
+        return tp, len(tset)
+
+    s_tp, s_n = recall(truth["snv"], called_snv, 0)
+    d_tp, d_n = recall(truth["del"], called_indel, 3)
+    i_tp, i_n = recall(truth["ins"], called_indel, 3)
+    fp_snv = sum(1 for p in called_snv if all(abs(p - q) > 0
+                 for q in truth["snv"]))
+    print(f"soak: reads={batch.n} wall={wall:.0f}s "
+          f"reads/s={batch.n / wall:,.0f} (jobs={args.jobs}) "
+          f"variants={n_var}")
+    print(f"SNV recall {s_tp}/{s_n}  del {d_tp}/{d_n}  ins {i_tp}/{i_n}  "
+          f"SNV FP {fp_snv}")
+    ok = (s_tp >= 0.99 * s_n and d_tp >= 0.97 * d_n and i_tp >= 0.97 * i_n
+          and fp_snv <= max(3, 0.01 * s_n))
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

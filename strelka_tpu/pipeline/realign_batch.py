@@ -219,9 +219,15 @@ def score_loci_batched(
                 # device scores Bp/dp pairs with no collectives
                 # (Bp is always a dp multiple by construction above)
                 kfn = pmesh.sharded_best_offsets(kernel, emesh)
+            # .copy() is load-bearing: jax CPU zero-copies int8 numpy
+            # arrays into device buffers, and the chunk buffers are
+            # overwritten while the (async) launch still reads them —
+            # each launch must own a snapshot
             best, off = kfn(
-                jnp.asarray(codes_b[:Bp]), jnp.asarray(delta_b[:Bp]),
-                jnp.asarray(lnmis_b[:Bp]), jnp.asarray(win_b[:Bp]))
+                jnp.asarray(codes_b[:Bp].copy()),
+                jnp.asarray(delta_b[:Bp].copy()),
+                jnp.asarray(lnmis_b[:Bp].copy()),
+                jnp.asarray(win_b[:Bp].copy()))
             pending.append((chunk, Bp, (best, off)))
         for chunk, Bp, (best, off) in pending:
             best = np.asarray(best, dtype=np.float64)

@@ -61,3 +61,31 @@ def test_batched_empty_loci():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_multi_chunk_scoring_is_deterministic(tmp_path):
+    """Regression: jax CPU zero-copies int8 numpy inputs, so reusing
+    the chunk staging buffers across launches raced with the async
+    kernel and randomly zeroed locus scores at >1-chunk scale. The
+    same region called twice must produce identical records."""
+    import jax
+
+    from benchmarks import synth
+    from strelka_tpu.io.fasta import FastaReference
+    from strelka_tpu.options import GermlineOptions
+    from strelka_tpu.pipeline import germline_caller as gc
+    from strelka_tpu.pipeline import gvcf
+
+    refs, batch, _ = synth.generate(L=60_000, depth=30, indel_every=300,
+                                    seed=5)
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">d\n" + refs + "\n")
+    ref = FastaReference(str(fa))
+    opt = GermlineOptions()
+    outs = []
+    for _ in range(2):
+        res = gc.call_region(opt, ref, "d", 0, 60_000, [batch])
+        _g, v = gvcf.emit_region(opt, res, ["S"])
+        outs.append(v)
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 100  # the region actually called variants
