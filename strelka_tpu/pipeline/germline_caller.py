@@ -58,6 +58,10 @@ class IndelCall:
     sample_adr: list[np.ndarray]
     sample_dpi: list[int]
     sample_ploidy: list = None
+    # per-sample mean distance-from-closest-read-edge over confident
+    # primary-alt-supporting reads, capped at 20 per read
+    # (AlleleReportInfoUtil.cpp:354-359; RNA EVS feature)
+    sample_edge_dist: list = None
     qual: int = 0
     # more orthogonal alleles overlapped this locus than could be
     # jointly genotyped (the reference emits such loci separately and
@@ -474,7 +478,8 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
     call = IndelCall(pos=min(k.pos for k in keys), keys=keys, records=recs,
                      sample_gt=[], sample_gq=[], sample_gqx=[], sample_pl=[],
                      sample_ad=[], sample_adf=[], sample_adr=[],
-                     sample_dpi=[], sample_ploidy=list(sample_ploidy))
+                     sample_dpi=[], sample_ploidy=list(sample_ploidy),
+                     sample_edge_dist=[])
     any_variant = False
     max_qual = 0
     for s in range(n_samples):
@@ -502,7 +507,12 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
                     read_len=scores.read_len[gm],
                     n_nonambig=scores.n_nonambig[gm],
                     is_fwd=scores.is_fwd[gm],
+                    best_offsets=(scores.best_offsets[gm]
+                                  if scores.best_offsets is not None
+                                  else None),
+                    win_begin=scores.win_begin,
                     n_suboverlap=scores.n_suboverlap)
+        edge_mean = 0.0
         if scores is None:
             lh = np.zeros(ig.genotype_count(ploidy, A))
             ad = np.zeros(A, np.int32)
@@ -531,6 +541,23 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
                 ad[a] = int(sel.sum())
                 adf[a] = int((sel & scores.is_fwd).sum())
                 adr[a] = int((sel & ~scores.is_fwd).sum())
+            # mean edge distance over confident reads of the top alt
+            # (min read-offset of either indel breakpoint from either
+            # read edge at the scored placement, capped at 20 —
+            # AlleleReportInfoUtil.cpp:354-359)
+            if scores.best_offsets is not None and conf[:, 1:].any():
+                a1 = 1 + int(ad[1:].argmax())
+                key1 = keys[a1 - 1]
+                sel = conf[:, a1]
+                lrp = (key1.pos - scores.win_begin
+                       - scores.best_offsets[sel, a1])
+                rrp = lrp + key1.insert_length
+                rl = scores.read_len[sel]
+                dist = np.minimum(np.maximum(lrp, 0),
+                                  np.maximum(rl - rrp, 0))
+                dist = np.minimum(dist, 20)
+                if len(dist):
+                    edge_mean = float(dist.mean())
         pg, max_g, q_ref_g, q_max_g = ig.genotype_posteriors(lh, tri_g)
         pp, max_p, q_ref_p, q_max_p = ig.genotype_posteriors(lh, tri_p)
         gq = q_max_p
@@ -546,6 +573,7 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
         dpi_pos = call.pos - 1 - region_begin
         dpi = int(samples[s].pileup.depth[dpi_pos]) if 0 <= dpi_pos < len(samples[s].pileup.depth) else 0
         call.sample_dpi.append(dpi + int(samples[s].dpf[dpi_pos]) if 0 <= dpi_pos < len(samples[s].dpf) else dpi)
+        call.sample_edge_dist.append(edge_mean)
         ga = ig.genotype_alleles(ploidy, A)
         if (ga[max_p] > 0).any():
             any_variant = True

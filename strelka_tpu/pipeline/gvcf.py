@@ -682,8 +682,9 @@ def germline_indel_features(forest, result, call: IndelCall, s: int,
         "SamplePrimaryAltAlleleDepth": float(ad[primary_alt]),
         "VariantAlleleQuality": float(call.qual),
         "SampleRefRepeatCount": float(rec.ref_repeat_count),
-        # per-read indel edge distances are not tracked per locus
-        "SampleIndelMeanDistanceFromReadEdge": 0.0,
+        "SampleIndelMeanDistanceFromReadEdge": (
+            float(call.sample_edge_dist[s])
+            if call.sample_edge_dist else 0.0),
     }
     return np.array([vals.get(name, 0.0) for name in forest.features])
 
