@@ -38,7 +38,12 @@ def main():
     ap.add_argument("--depth", type=int, default=40)
     ap.add_argument("--jobs", type=int, default=2)
     ap.add_argument("--no-kill", action="store_true")
+    ap.add_argument("--somatic", action="store_true",
+                    help="tumor/normal CLI soak: shared germline truth, "
+                         "tumor at 2x depth with VAF-0.3 somatic SNVs")
     args = ap.parse_args()
+    if args.somatic:
+        return somatic_soak(args)
 
     td = tempfile.mkdtemp(prefix="soak_")
     print(f"workdir {td}", file=sys.stderr)
@@ -137,6 +142,67 @@ def main():
           f"SNV FP {fp_snv}")
     ok = (s_tp >= 0.99 * s_n and d_tp >= 0.97 * d_n and i_tp >= 0.97 * i_n
           and fp_snv <= max(3, 0.01 * s_n))
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+
+
+def somatic_soak(args):
+    td = tempfile.mkdtemp(prefix="soaksom_")
+    print(f"workdir {td}", file=sys.stderr)
+    t0 = time.time()
+    kw = dict(L=args.length, depth=args.depth, snv_every=1200,
+              ref_seed=21)
+    refs, normal, truth = synth.generate(**kw, seed=21)
+    _, tumor, truth_t = synth.generate(
+        **dict(kw, depth=2 * args.depth), seed=22,
+        somatic_every=1200, somatic_vaf=0.3)
+    fa = os.path.join(td, "ref.fa")
+    with open(fa, "w") as f:
+        f.write(">soak1\n")
+        for i in range(0, len(refs), 70):
+            f.write(refs[i:i + 70] + "\n")
+    hdr = BamHeader(text="", ref_names=["soak1"],
+                    ref_lengths=[args.length])
+    nbam = os.path.join(td, "normal.bam")
+    tbam = os.path.join(td, "tumor.bam")
+    write_bam(nbam, hdr, normal)
+    write_bam(tbam, hdr, tumor)
+    n_reads = normal.n + tumor.n
+    print(f"generated {n_reads} reads ({len(truth_t['som_snv'])} somatic "
+          f"sites) in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    out = os.path.join(td, "run")
+    t1 = time.time()
+    r = subprocess.run(
+        [sys.executable, "-m", "strelka_tpu.workflow.somatic",
+         "--reference", fa, "--normal-align-file", nbam,
+         "--tumor-align-file", tbam, "--output-dir", out, "--exome",
+         "--platform", "cpu", "--jobs", str(args.jobs)])
+    wall = time.time() - t1
+    assert r.returncode == 0, "somatic fan-out run failed"
+
+    called_pass, called_any = set(), set()
+    with gzip.open(os.path.join(out, "somatic.snvs.vcf.gz"), "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.split("\t")
+            p = int(fields[1]) - 1
+            called_any.add(p)
+            if fields[6] == "PASS":
+                called_pass.add(p)
+    som = set(truth_t["som_snv"])
+    tp = len(som & called_pass)
+    germline_leak = sum(1 for p in called_pass
+                        if any(abs(p - q) <= 0 for q in truth["snv"]))
+    fp = len(called_pass - som)
+    print(f"somatic soak: reads={n_reads} wall={wall:.0f}s "
+          f"reads/s={n_reads / wall:,.0f} (jobs={args.jobs})")
+    print(f"somatic SNV recall {tp}/{len(som)}  PASS FP {fp} "
+          f"(germline leaks {germline_leak})")
+    ok = tp >= 0.97 * len(som) and fp <= max(2, 0.01 * len(som))
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -49,7 +49,7 @@ def make_batch(reads):
 
 def generate(L=200_000, depth=40, read_len=100, snv_every=0,
              indel_every=0, indel_len=2, seed=7, err_rate=0.0015,
-             qual=32, ref_seed=None):
+             qual=32, ref_seed=None, somatic_every=0, somatic_vaf=0.0):
     """Return (ref_str, batch, truth) for a het-planted diploid sample.
 
     snv_every / indel_every: average spacing of planted het variants
@@ -57,6 +57,10 @@ def generate(L=200_000, depth=40, read_len=100, snv_every=0,
     ref_seed: seed for the reference sequence AND planted variant set
     (defaults to `seed`); pass the same ref_seed with different `seed`s
     to sample independent read sets (e.g. tumor/normal) from one truth.
+    somatic_every/somatic_vaf: additionally plant somatic SNVs (offset
+    from the germline grid) carried by each covering read with
+    probability `somatic_vaf` — enable for the tumor read set only,
+    with the same ref_seed as the normal (truth key "som_snv").
     """
     ref_rng = np.random.default_rng(seed if ref_seed is None else ref_seed)
     rng = np.random.default_rng(seed)
@@ -81,6 +85,21 @@ def generate(L=200_000, depth=40, read_len=100, snv_every=0,
             spots.append((p, kind))
     spots.sort()
 
+    # somatic SNVs: positions on a grid offset half a step from the
+    # germline grid, so covering reads never span a germline indel
+    som_snv = {}
+    truth["som_snv"] = []
+    if somatic_every:
+        occupied = {p for p, _k in spots}
+        for p in np.arange(pad + somatic_every // 2, L - pad,
+                           somatic_every):
+            p = int(p)
+            if any(abs(p - q) < read_len + 3 * indel_len
+                   for q in occupied):
+                continue
+            som_snv[p] = (ref_codes[p] + 2) % 4
+            truth["som_snv"].append(p)
+
     # haplotype 1 carries all variants (het); build as code array + map
     hap1 = ref_codes.copy()
     del_set = {}
@@ -92,6 +111,8 @@ def generate(L=200_000, depth=40, read_len=100, snv_every=0,
             del_set[p] = indel_len
         else:
             ins_set[p] = ref_rng.integers(0, 4, indel_len).astype(np.uint8)
+
+    som_pos = np.array(sorted(som_snv), np.int64)
 
     n_reads = L * depth // read_len
     reads = []
@@ -148,6 +169,15 @@ def generate(L=200_000, depth=40, read_len=100, snv_every=0,
             cstr.append(f"{cnt}{last}")
             cigar = "".join(cstr)
             scodes = np.array(parts[:read_len], np.uint8)
+        if som_snv and rng.random() < somatic_vaf:
+            # somatic sites sit far from germline indels, so read
+            # coordinates there are reference-linear for either hap
+            j0 = np.searchsorted(som_pos, st)
+            j1 = np.searchsorted(som_pos, st + read_len)
+            if j1 > j0:
+                scodes = scodes.copy()
+                for p in som_pos[j0:j1]:
+                    scodes[p - st] = som_snv[int(p)]
         if ne:
             idx = rng.integers(0, read_len, ne)
             scodes = scodes.copy()
