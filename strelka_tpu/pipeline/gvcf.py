@@ -17,6 +17,9 @@ from ..options import GermlineOptions
 from .germline_caller import IndelCall, RegionCallResult, snv_hpol
 
 
+FORCE_PYTHON_BLOCKS = False  # test hook: disable native/blocks.cpp
+
+
 class BlockState:
     """Hom-ref block accumulator (gvcf_block_site_record.hh).
 
@@ -420,7 +423,39 @@ def emit_region(
     frac_tol = opt.block_frac_tol
     block_label = opt.block_label
 
-    for i in range(L):
+    # native hom-ref block compression: whole runs between "events"
+    # (variant sites and indel-emission positions) compress in one C++
+    # pass per sample (native/blocks.cpp); the per-position BlockState
+    # loop below stays as the fallback and semantic oracle
+    from ..io import native as natio
+    use_native_blocks = (not FORCE_PYTHON_BLOCKS
+                         and natio.get_lib() is not None and L > 0)
+    if use_native_blocks:
+        stop_mask = any_variant_v.copy()
+        for p in indels_at:
+            ie = p - 1 - result.begin
+            if 0 <= ie < L:
+                stop_mask[ie] = True
+        stops = np.nonzero(stop_mask)[0]
+        nb_arrs = []
+        for s in range(n_samples):
+            ps = pre[s]
+            nb_arrs.append((
+                np.asarray(ps["gqx"], np.int32),
+                np.asarray(ps["dp"], np.int32),
+                np.asarray(ps["dpf"], np.int32),
+                np.asarray(ps["fcode"], np.int8),
+                np.asarray(ps["nonref_ok"], np.uint8),
+                (np.asarray(ps["ploidy"], np.int8)
+                 if ps["ploidy"] is not None else None),
+            ))
+        nb_nocomp = (np.asarray(nocompress_mask, np.uint8)
+                     if nocompress_mask is not None else None)
+        nb_out = np.empty((L, 9), np.int64)
+        _GT_STRS = ("0/0", "0", ".", "./.")
+
+    i = 0
+    while i < L:
         pos = result.begin + i
         # indel records sort before the site at the same position + 1
         # (VCF indel pos is pos-1 of first changed base)
@@ -432,6 +467,37 @@ def emit_region(
 
         ref_gt = ref_list[i]
         ref_base = ref_chars[ref_gt]
+
+        if use_native_blocks and not any_variant[i]:
+            # hom-ref run [i, j): j = next variant/indel event after i
+            k = int(np.searchsorted(stops, i, side="right"))
+            j = int(stops[k]) if k < len(stops) else L
+            for s in range(n_samples):
+                gq_a, dp_a, dpf_a, fc_a, nr_a, pl_a = nb_arrs[s]
+                n_rows = natio.block_compress_run(
+                    gq_a, dp_a, dpf_a, fc_a, nr_a, pl_a, nb_nocomp,
+                    i, j, abs_tol, frac_tol, nb_out)
+                gl = gvcf_lines[s]
+                for kind, st, cnt, gqx_min, dp_sum, dpf_sum, dp_min,                         fc, gtc in nb_out[:n_rows].tolist():
+                    p1 = result.begin + st + 1
+                    rb = ref_chars[ref_list[st]]
+                    fstr = _FSTR[fc]
+                    if kind == 1:
+                        gl.append(
+                            f"{chrom}\t{p1}\t.\t{rb}\t.\t.\t{fstr}\t.\t"
+                            f"GT:GQX:DP:DPF:MIN_DP\t"
+                            f"0/0:{gqx_min}:{dp_sum}:{dpf_sum}:{dp_min}")
+                    else:
+                        info = ("." if cnt == 1 else
+                                f"END={result.begin + st + cnt};{block_label}")
+                        gl.append(
+                            f"{chrom}\t{p1}\t.\t{rb}\t.\t.\t{fstr}\t"
+                            f"{info}\tGT:GQX:DP:DPF:MIN_DP\t"
+                            f"{_GT_STRS[gtc]}:{gqx_min}:"
+                            f"{round(dp_sum / cnt)}:{round(dpf_sum / cnt)}:"
+                            f"{dp_min}")
+            i = j
+            continue
 
         if not any_variant[i]:
             # hom-ref path -> block compression per sample
@@ -463,6 +529,7 @@ def emit_region(
                 else:
                     gt = "0/0" if covered else "./."
                 b.add(pos, ref_base, gt, gqx, dp, dpf, fstr)
+            i += 1
             continue
 
         # variant site record (rare path; gather per-sample scalars)
@@ -476,6 +543,7 @@ def emit_region(
                        for a in digt.ALLELES[per_sample[s][3]]
                        if a != ref_gt and per_sample[s][6]})
         if not alts:
+            i += 1
             continue
         alt_str = ",".join(decode_bases([a]) for a in alts)
         allele_map = {ref_gt: 0}
@@ -578,6 +646,7 @@ def emit_region(
             blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)
             gvcf_lines[s].append(
                 line.rsplit("\t", n_samples)[0] + "\t" + sample_cols[s])
+        i += 1
 
     for s in range(n_samples):
         blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)

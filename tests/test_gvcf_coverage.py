@@ -46,3 +46,41 @@ def test_gvcf_tiles_contig_without_gaps(demo_gvcf):
         assert b == cursor + 1, (b, cursor)
         cursor = e
     assert cursor == 5000  # demo20 length
+
+
+def test_native_block_compressor_matches_python(tmp_path):
+    """native/blocks.cpp must produce byte-identical gVCF lines to the
+    BlockState fallback on a region with variants, indels, depth
+    variation, and uncovered stretches."""
+    import numpy as np
+
+    from benchmarks import synth
+    from strelka_tpu.io.fasta import FastaReference
+    from strelka_tpu.options import GermlineOptions
+    from strelka_tpu.pipeline import germline_caller as gc
+    from strelka_tpu.pipeline import gvcf
+
+    refs, batch, _ = synth.generate(L=50_000, depth=18, snv_every=700,
+                                    indel_every=700, seed=9)
+    # carve out an uncovered gap to exercise ./. blocks
+    keep = (batch.pos < 20_000) | (batch.pos > 21_500)
+    batch = batch.select(keep)
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">d\n" + refs + "\n")
+    ref = FastaReference(str(fa))
+    opt = GermlineOptions()
+    res = gc.call_region(opt, ref, "d", 0, 50_000, [batch])
+    nocomp = np.zeros(50_000, bool)
+    nocomp[5000:5010] = True  # exercise nocompress single-site records
+    outs = {}
+    for force in (False, True):
+        gvcf.FORCE_PYTHON_BLOCKS = force
+        try:
+            g, v = gvcf.emit_region(opt, res, ["S"],
+                                    nocompress_mask=nocomp)
+        finally:
+            gvcf.FORCE_PYTHON_BLOCKS = False
+        outs[force] = (g, v)
+    assert outs[False][1] == outs[True][1]
+    assert outs[False][0] == outs[True][0]
+    assert len(outs[False][0][0]) > 500
