@@ -68,10 +68,9 @@ def anchor_mask(ref_codes: np.ndarray) -> np.ndarray:
         # equivalently mark a run [start, end] for maximal repeats
         rep_idx = np.nonzero(in_repeat)[0]
         starts = rep_idx - span[rep_idx] + 1
-        diff = np.zeros(L + 1, dtype=np.int64)
-        np.add.at(diff, np.maximum(starts, 0), 1)
-        np.add.at(diff, rep_idx + 1, -1)
-        covered = np.cumsum(diff[:-1]) > 0
+        diff = (np.bincount(np.maximum(starts, 0), minlength=L + 1)
+                - np.bincount(rep_idx + 1, minlength=L + 1))
+        covered = np.cumsum(diff[:L]) > 0
         anchor &= ~covered
     return anchor
 
