@@ -157,7 +157,7 @@ def somatic_soak(args):
     refs, normal, truth = synth.generate(**kw, seed=21)
     _, tumor, truth_t = synth.generate(
         **dict(kw, depth=2 * args.depth), seed=22,
-        somatic_every=1200, somatic_vaf=0.3)
+        somatic_every=1200, somatic_vaf=0.3, somatic_indel_every=1500)
     fa = os.path.join(td, "ref.fa")
     with open(fa, "w") as f:
         f.write(">soak1\n")
@@ -193,6 +193,19 @@ def somatic_soak(args):
             called_any.add(p)
             if fields[6] == "PASS":
                 called_pass.add(p)
+    ind_pass = set()
+    with gzip.open(os.path.join(out, "somatic.indels.vcf.gz"), "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.split("\t")
+            if fields[6] == "PASS":
+                ind_pass.add(int(fields[1]) - 1)
+    som_ind = set(truth_t["som_del"]) | set(truth_t["som_ins"])
+    ind_tp = sum(1 for p in som_ind
+                 if any(abs(p - c) <= 3 for c in ind_pass))
+    ind_fp = sum(1 for c in ind_pass
+                 if all(abs(p - c) > 3 for p in som_ind))
     som = set(truth_t["som_snv"])
     tp = len(som & called_pass)
     germline_leak = sum(1 for p in called_pass
@@ -202,7 +215,10 @@ def somatic_soak(args):
           f"reads/s={n_reads / wall:,.0f} (jobs={args.jobs})")
     print(f"somatic SNV recall {tp}/{len(som)}  PASS FP {fp} "
           f"(germline leaks {germline_leak})")
-    ok = tp >= 0.97 * len(som) and fp <= max(2, 0.01 * len(som))
+    print(f"somatic indel recall {ind_tp}/{len(som_ind)}  PASS FP {ind_fp}")
+    ok = (tp >= 0.97 * len(som) and fp <= max(2, 0.01 * len(som))
+          and ind_tp >= 0.95 * len(som_ind)
+          and ind_fp <= max(2, 0.02 * len(som_ind)))
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -49,7 +49,8 @@ def make_batch(reads):
 
 def generate(L=200_000, depth=40, read_len=100, snv_every=0,
              indel_every=0, indel_len=2, seed=7, err_rate=0.0015,
-             qual=32, ref_seed=None, somatic_every=0, somatic_vaf=0.0):
+             qual=32, ref_seed=None, somatic_every=0, somatic_vaf=0.0,
+             somatic_indel_every=0, somatic_indel_len=3):
     """Return (ref_str, batch, truth) for a het-planted diploid sample.
 
     snv_every / indel_every: average spacing of planted het variants
@@ -88,17 +89,35 @@ def generate(L=200_000, depth=40, read_len=100, snv_every=0,
     # somatic SNVs: positions on a grid offset half a step from the
     # germline grid, so covering reads never span a germline indel
     som_snv = {}
+    som_indel = {}   # p -> +ilen (ins) / -dlen (del), applied after p
     truth["som_snv"] = []
+    truth["som_del"] = []
+    truth["som_ins"] = []
+    min_gap = read_len + 3 * indel_len + somatic_indel_len
+    occupied = {p for p, _k in spots}
     if somatic_every:
-        occupied = {p for p, _k in spots}
         for p in np.arange(pad + somatic_every // 2, L - pad,
                            somatic_every):
             p = int(p)
-            if any(abs(p - q) < read_len + 3 * indel_len
-                   for q in occupied):
+            if any(abs(p - q) < min_gap for q in occupied):
                 continue
             som_snv[p] = (ref_codes[p] + 2) % 4
             truth["som_snv"].append(p)
+            occupied.add(p)
+    if somatic_indel_every:
+        for k, p in enumerate(np.arange(pad + somatic_indel_every // 4,
+                                        L - pad, somatic_indel_every)):
+            p = int(p)
+            if any(abs(p - q) < min_gap for q in occupied):
+                continue
+            if k % 2 == 0:
+                som_indel[p] = -somatic_indel_len
+                truth["som_del"].append(p)
+            else:
+                som_indel[p] = somatic_indel_len
+                truth["som_ins"].append(p)
+            occupied.add(p)
+    som_ins_seq = ref_rng.integers(0, 4, somatic_indel_len).astype(np.uint8)
 
     # haplotype 1 carries all variants (het); build as code array + map
     hap1 = ref_codes.copy()
@@ -113,6 +132,7 @@ def generate(L=200_000, depth=40, read_len=100, snv_every=0,
             ins_set[p] = ref_rng.integers(0, 4, indel_len).astype(np.uint8)
 
     som_pos = np.array(sorted(som_snv), np.int64)
+    som_ind_pos = np.array(sorted(som_indel), np.int64)
 
     n_reads = L * depth // read_len
     reads = []
@@ -178,6 +198,30 @@ def generate(L=200_000, depth=40, read_len=100, snv_every=0,
                 scodes = scodes.copy()
                 for p in som_pos[j0:j1]:
                     scodes[p - st] = som_snv[int(p)]
+        if len(som_ind_pos) and rng.random() < somatic_vaf:
+            # apply one somatic indel when the read brackets it with
+            # >= 8bp flanks (read window is reference-linear here)
+            j0 = np.searchsorted(som_ind_pos, st + 8)
+            j1 = np.searchsorted(som_ind_pos, st + read_len - 8
+                                 - somatic_indel_len)
+            if j1 > j0:
+                p = int(som_ind_pos[j0])
+                sz = som_indel[p]
+                left = p + 1 - st
+                if sz < 0:
+                    dlen = -sz
+                    scodes = np.concatenate([
+                        ref_codes[st:p + 1],
+                        ref_codes[p + 1 + dlen:st + read_len + dlen]])
+                    cigar = f"{left}M{dlen}D{read_len - left}M"
+                else:
+                    take = min(sz, read_len - left)
+                    scodes = np.concatenate([
+                        ref_codes[st:p + 1], som_ins_seq[:take],
+                        ref_codes[p + 1:st + read_len - take]])
+                    cigar = (f"{left}M{take}I{read_len - left - take}M"
+                             if read_len - left - take > 0
+                             else f"{left}M{take}I")
         if ne:
             idx = rng.integers(0, read_len, ne)
             scodes = scodes.copy()
