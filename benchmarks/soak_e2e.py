@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--depth", type=int, default=40)
     ap.add_argument("--jobs", type=int, default=2)
     ap.add_argument("--no-kill", action="store_true")
+    ap.add_argument("--samples", type=int, default=1,
+                    help="joint multi-sample germline: N samples share "
+                         "the ref_seed truth; odd samples get an extra "
+                         "private SNV set via per-sample seeds")
     ap.add_argument("--somatic", action="store_true",
                     help="tumor/normal CLI soak: shared germline truth, "
                          "tumor at 2x depth with VAF-0.3 somatic SNVs")
@@ -48,25 +52,35 @@ def main():
     td = tempfile.mkdtemp(prefix="soak_")
     print(f"workdir {td}", file=sys.stderr)
     t0 = time.time()
-    refs, batch, truth = synth.generate(
-        L=args.length, depth=args.depth, snv_every=900, indel_every=900)
+    kw = dict(L=args.length, depth=args.depth, snv_every=900,
+              indel_every=900, ref_seed=7)
+    bams = []
+    n_reads = 0
+    hdr = BamHeader(text="", ref_names=["soak1"],
+                    ref_lengths=[args.length])
+    for si in range(args.samples):
+        refs, batch, truth = synth.generate(**kw, seed=7 + si)
+        bam = os.path.join(td, f"sample{si}.bam")
+        write_bam(bam, hdr, batch)
+        bams.append(bam)
+        n_reads += batch.n
     fa = os.path.join(td, "ref.fa")
     with open(fa, "w") as f:
         f.write(">soak1\n")
         for i in range(0, len(refs), 70):
             f.write(refs[i:i + 70] + "\n")
-    bam = os.path.join(td, "sample.bam")
-    write_bam(bam, BamHeader(text="", ref_names=["soak1"],
-                             ref_lengths=[args.length]), batch)
-    print(f"generated {batch.n} reads in {time.time() - t0:.0f}s",
-          file=sys.stderr)
+    print(f"generated {n_reads} reads x {args.samples} sample(s) "
+          f"in {time.time() - t0:.0f}s", file=sys.stderr)
 
     out = os.path.join(td, "run")
 
     def cli(outdir):
-        return [sys.executable, "-m", "strelka_tpu.workflow.germline",
-                "--reference", fa, "--align-file", bam,
-                "--output-dir", outdir, "--exome", "--platform", "cpu"]
+        cmd = [sys.executable, "-m", "strelka_tpu.workflow.germline",
+               "--reference", fa, "--output-dir", outdir, "--exome",
+               "--platform", "cpu"]
+        for b in bams:
+            cmd += ["--align-file", b]
+        return cmd
 
     # 1. timed fresh fan-out run (the headline number)
     t1 = time.time()
@@ -110,6 +124,7 @@ def main():
 
     # parse calls
     called_snv, called_indel = set(), set()
+    pass_snv = set()
     n_var = 0
     with gzip.open(os.path.join(out, "variants.vcf.gz"), "rt") as f:
         for line in f:
@@ -123,6 +138,8 @@ def main():
             if len(fields[3]) == 1 and all(len(a) == 1
                                            for a in fields[4].split(",")):
                 called_snv.add(p)
+                if fields[6] == "PASS":
+                    pass_snv.add(p)
             else:
                 called_indel.add(p + 1)
 
@@ -130,13 +147,33 @@ def main():
         tp = sum(1 for p in tset if any(abs(p - c) <= tol for c in called))
         return tp, len(tset)
 
+    if args.samples > 1:
+        # joint check: shared variants must genotype as variant in
+        # every sample column
+        n_all = n_joint = 0
+        with gzip.open(os.path.join(out, "variants.vcf.gz"), "rt") as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                fields = line.rstrip("\n").split("\t")
+                p = int(fields[1]) - 1
+                if p in set(truth["snv"]) and fields[6] == "PASS":
+                    n_all += 1
+                    gts = [c.split(":")[0] for c in fields[9:]]
+                    if all(g.replace("|", "/") in ("0/1", "1/0", "1/1")
+                           for g in gts):
+                        n_joint += 1
+        print(f"joint: {n_joint}/{n_all} shared PASS SNVs variant in "
+              f"all {args.samples} samples")
+        assert n_joint >= 0.98 * max(n_all, 1)
+
     s_tp, s_n = recall(truth["snv"], called_snv, 0)
     d_tp, d_n = recall(truth["del"], called_indel, 3)
     i_tp, i_n = recall(truth["ins"], called_indel, 3)
-    fp_snv = sum(1 for p in called_snv if all(abs(p - q) > 0
+    fp_snv = sum(1 for p in pass_snv if all(abs(p - q) > 0
                  for q in truth["snv"]))
-    print(f"soak: reads={batch.n} wall={wall:.0f}s "
-          f"reads/s={batch.n / wall:,.0f} (jobs={args.jobs}) "
+    print(f"soak: reads={n_reads} wall={wall:.0f}s "
+          f"reads/s={n_reads / wall:,.0f} (jobs={args.jobs}) "
           f"variants={n_var}")
     print(f"SNV recall {s_tp}/{s_n}  del {d_tp}/{d_n}  ins {i_tp}/{i_n}  "
           f"SNV FP {fp_snv}")
