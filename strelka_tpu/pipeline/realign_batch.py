@@ -109,8 +109,15 @@ def score_loci_batched(
         Lr = int(read_lens.max())
         locus_begin = min(k.pos for k in alt_keys)
         locus_end = max(k.right_pos for k in alt_keys)
-        win_begin = max(locus_begin - (Lr + window_flank), ref_offset)
-        win_end = min(locus_end + (Lr + window_flank),
+        # placement shifts beyond a read's natural offset come from
+        # toggling the locus's indels (± their lengths) plus edge
+        # slack, so the offset window only needs a flank proportional
+        # to the largest alt — not the fixed worst-case
+        max_ind = max(k.insert_length + k.delete_length
+                      for k in alt_keys)
+        flank = min(window_flank, 16 + 2 * max_ind)
+        win_begin = max(locus_begin - (Lr + flank), ref_offset)
+        win_end = min(locus_end + (Lr + flank),
                       ref_offset + len(ref_codes))
         ref_window = ref_codes[win_begin - ref_offset:win_end - ref_offset]
         haps = [ref_window]
