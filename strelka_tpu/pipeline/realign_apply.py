@@ -21,6 +21,39 @@ from ..utils import cigar as cg
 from .candidates import IndelKey
 
 
+def aligned_span_table(batch: ReadBatch):
+    """Vectorized _aligned_span over the whole batch:
+    (clip_left [n], clip_right [n], has_complex [n]). One pass over the
+    flat CIGAR tables instead of a per-read Python parse."""
+    n = batch.n
+    ops = batch.cig_ops
+    lens = batch.cig_lens
+    off = batch.cig_off
+    nseg = np.diff(off)
+    seg_read = np.repeat(np.arange(n), nseg)
+    seg_idx = np.arange(len(ops)) - np.repeat(off[:-1], nseg)
+    is_match = (ops == cg.MATCH) | (ops == cg.SEQ_MATCH) |         (ops == cg.SEQ_MISMATCH)
+    big = np.iinfo(np.int64).max
+    first_m = np.full(n, big, np.int64)
+    last_m = np.full(n, -1, np.int64)
+    if is_match.any():
+        np.minimum.at(first_m, seg_read[is_match], seg_idx[is_match])
+        np.maximum.at(last_m, seg_read[is_match], seg_idx[is_match])
+    is_complex_op = (ops == cg.INSERT) | (ops == cg.DELETE) |         (ops == cg.SKIP)
+    interior = is_complex_op & (seg_idx >= first_m[seg_read]) &         (seg_idx <= last_m[seg_read])
+    has_complex = np.zeros(n, bool)
+    np.logical_or.at(has_complex, seg_read[interior], True)
+    # soft clips outside [first_m, last_m]
+    is_sc = ops == cg.SOFT_CLIP
+    lead_sc = is_sc & (seg_idx < first_m[seg_read])
+    trail_sc = is_sc & (seg_idx > last_m[seg_read])
+    clip_l = np.zeros(n, np.int64)
+    clip_r = np.zeros(n, np.int64)
+    np.add.at(clip_l, seg_read[lead_sc], lens[lead_sc])
+    np.add.at(clip_r, seg_read[trail_sc], lens[trail_sc])
+    return clip_l, clip_r, has_complex
+
+
 def _aligned_span(batch: ReadBatch, r: int):
     """(clip_left, clip_right, has_complex_interior) for read r.
 
@@ -165,7 +198,8 @@ LN10 = float(np.log(10.0))  # smoothed_lnp_range, starling_base_shared.hh:171
 
 
 def clip_ambiguous_edges(batch: ReadBatch, r: int, scores, i: int,
-                         keys, alt_in_pool: np.ndarray):
+                         keys, alt_in_pool: np.ndarray,
+                         has_complex=None):
     """Gapless plan with ambiguous edges soft-clipped.
 
     When a read's smooth pool holds both the gapless alignment (the
@@ -177,32 +211,42 @@ def clip_ambiguous_edges(batch: ReadBatch, r: int, scores, i: int,
     starling_read_align_clipper.cpp:345-423). Returns (pos, ops, lens)
     or None (complex input alignment / fully-conflicted read).
     """
-    _cl, _cr, has_complex = _aligned_span(batch, r)
+    if has_complex is None:
+        _cl, _cr, has_complex = _aligned_span(batch, r)
     if has_complex:
         return None
     rl = int(scores.read_len[i])
     o_r = scores.win_begin + int(scores.best_offsets[i, 0])
-    j = np.arange(rl)
-    conflict = np.zeros(rl, dtype=bool)
+    # each alt's non-conflicting read positions form ONE interval: a
+    # prefix (same placement below the indel) and/or suffix (placement
+    # shifted by exactly the indel length above it); the pool's
+    # conflict-free set is the intersection — O(alts) scalar work
+    lead, trail = 0, rl
     for a in np.nonzero(alt_in_pool)[0]:
         key = keys[a]
         if not key.is_primitive:
             return None
         o_a = scores.win_begin + int(scores.best_offsets[i, 1 + a])
-        h = o_a + j          # haplotype coordinate of read pos j
         p = key.pos          # indel position (hap == ref coords below p)
         if key.is_insertion:
-            ins = key.insert_length
-            ref_of = np.where(h < p + ins, h, h - ins)
-            is_ins = (h >= p) & (h < p + ins)
-            conflict |= is_ins | (~is_ins & (ref_of != o_r + j))
+            shift = -key.insert_length   # ref_of = h - ins above p+ins
+            suffix_from = p + key.insert_length - o_a
         else:
-            ref_of = np.where(h < p, h, h + key.delete_length)
-            conflict |= ref_of != o_r + j
-    ok = np.nonzero(~conflict)[0]
-    if len(ok) == 0:
+            shift = key.delete_length    # ref_of = h + dlen at/above p
+            suffix_from = p - o_a
+        a_lead, a_trail = rl, 0          # empty by default
+        if o_a == o_r:
+            a_lead, a_trail = 0, min(rl, max(p - o_a, 0))
+        if o_a + shift == o_r:
+            lo = min(max(suffix_from, 0), rl)
+            if a_trail <= a_lead:        # no prefix interval
+                a_lead, a_trail = lo, rl
+            # prefix requires o_a==o_r and suffix o_a+shift==o_r: both
+            # only when shift==0, impossible for a real indel
+        lead = max(lead, a_lead)
+        trail = min(trail, a_trail)
+    if lead >= trail:
         return None
-    lead, trail = int(ok[0]), int(ok[-1]) + 1
     if lead == 0 and trail == rl:
         return unroll_read(batch, r)
     new_pos = o_r + lead
@@ -325,6 +369,10 @@ def apply_realignments(
     Returns (new batch, n_realigned). The batch is copied lazily.
     """
     new_cigars: dict[int, tuple[int, np.ndarray, np.ndarray]] = {}
+    # batch-level clip/structure table: shared by every locus's reads
+    # (the per-read CIGAR parse dominated indel-dense regions)
+    clip_l, clip_r, has_complex = aligned_span_table(batch)
+    clippable = ((clip_l > 0) | (clip_r > 0)) & ~has_complex
     for li, scores in locus_scores.items():
         keys = loci[li]
         lh = scores.allele_lhoods
@@ -338,7 +386,7 @@ def apply_realignments(
             if not unroll_clips and ref_codes is not None:
                 # RNA mode: keep the soft-clipped input alignment when
                 # it scores at least as well as the chosen realignment
-                cl, cr, _hc = _aligned_span(batch, r)
+                cl, cr = int(clip_l[r]), int(clip_r[r])
                 if cl or cr:
                     chosen = float(lh[i, 1 + int(best_alt[i])]) if win[i] \
                         else float(lh[i, 0])
@@ -355,7 +403,7 @@ def apply_realignments(
                         scores.win_begin)
                 else:
                     res = realign_read_to_indel(batch, r, key)
-                if res is None and unroll_clips:
+                if res is None and unroll_clips and clippable[r]:
                     res = unroll_read(batch, r)
             else:
                 # gapless is the preferred pool member; when any
@@ -365,9 +413,10 @@ def apply_realignments(
                 pool_max = max(float(lh[i, 0]), float(lh[i, 1:].max()))
                 alt_in_pool = lh[i, 1:] >= pool_max - min_lhood_gain
                 if alt_in_pool.any() and scores.best_offsets is not None:
-                    res = clip_ambiguous_edges(batch, r, scores, i,
-                                               keys, alt_in_pool)
-                if res is None and unroll_clips:
+                    res = clip_ambiguous_edges(
+                        batch, r, scores, i, keys, alt_in_pool,
+                        has_complex=bool(has_complex[r]))
+                if res is None and unroll_clips and clippable[r]:
                     res = unroll_read(batch, r)
             if res is not None:
                 new_cigars[r] = res
