@@ -40,8 +40,10 @@ def main():
     ap.add_argument("--no-kill", action="store_true")
     ap.add_argument("--samples", type=int, default=1,
                     help="joint multi-sample germline: N samples share "
-                         "the ref_seed truth; odd samples get an extra "
-                         "private SNV set via per-sample seeds")
+                         "one planted truth, each with independently "
+                         "sampled reads; the joint check requires every "
+                         "shared PASS SNV to genotype as variant in all "
+                         "sample columns")
     ap.add_argument("--somatic", action="store_true",
                     help="tumor/normal CLI soak: shared germline truth, "
                          "tumor at 2x depth with VAF-0.3 somatic SNVs")
@@ -105,8 +107,9 @@ def main():
         if pr.poll() is None:
             pr.send_signal(signal.SIGKILL)
             pr.wait()
+        ws2 = os.path.join(out2, "workspace")
         pre = len({f.split(".")[0] for f in
-                   os.listdir(os.path.join(out2, "workspace"))
+                   (os.listdir(ws2) if os.path.isdir(ws2) else [])
                    if f.startswith("seg_")})
         r2 = subprocess.run(cli(out2) + ["--jobs", str(args.jobs)],
                             capture_output=True)

@@ -490,8 +490,8 @@ def block_compress_run(gqx, dp, dpf, fcode, nonref_ok, ploidy,
     Python BlockState loop).
     """
     lib = get_lib()
-    if lib is None:
-        return None
+    if lib is None or not hasattr(lib, "block_compress_run"):
+        return None  # stale .so without the symbol -> Python fallback
     if not getattr(lib, "_blocks_ready", False):
         i8p = ctypes.POINTER(ctypes.c_int8)
         i32p = ctypes.POINTER(ctypes.c_int32)

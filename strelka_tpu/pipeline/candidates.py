@@ -151,6 +151,9 @@ def left_shift_indel(pos: int, del_len: int, ins_seq: np.ndarray,
     For an insertion: while ref[pos-1] == ins_seq[-1], rotate right.
     """
     ins = list(ins_seq)
+    # indels observed past the fetched reference window (reads whose
+    # alignment extends beyond the segment halo) are left unshifted —
+    # they lie outside the calling region and are dropped downstream
     if del_len > 0 and not ins:
         while (pos - 1 >= ref_offset
                and pos + del_len - 1 - ref_offset < len(ref_codes)
@@ -159,6 +162,7 @@ def left_shift_indel(pos: int, del_len: int, ins_seq: np.ndarray,
             pos -= 1
     elif ins and del_len == 0:
         while (pos - 1 >= ref_offset
+               and pos - 1 - ref_offset < len(ref_codes)
                and ref_codes[pos - 1 - ref_offset] == ins[-1]):
             ins = [ins[-1]] + ins[:-1]
             pos -= 1

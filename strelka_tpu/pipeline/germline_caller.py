@@ -457,6 +457,25 @@ def call_region(
     )
 
 
+def indel_edge_distances(lrp, rrp, rl):
+    """Per-read distance of an indel from the closest read edge at its
+    scored with-indel placement, capped at 20.
+
+    lrp: read offset of the first base at/after the indel; rrp: same
+    plus the insertion length; rl: read lengths. Mirrors
+    starling_read_align_score_indels.cpp:977-1018 (readPos = lowest
+    read offset covering [pos-1, right_pos+1), revReadPos its
+    reverse-strand twin, distance defaults to the full read length
+    when neither side is in range) + the cap at
+    AlleleReportInfoUtil.cpp:356."""
+    d1 = lrp - 1
+    d2 = rl - 1 - rrp
+    dist = np.asarray(rl, np.int64).copy()
+    dist = np.where(d1 >= 0, np.minimum(dist, d1), dist)
+    dist = np.where(d2 >= 0, np.minimum(dist, d2), dist)
+    return np.minimum(dist, 20)
+
+
 def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
                          ref_offset, samples, region_begin, n_samples,
                          sample_ploidy=None, precomputed_scores=None):
@@ -494,24 +513,10 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
         else:
             scores = realign.score_locus(kept[s], eas[s], levels[s],
                                          ref_codes, ref_offset, list(keys))
-        if scores is not None and scores.genotyping_mask is not None:
+        if scores is not None:
             # breakpoint-overlap gate: only sufficiently-overlapping
             # reads receive ReadPathScores for genotyping
-            gm = scores.genotyping_mask
-            if not gm.any():
-                scores = None
-            elif not gm.all():
-                scores = realign.LocusReadScores(
-                    read_rows=scores.read_rows[gm],
-                    allele_lhoods=scores.allele_lhoods[gm],
-                    read_len=scores.read_len[gm],
-                    n_nonambig=scores.n_nonambig[gm],
-                    is_fwd=scores.is_fwd[gm],
-                    best_offsets=(scores.best_offsets[gm]
-                                  if scores.best_offsets is not None
-                                  else None),
-                    win_begin=scores.win_begin,
-                    n_suboverlap=scores.n_suboverlap)
+            scores = realign.apply_genotyping_mask(scores)
         edge_mean = 0.0
         if scores is None:
             lh = np.zeros(ig.genotype_count(ploidy, A))
@@ -541,25 +546,28 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
                 ad[a] = int(sel.sum())
                 adf[a] = int((sel & scores.is_fwd).sum())
                 adr[a] = int((sel & ~scores.is_fwd).sum())
-            # mean edge distance over confident reads of the top alt
-            # (min read-offset of either indel breakpoint from either
-            # read edge at the scored placement, capped at 20 —
-            # AlleleReportInfoUtil.cpp:354-359)
-            if scores.best_offsets is not None and conf[:, 1:].any():
-                a1 = 1 + int(ad[1:].argmax())
-                key1 = keys[a1 - 1]
-                sel = conf[:, a1]
-                lrp = (key1.pos - scores.win_begin
-                       - scores.best_offsets[sel, a1])
-                rrp = lrp + key1.insert_length
-                rl = scores.read_len[sel]
-                dist = np.minimum(np.maximum(lrp, 0),
-                                  np.maximum(rl - rrp, 0))
-                dist = np.minimum(dist, 20)
-                if len(dist):
-                    edge_mean = float(dist.mean())
+
         pg, max_g, q_ref_g, q_max_g = ig.genotype_posteriors(lh, tri_g)
         pp, max_p, q_ref_p, q_max_p = ig.genotype_posteriors(lh, tri_p)
+        if scores is not None and scores.best_offsets is not None:
+            # mean distance of the genotype's primary alt indel from
+            # the closest read edge over its confident supporting
+            # reads, capped at 20 per read: readPos = lowest read
+            # offset covering [pos-1, right_pos+1) on the max
+            # with-indel placement, revReadPos its reverse-strand twin
+            # (AlleleReportInfoUtil.cpp:354-359 +
+            # starling_read_align_score_indels.cpp:977-1018)
+            ga0 = ig.genotype_alleles(ploidy, A)
+            ia0, ia1 = (int(x) for x in ga0[max_p])
+            primary = ia0 if ia0 > 0 else (ia1 if ia1 > 0 else 1)
+            keyp = keys[primary - 1]
+            sel = conf[:, primary]
+            if sel.any():
+                lrp = (keyp.pos - scores.win_begin
+                       - scores.best_offsets[sel, primary])
+                edge_mean = float(indel_edge_distances(
+                    lrp, lrp + keyp.insert_length,
+                    scores.read_len[sel]).mean())
         gq = q_max_p
         gqx = min(q_max_g, q_max_p) if max_g == max_p else 0
         pl_arr = np.minimum(np.round(-10 * (lh - lh.max()) / np.log(10)), 999)

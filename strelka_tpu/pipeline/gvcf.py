@@ -405,6 +405,12 @@ def emit_region(
             "nonref_ok": nonref_ok_v.tolist(), "fcode": fcode_v.tolist(),
             "ploidy": ploidy_l,
             "ploidy_red": site_ploidy_red[s].tolist(),
+            # numpy views for the native block compressor
+            "_np": (gqx_v.astype(np.int32), dp_v.astype(np.int32),
+                    dpf_v.astype(np.int32), fcode_v,
+                    nonref_ok_v.astype(np.uint8),
+                    (result.ploidy[s].astype(np.int8)
+                     if result.ploidy is not None else None)),
         })
     any_variant = any_variant_v.tolist()
     deleted_list = deleted_span.tolist()
@@ -428,8 +434,8 @@ def emit_region(
     # pass per sample (native/blocks.cpp); the per-position BlockState
     # loop below stays as the fallback and semantic oracle
     from ..io import native as natio
-    use_native_blocks = (not FORCE_PYTHON_BLOCKS
-                         and natio.get_lib() is not None and L > 0)
+    use_native_blocks = (not FORCE_PYTHON_BLOCKS and L > 0
+                         and hasattr(natio.get_lib(), "block_compress_run"))
     if use_native_blocks:
         stop_mask = any_variant_v.copy()
         for p in indels_at:
@@ -437,18 +443,7 @@ def emit_region(
             if 0 <= ie < L:
                 stop_mask[ie] = True
         stops = np.nonzero(stop_mask)[0]
-        nb_arrs = []
-        for s in range(n_samples):
-            ps = pre[s]
-            nb_arrs.append((
-                np.asarray(ps["gqx"], np.int32),
-                np.asarray(ps["dp"], np.int32),
-                np.asarray(ps["dpf"], np.int32),
-                np.asarray(ps["fcode"], np.int8),
-                np.asarray(ps["nonref_ok"], np.uint8),
-                (np.asarray(ps["ploidy"], np.int8)
-                 if ps["ploidy"] is not None else None),
-            ))
+        nb_arrs = [pre[s]["_np"] for s in range(n_samples)]
         nb_nocomp = (np.asarray(nocompress_mask, np.uint8)
                      if nocompress_mask is not None else None)
         nb_out = np.empty((L, 9), np.int64)

@@ -32,21 +32,25 @@ def aligned_span_table(batch: ReadBatch):
     nseg = np.diff(off)
     seg_read = np.repeat(np.arange(n), nseg)
     seg_idx = np.arange(len(ops)) - np.repeat(off[:-1], nseg)
-    is_match = (ops == cg.MATCH) | (ops == cg.SEQ_MATCH) |         (ops == cg.SEQ_MISMATCH)
-    big = np.iinfo(np.int64).max
-    first_m = np.full(n, big, np.int64)
-    last_m = np.full(n, -1, np.int64)
-    if is_match.any():
-        np.minimum.at(first_m, seg_read[is_match], seg_idx[is_match])
-        np.maximum.at(last_m, seg_read[is_match], seg_idx[is_match])
-    is_complex_op = (ops == cg.INSERT) | (ops == cg.DELETE) |         (ops == cg.SKIP)
-    interior = is_complex_op & (seg_idx >= first_m[seg_read]) &         (seg_idx <= last_m[seg_read])
+    # _aligned_span trims ONLY clip ops from the edges, so any I/D/N op
+    # anywhere marks the read complex (an indel can never sit inside
+    # the clip prefix/suffix)
+    is_complex_op = ((ops == cg.INSERT) | (ops == cg.DELETE)
+                     | (ops == cg.SKIP))
     has_complex = np.zeros(n, bool)
-    np.logical_or.at(has_complex, seg_read[interior], True)
-    # soft clips outside [first_m, last_m]
+    np.logical_or.at(has_complex, seg_read[is_complex_op], True)
+    # leading/trailing soft clips: clip runs at the alignment edges
+    is_clip = (ops == cg.SOFT_CLIP) | (ops == cg.HARD_CLIP)
+    big = np.iinfo(np.int64).max
+    first_nc = np.full(n, big, np.int64)
+    np.minimum.at(first_nc, seg_read,
+                  np.where(is_clip, big, seg_idx))
+    last_nc = np.full(n, -1, np.int64)
+    np.maximum.at(last_nc, seg_read,
+                  np.where(is_clip, -1, seg_idx))
     is_sc = ops == cg.SOFT_CLIP
-    lead_sc = is_sc & (seg_idx < first_m[seg_read])
-    trail_sc = is_sc & (seg_idx > last_m[seg_read])
+    lead_sc = is_sc & (seg_idx < first_nc[seg_read])
+    trail_sc = is_sc & (seg_idx > last_nc[seg_read])
     clip_l = np.zeros(n, np.int64)
     clip_r = np.zeros(n, np.int64)
     np.add.at(clip_l, seg_read[lead_sc], lens[lead_sc])

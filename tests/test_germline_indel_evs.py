@@ -81,3 +81,34 @@ def test_feature_vector_shape(indel_model):
     forest = load_scoring_model(indel_model, "INDEL", "Germline")
     assert list(forest.features) == GERMLINE_INDEL_FEATURES
     assert forest.filter_cutoff == 3.0
+
+
+def test_indel_edge_distance_oracle():
+    """Scalar transcription of the reference's distanceFromClosestReadEdge
+    (starling_read_align_score_indels.cpp:977-1018: readPos assignment
+    then min with revReadPos, default fullReadLength; capped at 20 by
+    AlleleReportInfoUtil.cpp:356) vs the vectorized helper."""
+    import numpy as np
+
+    from strelka_tpu.pipeline.germline_caller import indel_edge_distances
+
+    def oracle(lrp, rrp, rl):
+        read_pos = lrp - 1              # read offset of ref pos-1
+        rev_read_pos = rl - 1 - rrp     # reverse twin of right_pos
+        dist = rl
+        if read_pos >= 0:
+            dist = read_pos
+        if rev_read_pos >= 0 and rev_read_pos < dist:
+            dist = rev_read_pos
+        return min(dist, 20)
+
+    cases = []
+    for lrp in (-3, 0, 1, 5, 30, 50, 95, 99, 120):
+        for ins in (0, 2, 7):
+            cases.append((lrp, lrp + ins, 100))
+    lrp = np.array([c[0] for c in cases])
+    rrp = np.array([c[1] for c in cases])
+    rl = np.array([c[2] for c in cases])
+    got = indel_edge_distances(lrp, rrp, rl)
+    exp = [oracle(*c) for c in cases]
+    assert got.tolist() == exp

@@ -147,3 +147,28 @@ def test_rna_softclip_input_retained():
     from strelka_tpu.utils import cigar as cg
     assert list(ops_rna) == [cg.MATCH, cg.SOFT_CLIP]
     assert list(lens_rna) == [70, 30]
+
+
+def test_aligned_span_table_matches_scalar():
+    """aligned_span_table must agree with _aligned_span on edge-indel,
+    clipped, spliced, and plain CIGARs (a prior table version
+    classified edge I/D ops as non-complex)."""
+    from benchmarks.synth import make_batch
+    from strelka_tpu.pipeline.realign_apply import (_aligned_span,
+                                                    aligned_span_table)
+
+    reads = [
+        (10, "100M", "A" * 100, [30] * 100, 0, 60),
+        (20, "5S3I92M", "A" * 100, [30] * 100, 0, 60),
+        (30, "97M3I", "A" * 100, [30] * 100, 0, 60),
+        (40, "10M3D87M3S", "A" * 100, [30] * 100, 0, 60),
+        (50, "4S92M4S", "A" * 100, [30] * 100, 0, 60),
+        (60, "30M200N70M", "A" * 100, [30] * 100, 0, 60),
+        (70, "2S96M2S", "A" * 100, [30] * 100, 16, 60),
+    ]
+    batch = make_batch(reads)
+    cl, cr, hc = aligned_span_table(batch)
+    for r in range(batch.n):
+        ecl, ecr, ehc = _aligned_span(batch, r)
+        assert (int(cl[r]), int(cr[r]), bool(hc[r])) == (ecl, ecr, ehc), \
+            (r, reads[r][1])
