@@ -313,6 +313,15 @@ def run_local_jobs(module: str, argv: list[str], jobs,
             continue
         child_argv.append(a)
 
+    env = dict(__import__("os").environ)
+    if "STRELKA_TPU_COMPILE_CACHE" not in env:
+        # share one persistent XLA compile cache across workers: the
+        # fixed tile shapes make every worker's jit set identical, so
+        # later workers (and the retry round) skip compilation
+        import tempfile
+        env["STRELKA_TPU_COMPILE_CACHE"] = __import__("os").path.join(
+            tempfile.gettempdir(), "strelka_tpu_jitcache")
+
     def spawn(i):
         cmd = [sys.executable, "-m", module, *child_argv,
                "--process-index", str(i), "--process-count", str(n)]
@@ -322,7 +331,7 @@ def run_local_jobs(module: str, argv: list[str], jobs,
                     cluster_submit.replace("{cmd}", shlex.join(cmd)))
             else:
                 cmd = shlex.split(cluster_submit) + cmd
-        return subprocess.Popen(cmd)
+        return subprocess.Popen(cmd, env=env)
 
     procs = {i: spawn(i) for i in range(n)}
     failed = []
