@@ -24,6 +24,13 @@ import jax as _jax
 # kernels pin f32/bf16 explicitly.
 _jax.config.update("jax_enable_x64", True)
 
+# f32 matmuls at full precision everywhere: TPU matmul defaults may
+# round inputs to bf16, and the likelihood/grid matmuls feed
+# exact-parity phred scores (one ulp flips a rounded Q at a boundary).
+# Measured free on the scoring kernel (MXU already runs full f32
+# passes for it); the grid/genotype matmuls are small.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 # persistent XLA compilation cache (opt-in): segment programs use
 # fixed tile shapes, so with STRELKA_TPU_COMPILE_CACHE=<dir> every
 # process after the first starts with warm compiles. Opt-in because

@@ -53,7 +53,8 @@ def _score_kernel(codes_ref, delta_ref, lnmis_ref, win_ref,
         w_slab = (win == b).astype(jnp.float32)
         w_scratch[b * L:(b + 1) * L, :] = w_slab.T
     s = jnp.dot(a_scratch[:], w_scratch[:],
-                preferred_element_type=jnp.float32)       # [R, W]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # [R, W]
     s = s + lnmis_ref[0]                                   # broadcast [R,1]
     best_ref[0] = jnp.max(s, axis=1, keepdims=True)
     bestoff_ref[0] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
@@ -127,6 +128,7 @@ def reference_best_offsets(codes, delta, lnmis, win_codes):
     a = (onehot_r * delta[..., None])
     onehot_w = jax.nn.one_hot(win_codes, N_BASE, dtype=jnp.float32)
     s = jnp.einsum("brlc,bwlc->brw", a, onehot_w,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     s = s + lnmis[..., None]
     return jnp.max(s, axis=-1), jnp.argmax(s, axis=-1).astype(jnp.int32)
