@@ -91,3 +91,15 @@ def test_engine_mesh_matches_single_device(tmp_path):
         assert meshed == plain
     finally:
         pmesh.set_engine_mesh(None)
+
+
+def test_engine_mesh_from_spec_parsing():
+    from strelka_tpu.parallel import mesh as pm
+    assert pm.engine_mesh_from_spec(None) is None
+    assert pm.engine_mesh_from_spec("") is None
+    m = pm.engine_mesh_from_spec("auto")
+    assert m.shape["dp"] >= 1 and m.shape["sp"] == 1
+    m4 = pm.engine_mesh_from_spec("4")
+    assert m4.shape["dp"] == 4
+    m22 = pm.engine_mesh_from_spec("2x2")
+    assert m22.shape["dp"] == 2 and m22.shape["sp"] == 2
