@@ -313,13 +313,13 @@ def run_local_jobs(module: str, argv: list[str], jobs,
             continue
         child_argv.append(a)
 
-    env = dict(__import__("os").environ)
+    env = dict(os.environ)
     if "STRELKA_TPU_COMPILE_CACHE" not in env:
         # share one persistent XLA compile cache across workers: the
         # fixed tile shapes make every worker's jit set identical, so
         # later workers (and the retry round) skip compilation
         import tempfile
-        env["STRELKA_TPU_COMPILE_CACHE"] = __import__("os").path.join(
+        env["STRELKA_TPU_COMPILE_CACHE"] = os.path.join(
             tempfile.gettempdir(), "strelka_tpu_jitcache")
 
     def spawn(i):
