@@ -281,7 +281,7 @@ void ar_evidence(
         for (int64_t c = c0; c < c1; ++c)
             if (op_is_match(cig_ops[c])) { if (first_m < 0) first_m = c; last_m = c; }
 
-        int64_t read_p = 0, ref_p = pos[r], ref_end = pos[r];
+        int64_t read_p = 0, ref_p = pos[r];
         const int64_t s0 = seq_off[r];
         for (int64_t c = c0; c < c1; ++c)
         {
@@ -301,7 +301,6 @@ void ar_evidence(
                         (i >= 0 && i < ref_len) ? std::min<uint8_t>(ref[i], 4) : 4;
                     if (b != fb) counts[i] += kMismatchWeight;
                 }
-                ref_end = ref_p + ln;
             }
             else if (op == OP_I)
             {
@@ -318,7 +317,6 @@ void ar_evidence(
                     for (int32_t j = 0; j < ln; ++j) add(ref_p + j, kIndelWeight);
                     add(ref_p - 1, kIndelWeight);
                 }
-                ref_end = ref_p + ln;  // D refs; keep aligned-end below match-only
             }
             if (op_reads(op)) read_p += ln;
             if (op_refs(op)) ref_p += ln;

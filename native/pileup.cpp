@@ -38,15 +38,32 @@ struct Tables
 };
 const Tables kTab;
 
+// (rawq, amq) -> adjusted q, precomputed: the pow/log10 pair per
+// basecall otherwise dominates the fill pass
+struct AdjQTable
+{
+    int16_t t[81 * 128];
+    AdjQTable()
+    {
+        for (int amq = 0; amq <= 80; ++amq)
+            for (int rawq = 0; rawq < 128; ++rawq)
+            {
+                const double be = kTab.eprob[rawq];
+                const double me = kTab.eprob[amq];
+                const double e = (1.0 - me) * be + me * 0.75;
+                const double q = -10.0 * std::log10(std::max(e, 1e-300));
+                t[amq * 128 + rawq] =
+                    (int16_t)std::lround(std::min(q, 999.0));
+            }
+    }
+};
+const AdjQTable kAdj;
+
 inline int mapq_adjusted_q(int rawq, int mapq)
 {
     const int amq = std::max(mapq, 5);
     if (amq > 80) return rawq;
-    const double be = kTab.eprob[std::min(rawq, 127)];
-    const double me = kTab.eprob[std::min(amq, 127)];
-    const double e = (1.0 - me) * be + me * 0.75;
-    const double q = -10.0 * std::log10(std::max(e, 1e-300));
-    return (int)std::lround(std::min(q, 999.0));
+    return kAdj.t[amq * 128 + std::min(rawq, 127)];
 }
 
 struct ReadView

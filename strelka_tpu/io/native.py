@@ -73,6 +73,67 @@ def get_lib():
     return _LIB
 
 
+class _ArenaPool:
+    """Reusable page-resident scratch arenas for the big pileup tiles.
+
+    Large fresh allocations on this VM page-fault in at ~50MB/s, so
+    re-zeroing an already-resident arena is ~100x cheaper than
+    np.zeros per region. An arena is free again once no carved view
+    keeps it alive (refcount check), which stays safe when callers
+    hold PileupRegions from several samples at once: each live region
+    pins its own arena.
+    """
+
+    def __init__(self, max_arenas: int = 8):
+        self._arenas: list[np.ndarray] = []
+        self._max = max_arenas
+
+    def acquire(self, nbytes: int) -> np.ndarray:
+        import sys
+        best = None
+        for a in self._arenas:
+            # refs: list entry + loop var + getrefcount arg == free
+            if a.nbytes >= nbytes and sys.getrefcount(a) == 3:
+                if best is None or a.nbytes < best.nbytes:
+                    best = a
+        if best is not None:
+            return best
+        arena = np.empty(nbytes, np.uint8)
+        self._arenas.append(arena)
+        if len(self._arenas) > self._max:
+            # drop the smallest currently-free arena
+            frees = [a for a in self._arenas
+                     if sys.getrefcount(a) == 3 and a is not arena]
+            if frees:
+                self._arenas.remove(min(frees, key=lambda a: a.nbytes))
+        return arena
+
+
+_TILE_POOL = _ArenaPool()
+
+
+def _carve_zeroed(arena: np.ndarray, specs):
+    """Carve 64-byte-aligned zeroed views of (shape, dtype) out of an
+    arena; returns the list of views."""
+    out = []
+    off = 0
+    for shape, dt in specs:
+        n = int(np.prod(shape)) * np.dtype(dt).itemsize
+        v = arena[off:off + n].view(dt).reshape(shape)
+        out.append(v)
+        off += (n + 63) & ~63
+    arena[:off].fill(0)
+    return out
+
+
+def _carve_size(specs) -> int:
+    off = 0
+    for shape, dt in specs:
+        n = int(np.prod(shape)) * np.dtype(dt).itemsize
+        off += (n + 63) & ~63
+    return off
+
+
 def _p(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
@@ -293,18 +354,12 @@ def pileup_native(batch, level, ref_codes, ref_offset,
         ek = np.ascontiguousarray(np.sort(np.asarray(exempt_keys, np.int64)))
         n_ek = len(ek)
 
-    def tile(dtype):
-        return np.zeros((L, D), dtype=dtype)
-
-    t_base = tile(np.int8)
-    t_qual = tile(np.int16)
-    t_rawq = tile(np.int16)
-    t_fwd = tile(np.uint8)
-    t_ridx = tile(np.int32)
-    t_roff = tile(np.int32)
-    t_valid = tile(np.uint8)
-    t_used = tile(np.uint8)
-    t_t2used = tile(np.uint8)
+    tile_specs = [((L, D), dt) for dt in
+                  (np.int8, np.int16, np.int16, np.uint8, np.int32,
+                   np.int32, np.uint8, np.uint8, np.uint8)]
+    arena = _TILE_POOL.acquire(_carve_size(tile_specs))
+    (t_base, t_qual, t_rawq, t_fwd, t_ridx, t_roff, t_valid, t_used,
+     t_t2used) = _carve_zeroed(arena, tile_specs)
     spandel = np.zeros(L, np.int32)
     submapped = np.zeros(L, np.int32)
     mapq_n = np.zeros(L, np.int32)

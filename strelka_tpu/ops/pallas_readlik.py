@@ -122,8 +122,11 @@ def _squeeze_kernel_blockspecs():  # pragma: no cover - doc helper
     kernel refs arrive squeezed to [R, L] etc. when block dim is 1."""
 
 
+@jax.jit
 def reference_best_offsets(codes, delta, lnmis, win_codes):
-    """XLA reference implementation (for testing the kernel)."""
+    """XLA reference implementation (for testing the kernel), and the
+    engine's CPU-backend scoring path — jitted so the per-launch cost
+    is one dispatch instead of six eager ops."""
     onehot_r = jax.nn.one_hot(codes, N_BASE, dtype=jnp.float32)
     a = (onehot_r * delta[..., None])
     onehot_w = jax.nn.one_hot(win_codes, N_BASE, dtype=jnp.float32)
