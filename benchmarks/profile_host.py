@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--depth", type=int, default=40)
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--sens", action="store_true", help="report indel recall")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run N times, report each (later runs are "
+                         "steady-state: tile arenas resident, jit warm)")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
@@ -102,18 +105,18 @@ def main():
             g, v = gvcf.emit_region(opt, res, ["S"])
             return v
 
-    t0 = time.perf_counter()
-    if args.profile:
-        pr = cProfile.Profile()
-        pr.enable()
-        vlines = run()
-        pr.disable()
-    else:
-        vlines = run()
-    dt = time.perf_counter() - t0
-
-    print(f"reads={n_reads} wall={dt:.2f}s reads/s={n_reads / dt:,.0f} "
-          f"variants={len(vlines)}")
+    for it in range(max(1, args.repeat)):
+        t0 = time.perf_counter()
+        if args.profile and it == max(1, args.repeat) - 1:
+            pr = cProfile.Profile()
+            pr.enable()
+            vlines = run()
+            pr.disable()
+        else:
+            vlines = run()
+        dt = time.perf_counter() - t0
+        print(f"reads={n_reads} wall={dt:.2f}s "
+              f"reads/s={n_reads / dt:,.0f} variants={len(vlines)}")
     if args.sens and not somatic:
         called_indel = set()
         for l in vlines:

@@ -1,0 +1,165 @@
+// strelka_tpu native active-region primitives:
+//  - anchor_spans: STR-repeat coverage -> per-position anchor mask
+//    (reference: blt_util/ReferenceRepeatFinder.cpp updateRepeatSpan;
+//    semantics match pipeline/active_region.py anchor_mask exactly)
+//  - active_regions: the region state machine over candidate/anchor
+//    positions (reference: starling_common/ActiveRegionDetector.cpp
+//    SampleActiveRegionDetector::updateEndPosition :337-410; matches
+//    pipeline/active_region.py find_active_regions exactly)
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+constexpr int kMaxRepeatUnit = 50;
+constexpr int kMinRepeatSpan = 3;
+constexpr int64_t kMinVariantsPerPos = 9;
+constexpr double kMinAltFrac = 0.2;
+constexpr double kMinAltFracLowDepth = 0.35;
+constexpr int64_t kMaxDistBetweenVariants = 13;
+constexpr int64_t kMinVariantsPerRegion = 2;
+
+}  // namespace
+
+extern "C" {
+
+// anchor[i] = 1 iff position i is not inside any STR (unit <= 50)
+// whose span >= max(2*unit, 3).
+void anchor_spans(const uint8_t* ref, int64_t L, uint8_t* anchor)
+{
+    // diff array over all units: covered[i] > 0 -> non-anchor
+    std::vector<int32_t> diff(L + 1, 0);
+    for (int64_t u = 1; u <= kMaxRepeatUnit; ++u)
+    {
+        if (u >= L) break;
+        int64_t run = 0;
+        for (int64_t i = u; i < L; ++i)
+        {
+            const bool m = (ref[i] == ref[i - u]) && (ref[i - u] != 4);
+            run = m ? run + 1 : 0;
+            const int64_t span = u + run;
+            if (run > 0 && span >= 2 * u && span >= kMinRepeatSpan)
+            {
+                const int64_t s = std::max<int64_t>(i - span + 1, 0);
+                diff[s] += 1;
+                diff[i + 1] -= 1;
+            }
+        }
+    }
+    int64_t cov = 0;
+    for (int64_t i = 0; i < L; ++i)
+    {
+        cov += diff[i];
+        anchor[i] = (cov > 0) ? 0 : 1;
+    }
+}
+
+// Region state machine. Writes up to L/2 (begin, end) pairs into
+// out_begin/out_end (absolute coordinates, end half-open); returns the
+// region count.
+int64_t active_regions(
+    const int64_t* counts, const int64_t* depth, const uint8_t* anchors,
+    const uint8_t* ref, int64_t L, int64_t region_begin,
+    int64_t* out_begin, int64_t* out_end)
+{
+    int64_t n_out = 0;
+    int64_t start_pos = region_begin;
+    int64_t prev_anchor = region_begin;
+    int64_t aapv = region_begin;  // anchor_after_prev_variant
+    bool has_aapv = true;
+    int64_t prev_variant_pos = region_begin - 10000;
+    int64_t num_variants = 0;
+
+    for (int64_t i = 0; i < L; ++i)
+    {
+        const bool is_cand =
+            (ref[i] != 4) &&
+            (((counts[i] >= kMinVariantsPerPos) &&
+              ((double)counts[i] >= kMinAltFrac * (double)depth[i])) ||
+             ((double)counts[i] >=
+              kMinAltFracLowDepth * (double)std::max<int64_t>(depth[i], 1)));
+        const bool is_anchor = anchors[i] && !is_cand;
+        if (!is_cand && !is_anchor) continue;
+
+        const int64_t pos = region_begin + i;
+        bool cand = is_cand;
+        if (cand && depth[i] == 0 && num_variants == 0)
+        {
+            // zero-depth candidate can't open a region; is_anchor is
+            // necessarily false here (anchor excludes candidates)
+            continue;
+        }
+        const bool anchor = is_anchor && !cand;
+        const int64_t dist = pos - prev_variant_pos;
+        if (dist > kMaxDistBetweenVariants && has_aapv)
+        {
+            if (num_variants >= kMinVariantsPerRegion)
+            {
+                out_begin[n_out] = start_pos;
+                out_end[n_out] = aapv + 1;
+                ++n_out;
+            }
+            num_variants = 0;
+        }
+        if (anchor)
+        {
+            if (num_variants == 0) start_pos = pos;
+            if (!has_aapv) { aapv = pos; has_aapv = true; }
+            prev_anchor = pos;
+        }
+        if (cand)
+        {
+            if (num_variants == 0) start_pos = prev_anchor;
+            ++num_variants;
+            prev_variant_pos = pos;
+            has_aapv = false;
+        }
+    }
+    if (num_variants >= kMinVariantsPerRegion)
+    {
+        const int64_t end = has_aapv ? aapv : region_begin + L - 1;
+        out_begin[n_out] = start_pos;
+        out_end[n_out] = end + 1;
+        ++n_out;
+    }
+    return n_out;
+}
+
+// Per spanning read: locate the read-offset window aligned to
+// [begin, end-1] from the match tables (rows [row_lo, row_hi) per
+// read, refpos ascending within a read), and validate it (both
+// boundary bases aligned, no N in the covered read bases).
+// Matches pipeline/active_region.py read_segments_for_region exactly.
+void region_segments(
+    const int32_t* match_refpos, const int32_t* match_readoff,
+    const int64_t* row_lo, const int64_t* row_hi, int64_t n_spanning,
+    const int64_t* read_idx, const uint8_t* seq, const int64_t* seq_off,
+    int64_t begin, int64_t end,
+    int64_t* o0_out, int64_t* o1_out, uint8_t* valid_out)
+{
+    for (int64_t k = 0; k < n_spanning; ++k)
+    {
+        valid_out[k] = 0;
+        const int32_t* lo = match_refpos + row_lo[k];
+        const int32_t* hi = match_refpos + row_hi[k];
+        if (lo >= hi) continue;
+        const int32_t* p0 = std::lower_bound(lo, hi, (int32_t)begin);
+        if (p0 == hi || *p0 != (int32_t)begin) continue;
+        const int32_t* p1 = std::upper_bound(lo, hi, (int32_t)(end - 1));
+        if (p1 == lo || *(p1 - 1) != (int32_t)(end - 1)) continue;
+        const int64_t o0 = match_readoff[p0 - match_refpos];
+        const int64_t o1 = match_readoff[(p1 - 1) - match_refpos];
+        const uint8_t* s = seq + seq_off[read_idx[k]];
+        bool has_n = false;
+        for (int64_t j = o0; j <= o1; ++j)
+            if (s[j] >= 4) { has_n = true; break; }
+        if (has_n) continue;
+        o0_out[k] = o0;
+        o1_out[k] = o1;
+        valid_out[k] = 1;
+    }
+}
+
+}  // extern "C"

@@ -110,6 +110,10 @@ class _ArenaPool:
 
 
 _TILE_POOL = _ArenaPool()
+# staging arenas for chunked device launches (models/snv_digt.py):
+# sized for the launch pipeline depth, where each in-flight chunk pins
+# one arena via its zero-copied views
+_STAGE_POOL = _ArenaPool(max_arenas=12)
 
 
 def _carve_zeroed(arena: np.ndarray, specs):
@@ -531,6 +535,89 @@ def ar_evidence_native(batch, map_level, ref_codes, region_begin,
         region_begin, region_end,
         _p(counts, ctypes.c_int64), _p(depth, ctypes.c_int64))
     return counts, depth
+
+
+def anchor_mask_native(ref_codes) -> np.ndarray | None:
+    """Native STR-anchor mask (native/activeregion.cpp anchor_spans);
+    None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_anchor_bound"):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.anchor_spans.restype = None
+        lib.anchor_spans.argtypes = [u8p, ctypes.c_int64, u8p]
+        lib._anchor_bound = True
+    ref = np.ascontiguousarray(ref_codes, dtype=np.uint8)
+    out = np.empty(len(ref), np.uint8)
+    lib.anchor_spans(_p(ref, ctypes.c_uint8), len(ref),
+                     _p(out, ctypes.c_uint8))
+    return out.view(bool)
+
+
+def find_active_regions_native(counts, depth, anchors, ref_codes,
+                               region_begin: int):
+    """Native active-region state machine (native/activeregion.cpp
+    active_regions). Returns (begin[], end[]) absolute half-open
+    spans, or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_arsm_bound"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.active_regions.restype = ctypes.c_int64
+        lib.active_regions.argtypes = [
+            i64p, i64p, u8p, u8p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p]
+        lib._arsm_bound = True
+    L = len(counts)
+    c = np.ascontiguousarray(counts, dtype=np.int64)
+    d = np.ascontiguousarray(depth, dtype=np.int64)
+    a = np.ascontiguousarray(anchors[:L], dtype=np.uint8)
+    ref = np.ascontiguousarray(ref_codes[:L], dtype=np.uint8)
+    cap = L // 2 + 1
+    ob = np.empty(cap, np.int64)
+    oe = np.empty(cap, np.int64)
+    n = lib.active_regions(
+        _p(c, ctypes.c_int64), _p(d, ctypes.c_int64),
+        _p(a, ctypes.c_uint8), _p(ref, ctypes.c_uint8),
+        L, region_begin, _p(ob, ctypes.c_int64), _p(oe, ctypes.c_int64))
+    return ob[:n], oe[:n]
+
+
+def region_segments_native(match_refpos, match_readoff, row_lo, row_hi,
+                           read_idx, seq, seq_off, begin, end):
+    """Native spanning-read segment windows (native/activeregion.cpp
+    region_segments). Returns (o0, o1, valid) int64/int64/bool arrays
+    per spanning read, or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_rseg_bound"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.region_segments.restype = None
+        lib.region_segments.argtypes = [
+            i32p, i32p, i64p, i64p, ctypes.c_int64, i64p, u8p, i64p,
+            ctypes.c_int64, ctypes.c_int64, i64p, i64p, u8p]
+        lib._rseg_bound = True
+    n = len(read_idx)
+    rl = np.ascontiguousarray(row_lo, dtype=np.int64)
+    rh = np.ascontiguousarray(row_hi, dtype=np.int64)
+    ri = np.ascontiguousarray(read_idx, dtype=np.int64)
+    o0 = np.empty(n, np.int64)
+    o1 = np.empty(n, np.int64)
+    valid = np.zeros(n, np.uint8)
+    lib.region_segments(
+        _p(match_refpos, ctypes.c_int32), _p(match_readoff, ctypes.c_int32),
+        _p(rl, ctypes.c_int64), _p(rh, ctypes.c_int64), n,
+        _p(ri, ctypes.c_int64), _p(seq, ctypes.c_uint8),
+        _p(seq_off, ctypes.c_int64), begin, end,
+        _p(o0, ctypes.c_int64), _p(o1, ctypes.c_int64),
+        _p(valid, ctypes.c_uint8))
+    return o0, o1, valid.view(bool)
 
 
 def block_compress_run(gqx, dp, dpf, fcode, nonref_ok, ploidy,

@@ -467,31 +467,59 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
     else:
         Db = ((D + SNV_TILE_D_PAD - 1) // SNV_TILE_D_PAD) * SNV_TILE_D_PAD
 
-        def pad2(a, fill, rows):
-            out = np.full((SNV_TILE_L, Db), fill, dtype=a.dtype)
-            out[:rows, :D] = a
-            return out
+        # staging buffers come from a page-resident arena pool (fresh
+        # np.full allocations fault in at ~50MB/s on this VM class).
+        # jax CPU zero-copies the int8/bool views, so each chunk's
+        # views are kept alive in `pending` until its results are
+        # pulled — the pool's refcount check then guarantees an arena
+        # is never re-carved while a launch still reads it.
+        from ..io.native import _carve_zeroed, _carve_size, _STAGE_POOL
+        specs = [((SNV_TILE_L, Db), dt)
+                 for dt in (base.dtype, qual.dtype, np.bool_, np.bool_)]
+        arena_nbytes = _carve_size(specs)
+
+        def staged_chunk(rows, t0, t1):
+            arena = _STAGE_POOL.acquire(arena_nbytes)
+            vb, vq, vf, vm = _carve_zeroed(arena, specs)
+            vb[:rows, :D] = base[t0:t1]
+            vq[:rows, :D] = qual[t0:t1]
+            vf[:rows, :D] = fwd[t0:t1]
+            vm[:rows, :D] = mask[t0:t1]
+            return vb, vq, vf, vm
 
         # device->host traffic is the bottleneck at scale (fresh numpy
         # buffers page-fault slowly on this class of VM): pull only the
         # fields the gVCF pipeline consumes — the [L] vectors, int32
         # PLs, and lhood-at-max-gt (for strand bias). The full [L,10]
         # lhood/pprob matrices stay on device.
-        parts = []
-        lt_parts = []
         _PULL = ("genome_max_gt", "poly_max_gt", "snv_qphred",
                  "genome_max_gt_qphred", "poly_max_gt_qphred",
                  "phred_loghood")
+        # pipelined dispatch: jax dispatch is async, so device compute
+        # of chunk k overlaps host padding of k+1..; results are pulled
+        # a few chunks behind dispatch to bound staging memory
+        MAX_INFLIGHT = 8
+        pending = []
+        parts = []
+        lt_parts = []
+
+        def pull_one():
+            res, lt, rows, _keep = pending.pop(0)
+            parts.append({f: np.asarray(getattr(res, f))[:rows]
+                          for f in _PULL})
+            lt_parts.append(np.asarray(lt)[:rows])
+
         for t0 in range(0, L, SNV_TILE_L):
             t1 = min(t0 + SNV_TILE_L, L)
             rows = t1 - t0
             rg = np.full(SNV_TILE_L, 4, dtype=ref_gt.dtype)
             rg[:rows] = ref_gt[t0:t1]
+            vb, vq, vf, vm = staged_chunk(rows, t0, t1)
             sub = SnvPileupTile(
-                base_id=jnp.asarray(pad2(base[t0:t1], 0, rows)),
-                qual=jnp.asarray(pad2(qual[t0:t1], 0, rows)),
-                is_fwd=jnp.asarray(pad2(fwd[t0:t1], False, rows)),
-                mask=jnp.asarray(pad2(mask[t0:t1], False, rows)),
+                base_id=jnp.asarray(vb),
+                qual=jnp.asarray(vq),
+                is_fwd=jnp.asarray(vf),
+                mask=jnp.asarray(vm),
                 ref_gt=jnp.asarray(rg))
             sub_hap = None
             if hap is not None:
@@ -503,9 +531,11 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                                 compute_sb=False)
             lt_dev = jnp.take_along_axis(
                 res.lhood, res.genome_max_gt[:, None], axis=-1)[:, 0]
-            parts.append({f: np.asarray(getattr(res, f))[:rows]
-                          for f in _PULL})
-            lt_parts.append(np.asarray(lt_dev)[:rows])
+            pending.append((res, lt_dev, rows, (vb, vq, vf, vm)))
+            if len(pending) >= MAX_INFLIGHT:
+                pull_one()
+        while pending:
+            pull_one()
         cat = {f: np.concatenate([p[f] for p in parts]) for f in _PULL}
         lt_all = np.concatenate(lt_parts)
         out = SnvCallResult(

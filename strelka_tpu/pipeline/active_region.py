@@ -43,9 +43,15 @@ MAX_REF_SPAN_FOR_ASSEMBLY = 250
 MAX_MISMATCHES_TO_BUFFER = 10  # MaxNumMismatchesToAddToIndelBuffer
 
 
-def anchor_mask(ref_codes: np.ndarray) -> np.ndarray:
+def anchor_mask(ref_codes: np.ndarray, use_native: bool = True) -> np.ndarray:
     """[L] bool: position is a valid active-region anchor (not inside
-    an STR). Vectorized ReferenceRepeatFinder.updateRepeatSpan."""
+    an STR). Vectorized ReferenceRepeatFinder.updateRepeatSpan; the
+    native path (native/activeregion.cpp anchor_spans) is exact."""
+    if use_native:
+        from ..io.native import anchor_mask_native
+        res = anchor_mask_native(ref_codes)
+        if res is not None:
+            return res
     L = len(ref_codes)
     anchor = np.ones(L, dtype=bool)
     for u in range(1, MAX_REPEAT_UNIT_LENGTH + 1):
@@ -152,9 +158,18 @@ class ActiveRegion:
 
 
 def find_active_regions(counts, depth, anchors, ref_codes,
-                        region_begin: int) -> list[ActiveRegion]:
+                        region_begin: int,
+                        use_native: bool = True) -> list[ActiveRegion]:
     """The region state machine over sparse candidate/anchor positions
-    (SampleActiveRegionDetector::updateEndPosition exact port)."""
+    (SampleActiveRegionDetector::updateEndPosition exact port; the
+    native path in native/activeregion.cpp is the same machine)."""
+    if use_native:
+        from ..io.native import find_active_regions_native
+        res = find_active_regions_native(counts, depth, anchors,
+                                         ref_codes, region_begin)
+        if res is not None:
+            return [ActiveRegion(int(b), int(e))
+                    for b, e in zip(res[0], res[1])]
     L = len(counts)
     is_cand = (ref_codes[:L] != 4) & (
         ((counts >= MIN_NUM_VARIANTS_PER_POSITION)
@@ -248,6 +263,24 @@ def read_segments_for_region(batch: ReadBatch, ea: rd.ExpandedAlignments,
     probe = spanning.astype(ea.match_read.dtype, copy=False)
     row_lo = np.searchsorted(ea.match_read, probe, side="left")
     row_hi = np.searchsorted(ea.match_read, probe, side="right")
+    if (len(spanning) and ea.match_refpos.dtype == np.int32
+            and ea.match_readoff.dtype == np.int32
+            and ea.match_refpos.flags.c_contiguous
+            and ea.match_readoff.flags.c_contiguous
+            and batch.seq.flags.c_contiguous
+            and batch.seq_off.dtype == np.int64):
+        from ..io.native import region_segments_native
+        res = region_segments_native(
+            ea.match_refpos, ea.match_readoff, row_lo, row_hi, spanning,
+            batch.seq, batch.seq_off, begin, end)
+        if res is not None:
+            o0s, o1s, valid = res
+            segs = [(int(r), decode_bases(
+                        batch.seq[batch.seq_off[r] + o0:
+                                  batch.seq_off[r] + o1 + 1]))
+                    for r, o0, o1 in zip(spanning[valid], o0s[valid],
+                                         o1s[valid])]
+            return segs, len(spanning)
     segs = []
     for r, lo, hi in zip(spanning, row_lo, row_hi):
         rp = ea.match_refpos[lo:hi]

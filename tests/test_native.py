@@ -89,3 +89,40 @@ def test_ar_evidence_native_equivalence():
                                   use_native=False)
     assert np.array_equal(cn, cp)
     assert np.array_equal(dn, dp)
+
+
+def test_native_anchor_and_region_machine_match_python():
+    """native/activeregion.cpp vs the numpy/python oracles, on random
+    sequences with planted STRs and random evidence tracks."""
+    import numpy as np
+
+    from strelka_tpu.pipeline import active_region as ar
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        L = int(rng.integers(200, 5000))
+        ref = rng.integers(0, 4, L).astype(np.uint8)
+        # plant STRs of several unit sizes + some N stretches
+        for _ in range(8):
+            u = int(rng.integers(1, 12))
+            reps = int(rng.integers(2, 6))
+            s = int(rng.integers(0, max(L - u * reps, 1)))
+            unit = rng.integers(0, 4, u)
+            ref[s:s + u * reps] = np.tile(unit, reps)[: L - s]
+        ns = int(rng.integers(0, L))
+        ref[ns:ns + int(rng.integers(0, 10))] = 4
+
+        m_native = ar.anchor_mask(ref, use_native=True)
+        m_py = ar.anchor_mask(ref, use_native=False)
+        assert np.array_equal(m_native, m_py), trial
+
+        depth = rng.integers(0, 60, L).astype(np.int64)
+        counts = np.where(rng.random(L) < 0.05,
+                          rng.integers(1, 40, L), 0).astype(np.int64)
+        counts = np.minimum(counts, depth + rng.integers(0, 3, L))
+        begin = int(rng.integers(0, 10_000))
+        r_native = ar.find_active_regions(counts, depth, m_py, ref,
+                                          begin, use_native=True)
+        r_py = ar.find_active_regions(counts, depth, m_py, ref,
+                                      begin, use_native=False)
+        assert r_native == r_py, trial
