@@ -127,6 +127,135 @@ int64_t active_regions(
     return n_out;
 }
 
+// Affine-gap global alignment of query onto ref, exact port of
+// ops/aligner.py align_global (reference: alignment/GlobalAligner.hh,
+// GlobalAlignerImpl.hh) including every tie-break: previous-state
+// preference M >= D >= I, gap-open >= gap-extend, and final-state
+// argmax order (M, D, I). Emits run-length CIGAR (ops 0=M 1=I 2=D).
+// Returns the alignment score; n_ops via out param. Caller provides
+// ops/lens arrays of capacity n+m.
+int64_t align_affine(
+    const uint8_t* query, int64_t n, const uint8_t* ref, int64_t m,
+    int64_t s_match, int64_t s_mismatch, int64_t s_open, int64_t s_extend,
+    int8_t* out_ops, int32_t* out_lens, int64_t* n_ops_out)
+{
+    constexpr int64_t NEG = -1000000000LL;
+    constexpr int8_t MS = 0, DS = 1, IS = 2;  // state codes
+    const int64_t W = m + 1;
+    thread_local std::vector<int64_t> bufM, bufD, bufI;
+    thread_local std::vector<int8_t> bufPM, bufPD, bufPI;
+    const size_t cells = (size_t)(n + 1) * W;
+    if (bufM.size() < cells)
+    {
+        bufM.resize(cells); bufD.resize(cells); bufI.resize(cells);
+        bufPM.resize(cells); bufPD.resize(cells); bufPI.resize(cells);
+    }
+    int64_t* M = bufM.data();
+    int64_t* D = bufD.data();
+    int64_t* I = bufI.data();
+    int8_t* pM = bufPM.data();
+    int8_t* pD = bufPD.data();
+    int8_t* pI = bufPI.data();
+
+    for (int64_t j = 0; j <= m; ++j)
+    {
+        M[j] = NEG; I[j] = NEG; pM[j] = 0; pD[j] = 0; pI[j] = 0;
+        D[j] = (j == 0) ? NEG : s_open + s_extend * j;
+        if (j > 0) pD[j] = DS;
+    }
+    M[0] = 0;
+
+    for (int64_t i = 1; i <= n; ++i)
+    {
+        const uint8_t qb = query[i - 1];
+        int64_t* Mr = M + i * W; const int64_t* Mp = M + (i - 1) * W;
+        int64_t* Dr = D + i * W; const int64_t* Dp = D + (i - 1) * W;
+        int64_t* Ir = I + i * W; const int64_t* Ip = I + (i - 1) * W;
+        int8_t* pMr = pM + i * W;
+        int8_t* pDr = pD + i * W;
+        int8_t* pIr = pI + i * W;
+
+        // j == 0 column: M/D are NEG; I follows the leading-gap chain
+        Mr[0] = NEG; pMr[0] = 0;
+        Dr[0] = NEG; pDr[0] = 0;
+        {
+            const int64_t a = Mp[0] + s_open + s_extend;
+            const int64_t b = Ip[0] + s_extend;
+            Ir[0] = std::max(std::max(a, b),
+                             s_open + s_extend * i);  // init value (equal)
+            pIr[0] = (a >= b) ? MS : IS;
+        }
+        for (int64_t j = 1; j <= m; ++j)
+        {
+            const int64_t sub =
+                (ref[j - 1] == qb) ? s_match : s_mismatch;
+            const int64_t pm = Mp[j - 1], pd = Dp[j - 1], pi = Ip[j - 1];
+            int64_t best; int8_t from;
+            if (pm >= std::max(pd, pi)) { best = pm; from = MS; }
+            else if (pd >= pi) { best = pd; from = DS; }
+            else { best = pi; from = IS; }
+            Mr[j] = best + sub;
+            pMr[j] = from;
+
+            const int64_t ia = Mp[j] + s_open + s_extend;
+            const int64_t ib = Ip[j] + s_extend;
+            Ir[j] = std::max(ia, ib);
+            pIr[j] = (ia >= ib) ? MS : IS;
+
+            const int64_t da = Mr[j - 1] + s_open + s_extend;
+            const int64_t db = Dr[j - 1] + s_extend;
+            if (da >= db) { Dr[j] = da; pDr[j] = MS; }
+            else { Dr[j] = db; pDr[j] = DS; }
+        }
+    }
+
+    const int64_t fM = M[n * W + m], fD = D[n * W + m], fI = I[n * W + m];
+    int8_t state;
+    int64_t score;
+    if (fM >= fD && fM >= fI) { state = MS; score = fM; }
+    else if (fD >= fI) { state = DS; score = fD; }
+    else { state = IS; score = fI; }
+
+    // traceback into a reversed op buffer, then run-length encode
+    thread_local std::vector<int8_t> rev;
+    rev.clear();
+    int64_t i = n, j = m;
+    while (i > 0 || j > 0)
+    {
+        if (state == MS)
+        {
+            if (i == 0 || j == 0) break;
+            const int8_t prev = pM[i * W + j];
+            rev.push_back(0);  // cg.MATCH
+            --i; --j;
+            state = prev;
+        }
+        else if (state == DS)
+        {
+            const int8_t prev = pD[i * W + j];
+            rev.push_back(2);  // cg.DELETE
+            --j;
+            state = prev;
+        }
+        else
+        {
+            const int8_t prev = pI[i * W + j];
+            rev.push_back(1);  // cg.INSERT
+            --i;
+            state = prev;
+        }
+    }
+    int64_t n_ops = 0;
+    for (int64_t k = (int64_t)rev.size() - 1; k >= 0; --k)
+    {
+        const int8_t o = rev[k];
+        if (n_ops > 0 && out_ops[n_ops - 1] == o) out_lens[n_ops - 1] += 1;
+        else { out_ops[n_ops] = o; out_lens[n_ops] = 1; ++n_ops; }
+    }
+    *n_ops_out = n_ops;
+    return score;
+}
+
 // Per spanning read: locate the read-offset window aligned to
 // [begin, end-1] from the match tables (rows [row_lo, row_hi) per
 // read, refpos ascending within a read), and validate it (both

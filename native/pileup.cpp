@@ -12,6 +12,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -227,40 +228,49 @@ int64_t pileup_scan(
     return mx;
 }
 
-// Pass 2: fill the dense tile + counters. slot[] is scratch of L int32
-// (zeroed by caller). Returns 0 on success.
-int32_t pileup_fill(
-    const int64_t* pos, const uint8_t* mapq, const uint16_t* flag,
-    const int8_t* level, const int64_t* seq_off, const uint8_t* seq,
-    const uint8_t* qual, const int64_t* cig_off, const int8_t* cig_ops,
-    const int32_t* cig_lens, int64_t n_reads,
+}  // extern "C"
+
+namespace {
+
+// The fill body over reads [r_lo, r_hi), writing only positions in
+// [stripe_begin, stripe_end). Column outputs are indexed relative to
+// region_begin; stripes partition the region so column writes are
+// disjoint across threads, and each thread walks reads in global
+// order, preserving the exact per-column stacking order of the
+// single-thread pass.
+int32_t fill_stripe(
+    const ReadView& rv,
     const uint8_t* ref, int64_t ref_off, int64_t ref_len,
     int64_t region_begin, int64_t region_end,
+    int64_t stripe_begin, int64_t stripe_end,
+    int64_t r_lo, int64_t r_hi,
     int32_t min_qscore, int32_t mapq_adjust,
     int32_t mm_flank, int32_t mm_max, int32_t t2_mm_max,
     const int64_t* exempt_keys, int64_t n_exempt,
-    int32_t D,
-    int32_t* slot,
-    // tile outputs [L, D] (narrow dtypes: the tiles dominate memory
-    // traffic at whole-region scale)
+    int32_t D, int32_t* slot,
     int8_t* t_base, int16_t* t_qual, int16_t* t_rawq, uint8_t* t_fwd,
     int32_t* t_ridx, int32_t* t_roff, uint8_t* t_valid, uint8_t* t_used,
     uint8_t* t_t2used,
-    // per-position outputs [L] (+ [L,4] counts)
     int32_t* spandel, int32_t* submapped, int32_t* mapq_n,
     double* mapq_sumsq, int32_t* mapq_zero,
     int32_t* used_counts, int32_t* used_fwd_counts,
-    int64_t* edge_dist_sum /* [L], sum of min-dist-from-read-edge over
-                              used calls; may be null */)
+    int64_t* edge_dist_sum)
 {
-    ReadView rv{pos, mapq, flag, level, seq_off, seq, qual, cig_off,
-                cig_ops, cig_lens, n_reads};
-    const int64_t L = region_end - region_begin;
-    (void)L;
+    const int64_t* pos = rv.pos;
+    const uint8_t* mapq = rv.mapq;
+    const uint16_t* flag = rv.flag;
+    const int8_t* level = rv.level;
+    const int64_t* seq_off = rv.seq_off;
+    const uint8_t* seq = rv.seq;
+    const uint8_t* qual = rv.qual;
+    const int64_t* cig_off = rv.cig_off;
+    const int8_t* cig_ops = rv.cig_ops;
+    const int32_t* cig_lens = rv.cig_lens;
+    (void)region_end;  // column indexing is region_begin-relative
     std::vector<int32_t> delta;
     std::vector<uint8_t> mmf, t2f;
 
-    for (int64_t r = 0; r < n_reads; ++r)
+    for (int64_t r = r_lo; r < r_hi; ++r)
     {
         const int lvl = level[r];
         if (lvl != kTier1 && lvl != kTier2 && lvl != kSubMapped) continue;
@@ -293,7 +303,7 @@ int32_t pileup_fill(
                 for (int32_t j = 0; j < ln; ++j)
                 {
                     const int64_t g = ref_p + j;
-                    if (g < region_begin || g >= region_end) continue;
+                    if (g < stripe_begin || g >= stripe_end) continue;
                     const int64_t rp = read_p + j;
                     if (rp < rb || rp >= re) continue;
                     const int64_t li = g - region_begin;
@@ -351,7 +361,7 @@ int32_t pileup_fill(
                     for (int32_t j = 0; j < ln; ++j)
                     {
                         const int64_t g = ref_p + j;
-                        if (g < region_begin || g >= region_end) continue;
+                        if (g < stripe_begin || g >= stripe_end) continue;
                         if (!submap) spandel[g - region_begin]++;
                     }
                 }
@@ -360,9 +370,110 @@ int32_t pileup_fill(
             if (op_refs(op)) ref_p += ln;
         }
     }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 2: fill the dense tile + counters. slot[] is scratch of L int32
+// (zeroed by caller). Returns 0 on success, 1 on depth overflow.
+// Parallelized over disjoint position stripes; per-column output order
+// is identical to a single-thread pass.
+int32_t pileup_fill(
+    const int64_t* pos, const uint8_t* mapq, const uint16_t* flag,
+    const int8_t* level, const int64_t* seq_off, const uint8_t* seq,
+    const uint8_t* qual, const int64_t* cig_off, const int8_t* cig_ops,
+    const int32_t* cig_lens, int64_t n_reads,
+    const uint8_t* ref, int64_t ref_off, int64_t ref_len,
+    int64_t region_begin, int64_t region_end,
+    int32_t min_qscore, int32_t mapq_adjust,
+    int32_t mm_flank, int32_t mm_max, int32_t t2_mm_max,
+    const int64_t* exempt_keys, int64_t n_exempt,
+    int32_t D,
+    int32_t* slot,
+    // tile outputs [L, D] (narrow dtypes: the tiles dominate memory
+    // traffic at whole-region scale)
+    int8_t* t_base, int16_t* t_qual, int16_t* t_rawq, uint8_t* t_fwd,
+    int32_t* t_ridx, int32_t* t_roff, uint8_t* t_valid, uint8_t* t_used,
+    uint8_t* t_t2used,
+    // per-position outputs [L] (+ [L,4] counts)
+    int32_t* spandel, int32_t* submapped, int32_t* mapq_n,
+    double* mapq_sumsq, int32_t* mapq_zero,
+    int32_t* used_counts, int32_t* used_fwd_counts,
+    int64_t* edge_dist_sum /* [L], sum of min-dist-from-read-edge over
+                              used calls; may be null */)
+{
+    ReadView rv{pos, mapq, flag, level, seq_off, seq, qual, cig_off,
+                cig_ops, cig_lens, n_reads};
+    const int64_t L = region_end - region_begin;
+
+    // max ref span over reads bounds the halo a stripe's read window
+    // needs (reads are position-sorted)
+    int64_t max_span = 1;
+    for (int64_t r = 0; r < n_reads; ++r)
+    {
+        int64_t span = 0;
+        for (int64_t c = cig_off[r]; c < cig_off[r + 1]; ++c)
+            if (op_refs(cig_ops[c])) span += cig_lens[c];
+        max_span = std::max(max_span, span);
+    }
+
+    const unsigned hw = std::thread::hardware_concurrency();
+    int64_t T = std::min<int64_t>(hw ? hw : 1, 8);
+    T = std::min(T, std::max<int64_t>(L / 65536, 1));
+    if (n_reads < 4096) T = 1;
+
+    auto r_window = [&](int64_t sb, int64_t se, int64_t& lo, int64_t& hi)
+    {
+        lo = std::lower_bound(pos, pos + n_reads, sb - max_span) - pos;
+        hi = std::lower_bound(pos, pos + n_reads, se) - pos;
+    };
+
+    int32_t rc = 0;
+    if (T <= 1)
+    {
+        int64_t lo, hi;
+        r_window(region_begin, region_end, lo, hi);
+        rc = fill_stripe(rv, ref, ref_off, ref_len, region_begin,
+                         region_end, region_begin, region_end, lo, hi,
+                         min_qscore, mapq_adjust, mm_flank, mm_max,
+                         t2_mm_max, exempt_keys, n_exempt, D, slot,
+                         t_base, t_qual, t_rawq, t_fwd, t_ridx, t_roff,
+                         t_valid, t_used, t_t2used, spandel, submapped,
+                         mapq_n, mapq_sumsq, mapq_zero, used_counts,
+                         used_fwd_counts, edge_dist_sum);
+    }
+    else
+    {
+        std::vector<int32_t> rcs(T, 0);
+        std::vector<std::thread> ths;
+        for (int64_t t = 0; t < T; ++t)
+        {
+            const int64_t sb = region_begin + L * t / T;
+            const int64_t se = region_begin + L * (t + 1) / T;
+            int64_t lo, hi;
+            r_window(sb, se, lo, hi);
+            ths.emplace_back([&, t, sb, se, lo, hi]() {
+                rcs[t] = fill_stripe(
+                    rv, ref, ref_off, ref_len, region_begin, region_end,
+                    sb, se, lo, hi, min_qscore, mapq_adjust, mm_flank,
+                    mm_max, t2_mm_max, exempt_keys, n_exempt, D, slot,
+                    t_base, t_qual, t_rawq, t_fwd, t_ridx, t_roff,
+                    t_valid, t_used, t_t2used, spandel, submapped,
+                    mapq_n, mapq_sumsq, mapq_zero, used_counts,
+                    used_fwd_counts, edge_dist_sum);
+            });
+        }
+        for (auto& th : ths) th.join();
+        for (int32_t c : rcs) rc |= c;
+    }
+    if (rc) return rc;
+
     // invalid slots read as read_idx -1 (callers index read arrays
     // through the tile without re-checking the valid mask)
-    for (int64_t li = 0; li < region_end - region_begin; ++li)
+    for (int64_t li = 0; li < L; ++li)
         for (int32_t d = slot[li]; d < D; ++d)
             t_ridx[(int64_t)li * D + d] = -1;
     return 0;

@@ -586,6 +586,41 @@ def find_active_regions_native(counts, depth, anchors, ref_codes,
     return ob[:n], oe[:n]
 
 
+def align_affine_native(query, ref, s_match, s_mismatch, s_open,
+                        s_extend):
+    """Native affine-gap global aligner (native/activeregion.cpp
+    align_affine, an exact port of ops/aligner.py align_global).
+    Returns (score, ops int8[], lens int32[]) or None when the library
+    is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_aln_bound"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.align_affine.restype = ctypes.c_int64
+        lib.align_affine.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, i8p, i32p, i64p]
+        lib._aln_bound = True
+    q = np.ascontiguousarray(query, dtype=np.uint8)
+    r = np.ascontiguousarray(ref, dtype=np.uint8)
+    cap = len(q) + len(r) + 1
+    ops = np.empty(cap, np.int8)
+    lens = np.empty(cap, np.int32)
+    n_ops = np.zeros(1, np.int64)
+    score = lib.align_affine(
+        _p(q, ctypes.c_uint8), len(q), _p(r, ctypes.c_uint8), len(r),
+        int(s_match), int(s_mismatch), int(s_open), int(s_extend),
+        _p(ops, ctypes.c_int8), _p(lens, ctypes.c_int32),
+        _p(n_ops, ctypes.c_int64))
+    n = int(n_ops[0])
+    return int(score), ops[:n], lens[:n]
+
+
 def region_segments_native(match_refpos, match_readoff, row_lo, row_hi,
                            read_idx, seq, seq_off, begin, end):
     """Native spanning-read segment windows (native/activeregion.cpp

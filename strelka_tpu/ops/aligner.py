@@ -31,12 +31,22 @@ class AlignmentScores:
 
 
 def align_global(query: np.ndarray, ref: np.ndarray,
-                 scores: AlignmentScores = AlignmentScores()):
+                 scores: AlignmentScores = AlignmentScores(),
+                 use_native: bool = True):
     """Global affine-gap alignment of query onto ref.
 
     Returns (score, ops, lens) with CIGAR in query-vs-ref convention
-    (MATCH/INSERT=query-only/DELETE=ref-only).
+    (MATCH/INSERT=query-only/DELETE=ref-only). The native path
+    (native/activeregion.cpp align_affine) is an exact port including
+    all tie-breaks; this numpy version remains the test oracle.
     """
+    if use_native:
+        from ..io.native import align_affine_native
+        res = align_affine_native(query, ref, scores.match,
+                                  scores.mismatch, scores.open,
+                                  scores.extend)
+        if res is not None:
+            return res
     n, m = len(query), len(ref)
     NEG = -(10 ** 9)
     # DP matrices: score[state][i][j], i over query 0..n, j over ref 0..m

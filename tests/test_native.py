@@ -126,3 +126,37 @@ def test_native_anchor_and_region_machine_match_python():
         r_py = ar.find_active_regions(counts, depth, m_py, ref,
                                       begin, use_native=False)
         assert r_native == r_py, trial
+
+
+def test_native_aligner_matches_python():
+    """align_affine vs the numpy oracle on random pairs with indels,
+    including tie-break-sensitive repeats."""
+    import numpy as np
+
+    from strelka_tpu.ops.aligner import align_global
+
+    rng = np.random.default_rng(13)
+    for trial in range(40):
+        m = int(rng.integers(5, 260))
+        ref = rng.integers(0, 4, m).astype(np.uint8)
+        q = ref.copy()
+        # mutate: snvs + an indel
+        for _ in range(int(rng.integers(0, 5))):
+            q[rng.integers(0, len(q))] = rng.integers(0, 4)
+        if rng.random() < 0.5 and len(q) > 10:
+            s = int(rng.integers(1, len(q) - 5))
+            ln = int(rng.integers(1, 5))
+            if rng.random() < 0.5:
+                q = np.delete(q, slice(s, s + ln))
+            else:
+                q = np.insert(q, s, rng.integers(0, 4, ln))
+        # homopolymer block to stress tie-breaks
+        if rng.random() < 0.4:
+            s = int(rng.integers(0, max(len(q) - 8, 1)))
+            q[s:s + 8] = q[s] if s < len(q) else 0
+        q = q.astype(np.uint8)
+        sn, on_, ln_ = align_global(q, ref, use_native=True)
+        sp, op_, lp_ = align_global(q, ref, use_native=False)
+        assert sn == sp, trial
+        assert np.array_equal(on_, op_), trial
+        assert np.array_equal(ln_, lp_), trial
