@@ -116,15 +116,26 @@ _TILE_POOL = _ArenaPool()
 _STAGE_POOL = _ArenaPool(max_arenas=12)
 
 
-def _carve_zeroed(arena: np.ndarray, specs):
-    """Carve 64-byte-aligned zeroed views of (shape, dtype) out of an
-    arena; returns the list of views."""
+def _carve(arena: np.ndarray, specs):
+    """Carve 64-byte-aligned views of (shape, dtype) out of an arena
+    (contents left as-is); returns the list of views."""
     out = []
     off = 0
     for shape, dt in specs:
         n = int(np.prod(shape)) * np.dtype(dt).itemsize
         v = arena[off:off + n].view(dt).reshape(shape)
         out.append(v)
+        off += (n + 63) & ~63
+    return out
+
+
+def _carve_zeroed(arena: np.ndarray, specs):
+    """Carve 64-byte-aligned zeroed views of (shape, dtype) out of an
+    arena; returns the list of views."""
+    out = _carve(arena, specs)
+    off = 0
+    for shape, dt in specs:
+        n = int(np.prod(shape)) * np.dtype(dt).itemsize
         off += (n + 63) & ~63
     arena[:off].fill(0)
     return out

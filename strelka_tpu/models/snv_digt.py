@@ -497,55 +497,80 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                  "phred_loghood")
         # pipelined dispatch: jax dispatch is async, so device compute
         # of chunk k overlaps host padding of k+1..; results are pulled
-        # a few chunks behind dispatch to bound staging memory
+        # a few chunks behind dispatch to bound staging memory, and
+        # written straight into pooled output buffers (fresh
+        # concatenate allocations page-fault slowly on this VM class)
         MAX_INFLIGHT = 8
         pending = []
-        parts = []
-        lt_parts = []
+        outbufs: dict = {}
 
         def pull_one():
-            res, lt, rows, _keep = pending.pop(0)
-            parts.append({f: np.asarray(getattr(res, f))[:rows]
-                          for f in _PULL})
-            lt_parts.append(np.asarray(lt)[:rows])
+            res, lt, rows, c0, _keep = pending.pop(0)
+            pulls = [(f, np.asarray(getattr(res, f))) for f in _PULL]
+            pulls.append(("_lt", np.asarray(lt)))
+            if not outbufs:
+                from ..io.native import _carve, _carve_size, _TILE_POOL
+                specs = [((L,) + a.shape[1:], a.dtype) for _f, a in pulls]
+                arena = _TILE_POOL.acquire(_carve_size(specs))
+                for (f, _a), v in zip(pulls, _carve(arena, specs)):
+                    outbufs[f] = v
+            for f, a in pulls:
+                outbufs[f][c0:c0 + rows] = a[:rows]
+
+        # full chunks of a D-bucket-padded contiguous tile need no
+        # staging at all: row slices are contiguous and feed the
+        # launch directly (int8/bool zero-copy on the CPU backend; the
+        # tile is pinned by `pending` until its results are pulled)
+        direct_ok = (D == Db
+                     and base.flags.c_contiguous
+                     and qual.flags.c_contiguous
+                     and fwd.flags.c_contiguous
+                     and mask.flags.c_contiguous)
 
         for t0 in range(0, L, SNV_TILE_L):
             t1 = min(t0 + SNV_TILE_L, L)
             rows = t1 - t0
-            rg = np.full(SNV_TILE_L, 4, dtype=ref_gt.dtype)
-            rg[:rows] = ref_gt[t0:t1]
-            vb, vq, vf, vm = staged_chunk(rows, t0, t1)
+            if direct_ok and rows == SNV_TILE_L:
+                vb = base[t0:t1]
+                vq = qual[t0:t1]
+                vf = fwd[t0:t1]
+                vm = mask[t0:t1]
+                rg = ref_gt[t0:t1]
+                h = None if hap is None else hap[t0:t1]
+            else:
+                vb, vq, vf, vm = staged_chunk(rows, t0, t1)
+                rg = np.full(SNV_TILE_L, 4, dtype=ref_gt.dtype)
+                rg[:rows] = ref_gt[t0:t1]
+                h = None
+                if hap is not None:
+                    h = np.zeros(SNV_TILE_L, dtype=bool)
+                    h[:rows] = hap[t0:t1]
             sub = SnvPileupTile(
                 base_id=jnp.asarray(vb),
                 qual=jnp.asarray(vq),
                 is_fwd=jnp.asarray(vf),
                 mask=jnp.asarray(vm),
                 ref_gt=jnp.asarray(rg))
-            sub_hap = None
-            if hap is not None:
-                h = np.zeros(SNV_TILE_L, dtype=bool)
-                h[:rows] = hap[t0:t1]
-                sub_hap = jnp.asarray(h)
+            sub_hap = None if h is None else jnp.asarray(h)
             res = call_snv_tile(sub, theta, sub_hap,
                                 het_vf_extension, het_vf_increment,
                                 compute_sb=False)
             lt_dev = jnp.take_along_axis(
                 res.lhood, res.genome_max_gt[:, None], axis=-1)[:, 0]
-            pending.append((res, lt_dev, rows, (vb, vq, vf, vm)))
+            pending.append((res, lt_dev, rows, t0, (vb, vq, vf, vm)))
             if len(pending) >= MAX_INFLIGHT:
                 pull_one()
         while pending:
             pull_one()
-        cat = {f: np.concatenate([p[f] for p in parts]) for f in _PULL}
-        lt_all = np.concatenate(lt_parts)
+        lt_all = outbufs["_lt"]
         out = SnvCallResult(
             lhood=None, genome_pprob=None, poly_pprob=None,
-            genome_max_gt=cat["genome_max_gt"],
-            poly_max_gt=cat["poly_max_gt"],
-            snv_qphred=cat["snv_qphred"],
-            genome_max_gt_qphred=cat["genome_max_gt_qphred"],
-            poly_max_gt_qphred=cat["poly_max_gt_qphred"],
-            phred_loghood=cat["phred_loghood"],
+            genome_max_gt=outbufs["genome_max_gt"],
+            poly_max_gt=outbufs["poly_max_gt"],
+            snv_qphred=outbufs["snv_qphred"],
+            genome_max_gt_qphred=outbufs["genome_max_gt_qphred"],
+            poly_max_gt_qphred=outbufs["poly_max_gt_qphred"],
+            phred_loghood=outbufs["phred_loghood"],
             strand_bias=None)
 
     # strand bias on the SNP subset only (is_snp gate, reference :524)

@@ -142,12 +142,15 @@ def call_sample_sites(
     if batch.n:
         # native single-pass pileup (exact match to the Python path)
         from ..io.native import pileup_native
+        # depth padded to the SNV chunk bucket so full 32k chunks are
+        # zero-copy row slices of the tile (no staging copies)
         res = pileup_native(
             batch, level, ref_codes, ref_offset, begin, end,
             min_qscore=opt.min_qscore,
             mm_flank=opt.max_win_mismatch_flank_size,
             mm_max=opt.max_win_mismatch,
-            exempt_keys=exempt_snv_keys)
+            exempt_keys=exempt_snv_keys,
+            depth_pad=snv_digt.SNV_TILE_D_PAD)
         if res is not None:
             pu, native_fwd = res
     if pu is None:
@@ -156,7 +159,8 @@ def call_sample_sites(
             opt.max_win_mismatch,
             candidate_snv_mask=candidate_snv_mask) if batch.n else (None, None)
         pu = pl.build_pileup(batch, ea, level, ref_codes, begin, end,
-                             min_qscore=opt.min_qscore, mm_filter=mmf)
+                             min_qscore=opt.min_qscore, mm_filter=mmf,
+                             depth_pad=snv_digt.SNV_TILE_D_PAD)
     rc = ref_codes[begin - ref_offset:end - ref_offset]
     # unused lanes keep their raw base/qual values: every consumer in
     # the SNV model masks on tile.mask, and one_hot of out-of-range
