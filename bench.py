@@ -5,6 +5,15 @@ Metric: reads/s through the read x haplotype likelihood scoring op
 starling_read_align_score.cpp inner loop). Each "read" is one read
 scored against a full haplotype offset window at one locus.
 
+Measurement: the tunneled dev chip's block_until_ready returns before
+device completion (async metadata future), so naive dispatch loops
+overstate throughput by >10x. Instead, N kernel steps are chained
+inside ONE jitted fori_loop with a real data dependency (step k's
+output perturbs step k+1's lnmis input by 0.0), completion is forced
+by fetching one output element, and the per-step time is the
+difference between a long and a short chain — cancelling the tunnel
+RTT and dispatch overhead exactly.
+
 Baseline: the reference calls a 40x WGS germline sample in ~40 min on a
 28-core server (README.md:6). 40x WGS ~= 8.3e8 reads of ~150bp, each
 realigned+scored once => ~3.5e5 reads/s for the whole reference
@@ -29,7 +38,10 @@ def main() -> None:
 
     # realistic hot-loop shapes: B locus tiles x R reads x L=128 read
     # length, W=128 offset window (covers +/-49bp indel shifts + slack)
-    B, R, L, W = 256, 128, 128, 128
+    B, R, L, W = 512, 128, 128, 128
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        B = 64  # CPU fallback: keep the run short
     rng = np.random.default_rng(0)
 
     codes = jnp.asarray(rng.integers(0, 5, (B, R, L)), jnp.int8)
@@ -37,30 +49,43 @@ def main() -> None:
     lnmis = jnp.asarray(rng.normal(-100, 10, (B, R)).astype(np.float32))
     win = jnp.asarray(rng.integers(0, 5, (B, W, L)), jnp.int8)
 
-    if jax.default_backend() == "tpu":
+    if on_tpu:
         from strelka_tpu.ops.pallas_readlik import score_best_offsets as step
     else:  # CPU fallback: XLA reference path
         from strelka_tpu.ops.pallas_readlik import reference_best_offsets as step
 
-    # warmup/compile
-    out = step(codes, delta, lnmis, win)
-    jax.block_until_ready(out)
+    def run_chain(n_steps):
+        # eager chaining: step k's output perturbs step k+1's lnmis
+        # input by 0.0 — a real device-side data dependency, so the
+        # steps execute sequentially, with one compile of the kernel
+        # (fori_loop wrapping compiles too slowly over the tunnel)
+        carry = lnmis
+        for _ in range(n_steps):
+            out = step(codes, delta, carry, win)
+            o = out[0] if isinstance(out, tuple) else out
+            carry = carry + o.astype(carry.dtype) * 0.0
+        return carry
 
-    # several timed blocks, best block wins: the tunneled dev chip is
-    # shared, so transient dispatch jitter otherwise dominates
-    n_iter = 10
-    best_dt = float("inf")
-    for _ in range(6):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = step(codes, delta, lnmis, win)
-        jax.block_until_ready(out)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    dt = best_dt
+    N_SHORT, N_LONG = 1, 11
 
-    reads_per_step = B * R
-    reads_per_s = reads_per_step * n_iter / dt
-    flops = 2.0 * B * R * W * 4 * L * n_iter / dt
+    def timed(n_steps):
+        # warmup/compile, then best-of: the dev chip is shared
+        r = run_chain(n_steps)
+        np.asarray(r[:1])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = run_chain(n_steps)
+            np.asarray(r[:1])  # force true completion (one tiny fetch)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = timed(N_SHORT)
+    t_long = timed(N_LONG)
+    dt_step = max(t_long - t_short, 1e-9) / (N_LONG - N_SHORT)
+
+    reads_per_s = B * R / dt_step
+    flops = 2.0 * B * R * W * 4 * L / dt_step
 
     result = {
         "metric": "read_likelihood_scoring_reads_per_s_per_chip",
@@ -72,7 +97,8 @@ def main() -> None:
     # extra diagnostics on stderr
     import sys
     print(f"# backend={jax.default_backend()} devices={jax.devices()} "
-          f"tflops={flops / 1e12:.1f} step_ms={dt / n_iter * 1e3:.2f}",
+          f"tflops={flops / 1e12:.1f} step_ms={dt_step * 1e3:.2f} "
+          f"t_short={t_short * 1e3:.1f}ms t_long={t_long * 1e3:.1f}ms",
           file=sys.stderr)
 
 
