@@ -139,6 +139,94 @@ def _grid_lhoods_for_pileup(pu: pl.PileupRegion, used: np.ndarray,
     return np.concatenate(parts)
 
 
+def _snv_tier1_fused(pus, ref_gt, run_fn):
+    """Tier1 somatic SNV call over fixed position chunks with the
+    whole chain device-resident: per chunk, both samples' frequency-
+    grid lhoods AND the joint posterior run on device, and only the
+    [rows]-sized result fields come back to host (the [L, GRID] f64
+    lhood tensors never make the device->host->device roundtrip).
+    Dispatch is pipelined a few chunks ahead of the pulls; results
+    land in pooled output buffers."""
+    import jax.numpy as jnp
+
+    L = pus[0].base_id.shape[0]
+    rg_all = np.ascontiguousarray(ref_gt, dtype=np.int32)
+    if L <= _TILE_L:
+        lh = [_grid_lhoods_for_pileup(pu, pu.used & pu.valid, rg_all)
+              for pu in pus]
+        res = run_fn(lh[0], lh[1])
+        return ss.SomaticSnvResult(*[np.asarray(x) for x in res])
+
+    # per-sample depths differ (e.g. 80x tumor vs 40x normal)
+    Ds = [pu.base_id.shape[1] for pu in pus]
+    Dbs = [((d + _TILE_D_PAD - 1) // _TILE_D_PAD) * _TILE_D_PAD
+           for d in Ds]
+    used = [pu.used & pu.valid for pu in pus]
+    direct_oks = [
+        d == db and pu.base_id.flags.c_contiguous
+        and pu.qual.flags.c_contiguous and pu.is_fwd.flags.c_contiguous
+        for pu, d, db in zip(pus, Ds, Dbs)]
+
+    from ..io.native import (_carve, _carve_size, _carve_zeroed,
+                             _STAGE_POOL, _TILE_POOL)
+    stage_specs = [[((_TILE_L, db), dt)
+                    for dt in (np.int8, np.int16, np.bool_, np.bool_)]
+                   for db in Dbs]
+    stage_nbytes = [_carve_size(sp) for sp in stage_specs]
+
+    MAX_INFLIGHT = 4
+    pending = []
+    outbufs: dict = {}
+    fields = ss.SomaticSnvResult._fields
+
+    def pull_one():
+        res, rows, c0, _keep = pending.pop(0)
+        vals = [(f, np.asarray(getattr(res, f))) for f in fields]
+        if not outbufs:
+            specs = [((L,) + a.shape[1:], a.dtype) for _f, a in vals]
+            arena = _TILE_POOL.acquire(_carve_size(specs))
+            for (f, _a), v in zip(vals, _carve(arena, specs)):
+                outbufs[f] = v
+        for f, a in vals:
+            outbufs[f][c0:c0 + rows] = a[:rows]
+
+    for t0 in range(0, L, _TILE_L):
+        t1 = min(t0 + _TILE_L, L)
+        rows = t1 - t0
+        keep = []
+        lh_dev = []
+        for s, pu in enumerate(pus):
+            if direct_oks[s] and rows == _TILE_L:
+                vb = pu.base_id[t0:t1]
+                vq = pu.qual[t0:t1]
+                vu = used[s][t0:t1]
+                vf = pu.is_fwd[t0:t1]
+                rg = rg_all[t0:t1]
+            else:
+                D = Ds[s]
+                arena = _STAGE_POOL.acquire(stage_nbytes[s])
+                vb, vq, vu, vf = _carve_zeroed(arena, stage_specs[s])
+                vb[:rows, :D] = pu.base_id[t0:t1]
+                vb[rows:] = -1
+                vb[:rows, D:] = -1
+                vq[:rows, :D] = pu.qual[t0:t1]
+                vu[:rows, :D] = used[s][t0:t1]
+                vf[:rows, :D] = pu.is_fwd[t0:t1]
+                rg = np.zeros(_TILE_L, np.int32)
+                rg[:rows] = rg_all[t0:t1]
+            keep.extend((vb, vq, vu, vf, rg))
+            lh_dev.append(ss.freq_grid_lhoods(
+                jnp.asarray(vb), jnp.asarray(vq), jnp.asarray(vu),
+                jnp.asarray(vf), jnp.asarray(rg)))
+        res = run_fn(lh_dev[0], lh_dev[1])
+        pending.append((res, rows, t0, keep))
+        if len(pending) >= MAX_INFLIGHT:
+            pull_one()
+    while pending:
+        pull_one()
+    return ss.SomaticSnvResult(**{f: outbufs[f] for f in fields})
+
+
 def _somatic_snv_call_chunked(nlh, tlh, run_fn):
     """run_fn over fixed position tiles; concatenated numpy result."""
     L = nlh.shape[0]
@@ -285,13 +373,16 @@ def call_somatic_region(
     # --- pileups (post-realignment) ---
     from ..io.native import pileup_native
     for s in range(2):
+        # depth padded to the grid chunk bucket so full 32k chunks are
+        # zero-copy row slices of the tile (no staging copies)
         res = pileup_native(
             kept[s], levels[s], ref_all, fetch_begin, begin, end,
             min_qscore=opt.min_qscore,
             mm_flank=opt.max_win_mismatch_flank_size,
             mm_max=opt.max_win_mismatch,
             t2_mm_max=opt.tier2_mismatch_density_filter_count,
-            exempt_keys=exempt_keys)
+            exempt_keys=exempt_keys,
+            depth_pad=_TILE_D_PAD)
         if res is not None:
             pus.append(res[0])
             continue
@@ -308,13 +399,9 @@ def call_somatic_region(
         pus.append(pl.build_pileup(
             kept[s], eas[s], levels[s], rc, begin, end,
             min_qscore=opt.min_qscore, mm_filter=mmf,
-            tier2_mm_filter=t2mmf))
+            tier2_mm_filter=t2mmf, depth_pad=_TILE_D_PAD))
 
-    # --- SNVs: tier1 grid lhoods over all positions ---
-    lh = []
-    for pu in pus:
-        lh.append(_grid_lhoods_for_pileup(pu, pu.used & pu.valid, ref_gt))
-
+    # --- SNVs: tier1 grid lhoods + joint call, device-resident ---
     shared_rate = opt.shared_site_error_rate
     def run_tier(nlh, tlh):
         return ss.somatic_snv_call(
@@ -325,7 +412,7 @@ def call_somatic_region(
             theta=opt.bsnp_diploid_theta,
             sse_strand_fraction=opt.shared_site_error_strand_bias_fraction)
 
-    r1 = _somatic_snv_call_chunked(lh[0], lh[1], run_tier)
+    r1 = _snv_tier1_fused(pus, ref_gt, run_tier)
 
     q1 = np.asarray(r1.qphred)
     qn1 = np.asarray(r1.from_ntype_qphred)
