@@ -46,6 +46,27 @@ class IndelErrorRateSet:
     def get_rate(self, pattern_size, repeat_count, indel_type: str):
         """indel_type: 'I' or 'D'. Vectorized over numpy inputs."""
         assert self._tables is not None, "finalize() first"
+        if isinstance(pattern_size, (int, np.integer)) and \
+                isinstance(repeat_count, (int, np.integer)):
+            # scalar fast path: the per-locus callers hit this with a
+            # handful of distinct (ps, rc) keys per region
+            cache = getattr(self, "_scalar_cache", None)
+            if cache is None:
+                cache = self._scalar_cache = {}
+            key = (int(pattern_size), int(repeat_count), indel_type)
+            v = cache.get(key)
+            if v is None:
+                col = 0 if indel_type == "I" else 1
+                n_sizes = len(self._tables)
+                ps, rc = key[0], key[1]
+                if ps > n_sizes:
+                    ps, rc = 1, 1
+                ps = max(ps, 1)
+                rc = max(rc, 1)
+                tab = self._tables[ps - 1]
+                v = float(tab[min(rc - 1, len(tab) - 1), col])
+                cache[key] = v
+            return v
         pattern_size = np.asarray(pattern_size)
         repeat_count = np.asarray(repeat_count)
         col = 0 if indel_type == "I" else 1

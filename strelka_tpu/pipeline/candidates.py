@@ -249,6 +249,12 @@ def extract_read_indels(
     they never genotype as primitive alleles but are tracked for
     diagnostics and realignment exclusion.
     """
+    # identical raw observations recur across many reads (an indel at
+    # 40x shows in ~all spanning reads); the left-shift + key build is
+    # memoized per (refpos, dlen, ins-bytes)
+    key_cache: dict = {}
+    from ..io.fasta import decode_bases
+
     # insertions
     for i in range(len(ea.ins_read)):
         if ea.ins_is_edge[i]:
@@ -273,10 +279,12 @@ def extract_read_indels(
         r = int(ea.ins_read[i])
         seq = batch.seq[batch.seq_off[r] + ea.ins_readoff[i]:
                         batch.seq_off[r] + ea.ins_readoff[i] + length]
-        pos, dlen, ins = left_shift_indel(int(ea.ins_refpos[i]), 0, seq,
-                                          ref_codes, ref_offset)
-        from ..io.fasta import decode_bases
-        key = IndelKey(pos, 0, decode_bases(ins))
+        ck = (int(ea.ins_refpos[i]), 0, seq.tobytes())
+        key = key_cache.get(ck)
+        if key is None:
+            pos, _dlen, ins = left_shift_indel(ck[0], 0, seq,
+                                               ref_codes, ref_offset)
+            key = key_cache[ck] = IndelKey(pos, 0, decode_bases(ins))
         store.add_read_observation(key, sample_index, r, int(map_level[r]))
     # deletions
     for i in range(len(ea.devent_read)):
@@ -297,10 +305,13 @@ def extract_read_indels(
                                  rseq)
             continue
         r = int(ea.devent_read[i])
-        pos, dlen, ins = left_shift_indel(int(ea.devent_refpos[i]), length,
-                                          np.empty(0, np.uint8),
-                                          ref_codes, ref_offset)
-        key = IndelKey(pos, length, "")
+        ck = (int(ea.devent_refpos[i]), length, b"")
+        key = key_cache.get(ck)
+        if key is None:
+            pos, _dlen, _ins = left_shift_indel(ck[0], length,
+                                                np.empty(0, np.uint8),
+                                                ref_codes, ref_offset)
+            key = key_cache[ck] = IndelKey(pos, length, "")
         store.add_read_observation(key, sample_index, r, int(map_level[r]))
 
 
