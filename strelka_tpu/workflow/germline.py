@@ -66,6 +66,9 @@ def run_germline(argv=None) -> int:
                    help="germline SNV EVS model JSON")
     p.add_argument("--indel-scoring-model-file", default=None,
                    help="germline indel EVS model JSON")
+    p.add_argument("--disable-evs", action="store_true",
+                   help="disable empirical variant scoring; hard "
+                        "filters apply (reference --disableEVS)")
     p.add_argument("--report-evs-features", action="store_true",
                    help="append ;EVSF=<scoring features> to variant "
                         "records for offline EVS training "
@@ -95,6 +98,11 @@ def run_germline(argv=None) -> int:
     p.add_argument("--estimate-sequence-error", action="store_true",
                    help="fit per-sample adaptive indel error models "
                         "before calling (EstimateSequenceError workflow)")
+    p.add_argument("--use-all-data-for-sequence-error-estimation",
+                   action="store_true", dest="error_all_data",
+                   help="count every input region instead of stopping "
+                        "at the observation target (reference "
+                        "--useAllDataForSequenceErrorEstimation)")
     p.add_argument("--error-count-target", type=int, default=25_000_000,
                    help="stop counting once this many context instances "
                         "are collected (dynamic early-stop)")
@@ -174,6 +182,9 @@ def run_germline(argv=None) -> int:
         if args.indel_scoring_model_file:
             indel_forest = load_scoring_model(
                 args.indel_scoring_model_file, "INDEL")
+    if args.disable_evs:
+        snv_forest = None
+        indel_forest = None
     if args.config:
         from ..options import apply_ini
         opt, ini_extras = apply_ini(opt, args.config)
@@ -296,7 +307,8 @@ def run_germline(argv=None) -> int:
                                                beg, end)
                 per_region.append(cc)
                 total_instances += sum(c.total_instances for c in cc.values())
-                if total_instances >= args.error_count_target:
+                if (not args.error_all_data
+                        and total_instances >= args.error_count_target):
                     break  # dynamic early stop
             merged = ac.merge_context_counts(per_region)
             ac.save_context_counts(
