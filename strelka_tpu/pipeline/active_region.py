@@ -241,7 +241,9 @@ def _region_scan_ctx(batch: ReadBatch, ea: rd.ExpandedAlignments,
 
 def read_segments_for_region(batch: ReadBatch, ea: rd.ExpandedAlignments,
                              map_level: np.ndarray, begin: int, end: int):
-    """Read substrings fully covering [begin, end) in haplotype space.
+    """Read segments fully covering [begin, end) in haplotype space,
+    as raw base-code bytes (base-code byte order == ACGT lexicographic
+    order, so downstream tie-breaks match string semantics).
 
     Uses the aligned per-base table: the segment runs from the read
     offset aligned at begin to the offset aligned at end-1 (inclusive),
@@ -275,9 +277,9 @@ def read_segments_for_region(batch: ReadBatch, ea: rd.ExpandedAlignments,
             batch.seq, batch.seq_off, begin, end)
         if res is not None:
             o0s, o1s, valid = res
-            segs = [(int(r), decode_bases(
-                        batch.seq[batch.seq_off[r] + o0:
-                                  batch.seq_off[r] + o1 + 1]))
+            segs = [(int(r),
+                     batch.seq[batch.seq_off[r] + o0:
+                               batch.seq_off[r] + o1 + 1].tobytes())
                     for r, o0, o1 in zip(spanning[valid], o0s[valid],
                                          o1s[valid])]
             return segs, len(spanning)
@@ -294,15 +296,16 @@ def read_segments_for_region(batch: ReadBatch, ea: rd.ExpandedAlignments,
         seq = batch.get_seq(r)[o0:o1 + 1]
         if (seq >= 4).any():
             continue
-        segs.append((int(r), decode_bases(seq)))
+        segs.append((int(r), seq.tobytes()))
     return segs, len(spanning)
 
 
-def decompose_haplotype(hap: str, ref_seg: np.ndarray, region_begin: int,
+def decompose_haplotype(hap: bytes, ref_seg: np.ndarray, region_begin: int,
                         hap_id: int, out: DiscoveredVariants) -> None:
-    """Align one haplotype to the region's reference and emit primitive
-    variants (ActiveRegionProcessor::processSelectedHaplotypes)."""
-    q = encode_bases(hap)
+    """Align one haplotype (base-code bytes) to the region's reference
+    and emit primitive variants
+    (ActiveRegionProcessor::processSelectedHaplotypes)."""
+    q = np.frombuffer(hap, dtype=np.uint8)
     score, ops, lens = align_global(q, ref_seg)
     del score
     rpos = region_begin
@@ -318,7 +321,8 @@ def decompose_haplotype(hap: str, ref_seg: np.ndarray, region_begin: int,
             qpos += ln
         elif o == cg.INSERT:
             out.indels.append(
-                (IndelKey(rpos, 0, hap[qpos:qpos + ln]), hap_id))
+                (IndelKey(rpos, 0, decode_bases(q[qpos:qpos + ln])),
+                 hap_id))
             qpos += ln
         elif o == cg.DELETE:
             out.indels.append((IndelKey(rpos, int(ln), ""), hap_id))
@@ -342,15 +346,16 @@ def process_active_region(
     segs, n_spanning = read_segments_for_region(
         batch, ea, map_level, region.begin, region.end)
     ref_seg = ref_codes[region.begin - ref_offset:region.end - ref_offset]
-    ref_str = decode_bases(ref_seg)
+    ref_bytes = np.ascontiguousarray(ref_seg, dtype=np.uint8).tobytes()
 
-    ranked: list[tuple[int, str]]
+    ranked: list[tuple[int, bytes]]
     if segs and len(segs) >= MIN_FRAC_READS_COVERING_REGION * n_spanning:
         # generateHaplotypesWithCounting
-        counts: dict[str, int] = {}
+        counts: dict[bytes, int] = {}
         for _, s in segs:
             counts[s] = counts.get(s, 0) + 1
-        ranked = sorted(((c, h) for h, c in counts.items() if h != ref_str),
+        ranked = sorted(((c, h) for h, c in counts.items()
+                         if h != ref_bytes),
                         key=lambda x: (-x[0], x[1]))
     elif region.end - region.begin <= MAX_REF_SPAN_FOR_ASSEMBLY:
         # generateHaplotypesWithAssembly: contigs from all overlapping
@@ -369,8 +374,9 @@ def process_active_region(
                 read_seqs.append(decode_bases(s))
         contigs = assemble_region(read_seqs)
         ranked = [(c, h) for h, c in
-                  ((contig, cnt) for contig, cnt in contigs)
-                  if h != ref_str]
+                  ((encode_bases(contig).tobytes(), cnt)
+                   for contig, cnt in contigs)
+                  if h != ref_bytes]
         # assembled contigs extend past the region; trim by alignment is
         # handled naturally in decompose (global alignment to region ref
         # only works for region-sized haplotypes), so keep contigs whose

@@ -82,7 +82,8 @@ def _aligned_span(batch: ReadBatch, r: int):
     return clip_left, clip_right, has_complex
 
 
-def realign_read_to_indel(batch: ReadBatch, r: int, key: IndelKey):
+def realign_read_to_indel(batch: ReadBatch, r: int, key: IndelKey,
+                          span=None):
     """New (pos, ops, lens) embedding `key` into read r's alignment.
 
     Soft clips are unrolled into aligned bases: candidate alignments
@@ -95,7 +96,8 @@ def realign_read_to_indel(batch: ReadBatch, r: int, key: IndelKey):
     """
     if not key.is_primitive:
         return None  # swaps (del+ins) are not rewritten
-    clip_left, clip_right, has_complex = _aligned_span(batch, r)
+    clip_left, clip_right, has_complex = (
+        span if span is not None else _aligned_span(batch, r))
     if has_complex:
         return None
     read_len = batch.read_len(r)
@@ -122,14 +124,15 @@ def realign_read_to_indel(batch: ReadBatch, r: int, key: IndelKey):
 
 
 def plan_indel_alignment(batch: ReadBatch, r: int, key: IndelKey,
-                         hap_offset: int, win_begin: int):
+                         hap_offset: int, win_begin: int, span=None):
     """(pos, ops, lens) placing read r on the with-indel haplotype at
     the scored window offset (the max-likelihood candidate alignment;
     finishRealignment). Soft clips unroll; partial-insertion read ends
     become soft clips (edge inserts)."""
     if not key.is_primitive:
         return None
-    _cl, _cr, has_complex = _aligned_span(batch, r)
+    _cl, _cr, has_complex = (
+        span if span is not None else _aligned_span(batch, r))
     if has_complex:
         return None
     read_len = batch.read_len(r)
@@ -182,12 +185,13 @@ def plan_indel_alignment(batch: ReadBatch, r: int, key: IndelKey,
             np.array([lf, dl, read_len - lf], dtype=np.int32))
 
 
-def unroll_read(batch: ReadBatch, r: int):
+def unroll_read(batch: ReadBatch, r: int, span=None):
     """Gapless full-read plan with soft clips unrolled to aligned
     bases (the no-indel candidate alignment). None when the read has
     no soft clips, carries interior structure, or would start before
     the contig."""
-    clip_left, clip_right, has_complex = _aligned_span(batch, r)
+    clip_left, clip_right, has_complex = (
+        span if span is not None else _aligned_span(batch, r))
     if has_complex or (clip_left == 0 and clip_right == 0):
         return None
     new_pos = int(batch.pos[r]) - clip_left
@@ -273,7 +277,8 @@ LN_QUARTER = float(np.log(0.25))
 
 
 def score_softclipped_input(batch: ReadBatch, r: int,
-                            ref_codes: np.ndarray, ref_offset: int):
+                            ref_codes: np.ndarray, ref_offset: int,
+                            span=None):
     """Log-likelihood of read r's soft-clipped INPUT alignment.
 
     Emission over aligned bases (ln(1-e) match / ln(e/3) mismatch, N
@@ -282,7 +287,8 @@ def score_softclipped_input(batch: ReadBatch, r: int,
     is retained (scoreCandidateAlignment SOFT_CLIP case
     starling_read_align_score.cpp:439-455 + scoreMatchSegment).
     Returns None for alignments with interior structure."""
-    cl, cr, has_complex = _aligned_span(batch, r)
+    cl, cr, has_complex = (
+        span if span is not None else _aligned_span(batch, r))
     if has_complex:
         return None
     seq = batch.get_seq(r)
@@ -387,15 +393,17 @@ def apply_realignments(
             r = int(scores.read_rows[i])
             if r in new_cigars:
                 continue
+            span_r = (int(clip_l[r]), int(clip_r[r]), bool(has_complex[r]))
             if not unroll_clips and ref_codes is not None:
                 # RNA mode: keep the soft-clipped input alignment when
                 # it scores at least as well as the chosen realignment
-                cl, cr = int(clip_l[r]), int(clip_r[r])
+                cl, cr = span_r[0], span_r[1]
                 if cl or cr:
                     chosen = float(lh[i, 1 + int(best_alt[i])]) if win[i] \
                         else float(lh[i, 0])
                     sc_lnp = score_softclipped_input(batch, r, ref_codes,
-                                                     ref_offset)
+                                                     ref_offset,
+                                                     span=span_r)
                     if sc_lnp is not None and sc_lnp >= chosen:
                         continue
             if win[i]:
@@ -404,11 +412,12 @@ def apply_realignments(
                     res = plan_indel_alignment(
                         batch, r, key,
                         scores.best_offsets[i, 1 + int(best_alt[i])],
-                        scores.win_begin)
+                        scores.win_begin, span=span_r)
                 else:
-                    res = realign_read_to_indel(batch, r, key)
+                    res = realign_read_to_indel(batch, r, key,
+                                                span=span_r)
                 if res is None and unroll_clips and clippable[r]:
-                    res = unroll_read(batch, r)
+                    res = unroll_read(batch, r, span=span_r)
             else:
                 # gapless is the preferred pool member; when any
                 # with-indel alignment also sits within the smooth
@@ -419,9 +428,9 @@ def apply_realignments(
                 if alt_in_pool.any() and scores.best_offsets is not None:
                     res = clip_ambiguous_edges(
                         batch, r, scores, i, keys, alt_in_pool,
-                        has_complex=bool(has_complex[r]))
+                        has_complex=span_r[2])
                 if res is None and unroll_clips and clippable[r]:
-                    res = unroll_read(batch, r)
+                    res = unroll_read(batch, r, span=span_r)
             if res is not None:
                 new_cigars[r] = res
     if not new_cigars:
