@@ -36,6 +36,48 @@ def _round_up(x, m):
     return ((max(x, 1) + m - 1) // m) * m
 
 
+_Q_LUT_DELTA = None
+_Q_LUT_LMIS = None
+
+
+def _batch_base_cache(batch: ReadBatch):
+    """(delta_all [nbases] f32, lnmis_read [n] f32, nvalid_read [n] i32)
+    cached on the batch: per-base ln(1-e)-ln(e/3) (0 at N bases) via a
+    qscore LUT, and each read's full-length sum of ln(e/3) over called
+    bases / called-base count. These are locus-independent, so the
+    per-locus tensor builder only gathers."""
+    cached = getattr(batch, "_base_cache", None)
+    if cached is not None:
+        return cached
+    global _Q_LUT_DELTA, _Q_LUT_LMIS
+    if _Q_LUT_DELTA is None:
+        q = np.arange(128, dtype=np.float32)
+        e = np.clip(np.power(10.0, -q / 10.0), 1e-35, 0.75)
+        lm = np.log1p(-e)
+        lmis = np.log(e / 3.0)
+        _Q_LUT_DELTA = (lm - lmis).astype(np.float32)
+        _Q_LUT_LMIS = lmis.astype(np.float32)
+    isb = batch.seq < 4
+    delta_all = np.where(isb, _Q_LUT_DELTA[np.minimum(batch.qual, 127)],
+                         np.float32(0.0)).astype(np.float32)
+    lmis_all = np.where(isb, _Q_LUT_LMIS[np.minimum(batch.qual, 127)],
+                        np.float32(0.0))
+    # per-read reductions over the ragged layout; np.add.at keeps the
+    # exact sequential f32 accumulation order of the previous
+    # per-locus path (bit-identical lnmis)
+    n = batch.n
+    rlen = np.diff(batch.seq_off)
+    row_of_all = np.repeat(np.arange(n), rlen)
+    lnmis_read = np.zeros(n, dtype=np.float32)
+    np.add.at(lnmis_read, row_of_all, lmis_all.astype(np.float32))
+    cnts = np.concatenate([[0], np.cumsum(isb.astype(np.int64))])
+    nvalid_read = (cnts[batch.seq_off[1:]]
+                   - cnts[batch.seq_off[:-1]]).astype(np.int32)
+    out = (delta_all, lnmis_read, nvalid_read)
+    batch._base_cache = out
+    return out
+
+
 @dataclass
 class _LocusWork:
     locus_idx: int
@@ -138,6 +180,10 @@ def score_loci_batched(
             Wb = _round_up(len(w.haps[hi]) - w.read_len_max + 1, W_PAD)
             buckets.setdefault((Rb, Lb, Wb), []).append((wi, hi))
 
+    # per-base delta and per-read lnmis/nvalid are locus-independent:
+    # computed once per batch from a qscore LUT, cached on the batch
+    delta_all, lnmis_read, nvalid_read = _batch_base_cache(batch)
+
     # per-work read tensors built once (shared across its haps)
     read_cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
 
@@ -156,20 +202,14 @@ def score_loci_batched(
         gi = np.repeat(batch.seq_off[rows].astype(np.int64), lens) + within
         dst = np.repeat(np.arange(R) * Lb, lens) + within
         s = batch.seq[gi]
-        q = batch.qual[gi].astype(np.float32)
-        e = np.clip(np.power(10.0, -q / 10.0), 1e-35, 0.75)
-        lm = np.log1p(-e)
-        lmis = np.log(e / 3.0)
-        isb = s < 4
         codes = np.full(Rb * Lb, 4, dtype=np.int8)
         delta = np.zeros(Rb * Lb, dtype=np.float32)
-        codes[dst] = np.where(isb, s, 4)
-        delta[dst] = np.where(isb, lm - lmis, 0.0)
-        row_of = np.repeat(np.arange(R), lens)
+        codes[dst] = np.minimum(s, 4)
+        delta[dst] = delta_all[gi]
         lnmis = np.zeros(Rb, dtype=np.float32)
-        np.add.at(lnmis, row_of, np.where(isb, lmis, 0.0).astype(np.float32))
+        lnmis[:R] = lnmis_read[rows]
         nvalid = np.zeros(Rb, dtype=np.int32)
-        np.add.at(nvalid, row_of, isb.astype(np.int32))
+        nvalid[:R] = nvalid_read[rows]
         out = (codes.reshape(Rb, Lb), delta.reshape(Rb, Lb), lnmis, nvalid)
         read_cache[wi] = out
         return out
