@@ -27,6 +27,10 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    try:  # virtual 8-device mesh without needing env vars set pre-import
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass  # backend already initialized (env-var route still works)
     import numpy as np
 
     from strelka_tpu.parallel import mesh as pm
