@@ -277,7 +277,8 @@ def init_distributed() -> tuple[int, int]:
 
 
 def run_local_jobs(module: str, argv: list[str], jobs,
-                   cluster_submit: str | None = None) -> int:
+                   cluster_submit: str | None = None,
+                   call_mem_mb: int | None = None) -> int:
     """pyflow local/sge-mode analog: spawn `jobs` worker processes of
     the same workflow CLI (each taking every jobs-th segment group via
     --process-index/--process-count), retry failures once, then run the
@@ -294,9 +295,11 @@ def run_local_jobs(module: str, argv: list[str], jobs,
     import subprocess
     import sys
 
-    from .hardware import suggest_jobs
+    from .hardware import LOCAL_JOB_MEM_MB, suggest_jobs
 
-    n = suggest_jobs() if str(jobs) in ("auto", "0") else int(jobs)
+    mem_per_job = call_mem_mb or LOCAL_JOB_MEM_MB
+    n = (suggest_jobs(mem_per_job) if str(jobs) in ("auto", "0")
+         else int(jobs))
     if n <= 1:
         return -1  # caller falls through to the single-process path
 

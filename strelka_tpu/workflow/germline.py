@@ -115,6 +115,9 @@ def run_germline(argv=None) -> int:
                    help="spawn N local worker processes and merge "
                         "(pyflow local-mode analog); 'auto' sizes N "
                         "from cores and memory")
+    p.add_argument("--call-mem-mb", type=int, default=None,
+                   help="per-worker memory budget for --jobs auto "
+                        "sizing (reference --callMemMb)")
     p.add_argument("--cluster-submit", default=None,
                    help="blocking submit command wrapping each --jobs "
                         "worker (pyflow sge-mode analog), e.g. "
@@ -147,7 +150,8 @@ def run_germline(argv=None) -> int:
         from ..parallel.runner import run_local_jobs
         rc = run_local_jobs("strelka_tpu.workflow.germline",
                             list(argv) if argv is not None else sys.argv[1:],
-                            args.jobs, args.cluster_submit)
+                            args.jobs, args.cluster_submit,
+                            call_mem_mb=args.call_mem_mb)
         if rc >= 0:
             return rc
     if args.mesh:
