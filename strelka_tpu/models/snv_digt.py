@@ -527,6 +527,12 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                      and fwd.flags.c_contiguous
                      and mask.flags.c_contiguous)
 
+        # engine mesh (--mesh): dp-shard the position axis of each
+        # chunk over the local device mesh — positions are independent,
+        # so XLA partitions the genotyping program with no collectives
+        from ..parallel import mesh as pmesh
+        _to_dev = pmesh.chunk_sharder()
+
         for t0 in range(0, L, SNV_TILE_L):
             t1 = min(t0 + SNV_TILE_L, L)
             rows = t1 - t0
@@ -546,12 +552,12 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                     h = np.zeros(SNV_TILE_L, dtype=bool)
                     h[:rows] = hap[t0:t1]
             sub = SnvPileupTile(
-                base_id=jnp.asarray(vb),
-                qual=jnp.asarray(vq),
-                is_fwd=jnp.asarray(vf),
-                mask=jnp.asarray(vm),
-                ref_gt=jnp.asarray(rg))
-            sub_hap = None if h is None else jnp.asarray(h)
+                base_id=_to_dev(vb),
+                qual=_to_dev(vq),
+                is_fwd=_to_dev(vf),
+                mask=_to_dev(vm),
+                ref_gt=_to_dev(rg))
+            sub_hap = None if h is None else _to_dev(h)
             res = call_snv_tile(sub, theta, sub_hap,
                                 het_vf_extension, het_vf_increment,
                                 compute_sb=False)

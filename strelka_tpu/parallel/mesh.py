@@ -149,6 +149,24 @@ def engine_mesh_from_spec(spec: str | None) -> Mesh | None:
     return Mesh(np.array(devs[:n]).reshape(n, 1), ("dp", "sp"))
 
 
+def chunk_sharder():
+    """Device-put helper for fixed-shape position chunks: with an
+    engine mesh set, arrays are placed with their leading (position)
+    axis sharded over every mesh device — positions are independent,
+    so XLA partitions the downstream genotyping/grid programs with no
+    collectives. Without a mesh it is jnp.asarray."""
+    mesh = _ENGINE_MESH
+    if mesh is None:
+        return jnp.asarray
+    axes = ("dp", "sp")
+
+    def put(a):
+        sh = NamedSharding(mesh, P(axes, *([None] * (np.ndim(a) - 1))))
+        return jax.device_put(jnp.asarray(a), sh)
+
+    return put
+
+
 def sharded_best_offsets(kernel, mesh: Mesh):
     """Wrap a best-offsets kernel (codes, delta, lnmis, win) -> (best,
     off) to run dp-sharded over the leading batch axis."""

@@ -169,6 +169,8 @@ def _snv_tier1_fused(pus, ref_gt, run_fn):
 
     from ..io.native import (_carve, _carve_size, _carve_zeroed,
                              _STAGE_POOL, _TILE_POOL)
+    from ..parallel import mesh as pmesh
+    _to_dev = pmesh.chunk_sharder()
     stage_specs = [[((_TILE_L, db), dt)
                     for dt in (np.int8, np.int16, np.bool_, np.bool_)]
                    for db in Dbs]
@@ -216,8 +218,8 @@ def _snv_tier1_fused(pus, ref_gt, run_fn):
                 rg[:rows] = rg_all[t0:t1]
             keep.extend((vb, vq, vu, vf, rg))
             lh_dev.append(ss.freq_grid_lhoods(
-                jnp.asarray(vb), jnp.asarray(vq), jnp.asarray(vu),
-                jnp.asarray(vf), jnp.asarray(rg)))
+                _to_dev(vb), _to_dev(vq), _to_dev(vu),
+                _to_dev(vf), _to_dev(rg)))
         res = run_fn(lh_dev[0], lh_dev[1])
         pending.append((res, rows, t0, keep))
         if len(pending) >= MAX_INFLIGHT:

@@ -103,3 +103,39 @@ def test_engine_mesh_from_spec_parsing():
     assert m4.shape["dp"] == 4
     m22 = pm.engine_mesh_from_spec("2x2")
     assert m22.shape["dp"] == 2 and m22.shape["sp"] == 2
+
+
+def test_engine_mesh_chunked_snv_identical():
+    """call_snv_tile_chunked with the position axis dp-sharded over the
+    virtual mesh returns exactly the unsharded results (positions are
+    independent; no cross-shard math)."""
+    import numpy as np
+
+    from strelka_tpu.models import snv_digt as sd
+    from strelka_tpu.parallel import mesh as pm
+
+    rng = np.random.default_rng(3)
+    L = sd.SNV_TILE_L * 2 + 1000  # 2 full chunks + partial tail
+    D = 32
+    ref = rng.integers(0, 4, L).astype(np.int32)
+    base = np.broadcast_to(ref[:, None], (L, D)).astype(np.int8).copy()
+    idx = rng.choice(L, 200, replace=False)
+    base[idx, :10] = (ref[idx][:, None] + 1) % 4
+    tile = sd.SnvPileupTile(
+        base_id=base,
+        qual=np.full((L, D), 35, np.int16),
+        is_fwd=(rng.random((L, D)) < 0.5),
+        mask=(rng.random((L, D)) < 0.7),
+        ref_gt=ref)
+    plain = sd.call_snv_tile_chunked(tile)
+    try:
+        pm.set_engine_mesh(pm.engine_mesh_from_spec("4"))
+        meshed = sd.call_snv_tile_chunked(tile)
+    finally:
+        pm.set_engine_mesh(None)
+    for f in ("genome_max_gt", "poly_max_gt", "snv_qphred",
+              "genome_max_gt_qphred", "poly_max_gt_qphred",
+              "phred_loghood", "strand_bias"):
+        a = np.asarray(getattr(plain, f))
+        b = np.asarray(getattr(meshed, f))
+        assert np.array_equal(a, b), f
