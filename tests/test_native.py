@@ -160,3 +160,37 @@ def test_native_aligner_matches_python():
         assert sn == sp, trial
         assert np.array_equal(on_, op_), trial
         assert np.array_equal(ln_, lp_), trial
+
+
+def test_native_region_segments_match_python():
+    """read_segments_for_region native path vs the python fallback
+    (forced by casting the match tables to int64) on demo data."""
+    import dataclasses
+
+    import numpy as np
+
+    from strelka_tpu.io.bam import read_bam
+    from strelka_tpu.io.fasta import FastaReference
+    from strelka_tpu.pipeline import active_region as arp
+    from strelka_tpu.pipeline import reads as rd
+
+    ref = FastaReference("/root/reference/src/demo/data/demo20.fa")
+    _, raw = read_bam("/root/reference/src/demo/data/NA12891_demo20.bam")
+    keep, level = rd.filter_and_classify_reads(raw, 20)
+    b = raw.select(keep)
+    ea = rd.expand_alignments(b)
+    lv = level[keep]
+    # int64 tables fail the native dtype gate -> python fallback
+    ea64 = dataclasses.replace(
+        ea, match_refpos=ea.match_refpos.astype(np.int64),
+        match_readoff=ea.match_readoff.astype(np.int64))
+    L = ref.contig_length("demo20")
+    rng = np.random.default_rng(5)
+    for _ in range(25):
+        begin = int(rng.integers(0, L - 60))
+        end = begin + int(rng.integers(10, 60))
+        segs_n, nsp_n = arp.read_segments_for_region(b, ea, lv, begin, end)
+        segs_p, nsp_p = arp.read_segments_for_region(b, ea64, lv, begin,
+                                                     end)
+        assert nsp_n == nsp_p
+        assert segs_n == segs_p, (begin, end)
