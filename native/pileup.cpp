@@ -409,24 +409,35 @@ int32_t pileup_fill(
                 cig_ops, cig_lens, n_reads};
     const int64_t L = region_end - region_begin;
 
-    // max ref span over reads bounds the halo a stripe's read window
-    // needs (reads are position-sorted)
-    int64_t max_span = 1;
-    for (int64_t r = 0; r < n_reads; ++r)
-    {
-        int64_t span = 0;
-        for (int64_t c = cig_off[r]; c < cig_off[r + 1]; ++c)
-            if (op_refs(cig_ops[c])) span += cig_lens[c];
-        max_span = std::max(max_span, span);
-    }
-
     const unsigned hw = std::thread::hardware_concurrency();
     int64_t T = std::min<int64_t>(hw ? hw : 1, 8);
     T = std::min(T, std::max<int64_t>(L / 65536, 1));
     if (n_reads < 4096) T = 1;
 
+    // stripe read windows need pos sorted ascending; post-realignment
+    // batches can carry locally moved (unsorted) positions, in which
+    // case every stripe walks all reads (the position test inside
+    // fill_stripe keeps writes correct)
+    bool pos_sorted = true;
+    if (T > 1)
+        for (int64_t r = 1; r < n_reads; ++r)
+            if (pos[r] < pos[r - 1]) { pos_sorted = false; break; }
+
+    // max ref span over reads bounds the halo a stripe's read window
+    // needs (only used when stripes can window reads at all)
+    int64_t max_span = 1;
+    if (T > 1 && pos_sorted)
+        for (int64_t r = 0; r < n_reads; ++r)
+        {
+            int64_t span = 0;
+            for (int64_t c = cig_off[r]; c < cig_off[r + 1]; ++c)
+                if (op_refs(cig_ops[c])) span += cig_lens[c];
+            max_span = std::max(max_span, span);
+        }
+
     auto r_window = [&](int64_t sb, int64_t se, int64_t& lo, int64_t& hi)
     {
+        if (!pos_sorted) { lo = 0; hi = n_reads; return; }
         lo = std::lower_bound(pos, pos + n_reads, sb - max_span) - pos;
         hi = std::lower_bound(pos, pos + n_reads, se) - pos;
     };
@@ -434,16 +445,14 @@ int32_t pileup_fill(
     int32_t rc = 0;
     if (T <= 1)
     {
-        int64_t lo, hi;
-        r_window(region_begin, region_end, lo, hi);
         rc = fill_stripe(rv, ref, ref_off, ref_len, region_begin,
-                         region_end, region_begin, region_end, lo, hi,
-                         min_qscore, mapq_adjust, mm_flank, mm_max,
-                         t2_mm_max, exempt_keys, n_exempt, D, slot,
-                         t_base, t_qual, t_rawq, t_fwd, t_ridx, t_roff,
-                         t_valid, t_used, t_t2used, spandel, submapped,
-                         mapq_n, mapq_sumsq, mapq_zero, used_counts,
-                         used_fwd_counts, edge_dist_sum);
+                         region_end, region_begin, region_end, 0,
+                         n_reads, min_qscore, mapq_adjust, mm_flank,
+                         mm_max, t2_mm_max, exempt_keys, n_exempt, D,
+                         slot, t_base, t_qual, t_rawq, t_fwd, t_ridx,
+                         t_roff, t_valid, t_used, t_t2used, spandel,
+                         submapped, mapq_n, mapq_sumsq, mapq_zero,
+                         used_counts, used_fwd_counts, edge_dist_sum);
     }
     else
     {

@@ -84,29 +84,50 @@ class _ArenaPool:
     pins its own arena.
     """
 
+    # acquires an arena may sit idle before it is dropped: large enough
+    # that the per-region working set (pileup tile / staging / output
+    # arenas, a handful of acquires per region) always survives, small
+    # enough that a one-off depth-spike arena is returned to the OS
+    # within a few regions instead of pinning peak memory for the
+    # process lifetime
+    MAX_IDLE = 32
+
     def __init__(self, max_arenas: int = 8):
         self._arenas: list[np.ndarray] = []
+        self._idle: dict[int, int] = {}
         self._max = max_arenas
+
+    def _free(self, a, sys) -> bool:
+        # refs: list entry + caller's binding + getrefcount arg == free
+        return sys.getrefcount(a) == 3
 
     def acquire(self, nbytes: int) -> np.ndarray:
         import sys
         best = None
         for a in self._arenas:
-            # refs: list entry + loop var + getrefcount arg == free
-            if a.nbytes >= nbytes and sys.getrefcount(a) == 3:
+            if a.nbytes >= nbytes and self._free(a, sys):
                 if best is None or a.nbytes < best.nbytes:
                     best = a
-        if best is not None:
-            return best
-        arena = np.empty(nbytes, np.uint8)
-        self._arenas.append(arena)
-        if len(self._arenas) > self._max:
-            # drop the smallest currently-free arena
-            frees = [a for a in self._arenas
-                     if sys.getrefcount(a) == 3 and a is not arena]
-            if frees:
-                self._arenas.remove(min(frees, key=lambda a: a.nbytes))
-        return arena
+        if best is None:
+            best = np.empty(nbytes, np.uint8)
+            self._arenas.append(best)
+        self._idle[id(best)] = 0
+        # age every other free arena; drop the stale and the over-cap
+        stale = []
+        frees = []
+        for a in self._arenas:
+            if a is best or not self._free(a, sys):
+                continue
+            n = self._idle.get(id(a), 0) + 1
+            self._idle[id(a)] = n
+            (stale if n > self.MAX_IDLE else frees).append(a)
+        n_over = len(self._arenas) - len(stale) - self._max
+        if n_over > 0:
+            stale.extend(sorted(frees, key=lambda x: x.nbytes)[:n_over])
+        for a in stale:
+            self._arenas.remove(a)
+            self._idle.pop(id(a), None)
+        return best
 
 
 _TILE_POOL = _ArenaPool()

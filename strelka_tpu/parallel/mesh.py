@@ -161,8 +161,11 @@ def chunk_sharder():
     axes = ("dp", "sp")
 
     def put(a):
+        # device_put on the raw host array shards host->devices in one
+        # step; jnp.asarray first would commit to the default device
+        # and force a second full transfer on reshard
         sh = NamedSharding(mesh, P(axes, *([None] * (np.ndim(a) - 1))))
-        return jax.device_put(jnp.asarray(a), sh)
+        return jax.device_put(a, sh)
 
     return put
 

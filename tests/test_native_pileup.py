@@ -78,5 +78,52 @@ def test_native_pileup_subregion(lib, demo_bams, demo_fasta):
     compare(pu_py, pu_nat)
 
 
+def test_native_pileup_unsorted_positions(lib, demo_bams, demo_fasta):
+    """Post-realignment batches carry locally moved (unsorted) pos;
+    the stripe read-windowing must not drop reads (regression: binary
+    search over unsorted pos silently excluded overlapping reads)."""
+    ref = FastaReference(demo_fasta)
+    rc = ref.load_contig("demo20")
+    _, raw = read_bam(demo_bams[0])
+    keep, level = rd.filter_and_classify_reads(raw, 20)
+    b = raw.select(keep)
+    lvl = level[keep]
+    # move every 7th read 60bp left: unsorted but still valid
+    pos = b.pos.copy()
+    pos[::7] = np.maximum(pos[::7] - 60, 0)
+    import dataclasses
+    b2 = dataclasses.replace(b, pos=pos)
+    pu_py = python_pileup(b2, lvl, rc, 0, 0, len(rc))
+    res = native.pileup_native(b2, lvl, rc, 0, 0, len(rc), 17)
+    assert res is not None
+    compare(pu_py, res[0])
+
+
+def test_native_pileup_unsorted_positions_striped(lib):
+    """Same regression at a scale that engages the multi-thread stripe
+    path (>=4096 reads, L >= 128k): unsorted pos falls back to
+    full-read walks per stripe."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from benchmarks import synth
+
+    refs, batch, _ = synth.generate(L=200_000, depth=12, snv_every=500,
+                                    seed=3)
+    from strelka_tpu.io.fasta import encode_bases
+    rc = encode_bases(refs)
+    keep, level = rd.filter_and_classify_reads(batch, 20)
+    b = batch.select(keep)
+    lvl = level[keep]
+    assert b.n >= 4096
+    pos = b.pos.copy()
+    pos[::9] = np.maximum(pos[::9] - 80, 0)
+    import dataclasses
+    b2 = dataclasses.replace(b, pos=pos)
+    pu_py = python_pileup(b2, lvl, rc, 0, 0, len(rc))
+    res = native.pileup_native(b2, lvl, rc, 0, 0, len(rc), 17)
+    assert res is not None
+    compare(pu_py, res[0])
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
