@@ -312,11 +312,22 @@ def parse_bam_body(data, header: BamHeader) -> ReadBatch:
     total = len(data)
     rec = struct.Struct("<iiiBBHHHiiii")
     while off < total:
-        (block_size,) = struct.unpack_from("<i", data, off)
-        off += 4
-        end = off + block_size
-        (refID, pos, l_rn_packed, mapq, _bin, n_cigar, flag, l_seq,
-         next_refID, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", data, off)
+        try:
+            (block_size,) = struct.unpack_from("<i", data, off)
+            end = off + 4 + block_size
+            if block_size < 32 or end > total:
+                raise ValueError(
+                    f"truncated/corrupt BAM record at offset {off}: "
+                    f"block_size={block_size}, {total - off - 4} bytes "
+                    "remain")
+            off += 4
+            (refID, pos, l_rn_packed, mapq, _bin, n_cigar, flag, l_seq,
+             next_refID, next_pos,
+             tlen) = struct.unpack_from("<iiBBHHHiiii", data, off)
+        except struct.error as e:
+            raise ValueError(
+                f"truncated BAM record section at offset {off} "
+                f"({total} bytes total)") from e
         p = off + 32
         name = bytes(data[p:p + l_rn_packed - 1]).decode()
         p += l_rn_packed
