@@ -1127,7 +1127,22 @@ def read_cram(path: str, reference: str | FastaReference | None = None,
     the file was written reference-less (RR=false with verbatim bases).
     When _crai_entries/_regions are given (via read_cram_regions), data
     containers holding no overlapping slice are skipped wholesale.
+
+    Truncated/corrupt input raises ValueError (low-level parse and
+    codec errors never leak).
     """
+    import lzma
+    import zlib
+    try:
+        return _read_cram_impl(path, reference, _crai_entries, _regions)
+    except (struct.error, zlib.error, lzma.LZMAError, IndexError,
+            KeyError, AssertionError, UnicodeDecodeError, MemoryError,
+            OverflowError) as e:
+        raise ValueError(f"{path}: truncated or corrupt CRAM "
+                         f"({type(e).__name__}: {e})") from e
+
+
+def _read_cram_impl(path, reference, _crai_entries, _regions):
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"CRAM":

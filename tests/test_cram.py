@@ -153,3 +153,33 @@ def test_native_rans_matches_python():
                 n_checked += 1
         assert br.pos == end
     assert n_checked > 0
+
+
+def test_cram_reader_clean_errors_on_corrupt_input(tmp_path):
+    """Truncated/corrupted CRAMs raise ValueError (low-level parse and
+    codec errors never leak; native decoder never crashes)."""
+    import numpy as np
+
+    from strelka_tpu.io.cram import read_cram
+
+    data = open(f"{DATA}/synth.cram", "rb").read()
+    rng = np.random.default_rng(1)
+    for trial in range(24):
+        buf = bytearray(data)
+        kind = trial % 3
+        if kind == 0:
+            buf = bytes(buf[:rng.integers(1, len(buf))])
+        elif kind == 1:
+            for _ in range(int(rng.integers(1, 40))):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+            buf = bytes(buf)
+        else:
+            for _ in range(int(rng.integers(1, 8))):
+                buf[rng.integers(0, 800)] = rng.integers(0, 256)
+            buf = bytes(buf)
+        p = tmp_path / f"fuzz{trial}.cram"
+        p.write_bytes(buf)
+        try:
+            read_cram(str(p), reference=f"{DATA}/synth.fa")
+        except (ValueError, EOFError, OSError, NotImplementedError):
+            pass
