@@ -63,14 +63,31 @@ def _open_maybe_gz(path: str):
 
 
 def read_vcf(path: str, region: tuple[str, int, int] | None = None):
-    """Yield VcfRecord from a (optionally bgzipped) VCF file."""
+    """Yield VcfRecord from a (optionally bgzipped) VCF file.
+    Truncated/corrupt input raises ValueError/EOFError (gzip codec
+    errors never leak)."""
+    import zlib
     with _open_maybe_gz(path) as f:
-        for line in f:
+        it = iter(f)
+        while True:
+            try:
+                line = next(it)
+            except StopIteration:
+                return
+            except (zlib.error, gzip.BadGzipFile) as e:
+                raise ValueError(
+                    f"{path}: truncated or corrupt gzip stream "
+                    f"({e})") from e
             if line.startswith("#"):
                 continue
             fields = line.rstrip("\n").split("\t")
-            chrom, pos1, vid, ref, alt = fields[:5]
-            pos = int(pos1) - 1
+            try:
+                chrom, pos1, vid, ref, alt = fields[:5]
+                pos = int(pos1) - 1
+            except ValueError as e:
+                raise ValueError(
+                    f"{path}: malformed VCF record line: "
+                    f"{line[:80]!r}") from e
             if region is not None:
                 rchrom, rbeg, rend = region
                 if chrom != rchrom or pos < rbeg or pos >= rend:
