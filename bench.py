@@ -73,7 +73,7 @@ def main() -> None:
         r = run_chain(n_steps)
         np.asarray(r[:1])
         best = float("inf")
-        for _ in range(3):
+        for _ in range(8):
             t0 = time.perf_counter()
             r = run_chain(n_steps)
             np.asarray(r[:1])  # force true completion (one tiny fetch)
