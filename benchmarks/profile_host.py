@@ -31,7 +31,8 @@ from benchmarks import synth  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="indel",
-                    choices=["indel", "snv", "mixed", "somatic"])
+                    choices=["indel", "snv", "mixed", "somatic",
+                             "somatic-indel"])
     ap.add_argument("--length", type=int, default=400_000)
     ap.add_argument("--depth", type=int, default=40)
     ap.add_argument("--profile", action="store_true")
@@ -42,7 +43,7 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
-    somatic = args.mode == "somatic"
+    somatic = args.mode in ("somatic", "somatic-indel")
     kw = dict(L=args.length, depth=args.depth)
     if args.mode == "indel":
         kw.update(indel_every=300)
@@ -50,17 +51,23 @@ def main():
         kw.update(snv_every=300)
     elif args.mode == "somatic":
         kw.update(snv_every=900)
+    elif args.mode == "somatic-indel":
+        # germline SNVs + germline indels in both samples; the tumor
+        # additionally carries VAF somatic indels (set below)
+        kw.update(snv_every=900, indel_every=900)
     else:
         kw.update(snv_every=600, indel_every=600)
 
     print(f"generating {args.mode} region L={args.length} depth={args.depth}",
           file=sys.stderr)
     if somatic:
-        # one reference + shared germline het-SNV truth (ref_seed);
+        # one reference + shared germline truth (ref_seed);
         # independent read sampling per sample, tumor at 2x depth
+        tkw = dict(kw, depth=2 * args.depth)
+        if args.mode == "somatic-indel":
+            tkw.update(somatic_indel_every=1100, somatic_vaf=0.3)
         refs, normal, truth = synth.generate(**kw, seed=11, ref_seed=11)
-        _, tumor, _ = synth.generate(**dict(kw, depth=2 * args.depth),
-                                     seed=12, ref_seed=11)
+        _, tumor, _ = synth.generate(**tkw, seed=12, ref_seed=11)
         batch = tumor  # reads/s counts tumor+normal below
     else:
         refs, batch, truth = synth.generate(**kw)

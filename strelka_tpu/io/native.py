@@ -98,8 +98,12 @@ class _ArenaPool:
         self._max = max_arenas
 
     def _free(self, a, sys) -> bool:
-        # refs: list entry + caller's binding + getrefcount arg == free
-        return sys.getrefcount(a) == 3
+        # refs when free: list entry + caller's loop binding + this
+        # method's `a` parameter + getrefcount's argument == 4
+        # (the old inline check used 3; moving it into a method adds
+        # the parameter binding — miscounting this silently disables
+        # all reuse, see test_arena_pool_reuse)
+        return sys.getrefcount(a) == 4
 
     def acquire(self, nbytes: int) -> np.ndarray:
         import sys
@@ -124,9 +128,12 @@ class _ArenaPool:
         n_over = len(self._arenas) - len(stale) - self._max
         if n_over > 0:
             stale.extend(sorted(frees, key=lambda x: x.nbytes)[:n_over])
-        for a in stale:
-            self._arenas.remove(a)
-            self._idle.pop(id(a), None)
+        if stale:
+            # identity-based removal (list.remove would broadcast ==)
+            drop = {id(a) for a in stale}
+            self._arenas = [x for x in self._arenas if id(x) not in drop]
+            for i in drop:
+                self._idle.pop(i, None)
         return best
 
 
@@ -616,6 +623,29 @@ def find_active_regions_native(counts, depth, anchors, ref_codes,
         _p(a, ctypes.c_uint8), _p(ref, ctypes.c_uint8),
         L, region_begin, _p(ob, ctypes.c_int64), _p(oe, ctypes.c_int64))
     return ob[:n], oe[:n]
+
+
+def segment_f32_sums_native(vals, off):
+    """Per-segment sequential f32 sums (native/activeregion.cpp
+    segment_f32_sums; identical accumulation order to np.add.at).
+    Returns f32[n] or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_segsum_bound"):
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.segment_f32_sums.restype = None
+        lib.segment_f32_sums.argtypes = [f32p, i64p, ctypes.c_int64,
+                                         f32p]
+        lib._segsum_bound = True
+    v = np.ascontiguousarray(vals, dtype=np.float32)
+    o = np.ascontiguousarray(off, dtype=np.int64)
+    n = len(o) - 1
+    out = np.empty(n, np.float32)
+    lib.segment_f32_sums(_p(v, ctypes.c_float), _p(o, ctypes.c_int64),
+                         n, _p(out, ctypes.c_float))
+    return out
 
 
 def align_affine_native(query, ref, s_match, s_mismatch, s_open,

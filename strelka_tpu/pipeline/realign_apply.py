@@ -461,7 +461,7 @@ def _rebuild_cigars(batch: ReadBatch, new_cigars: dict) -> ReadBatch:
         op_parts.append(batch.cig_ops[batch.cig_off[prev]:])
         len_parts.append(batch.cig_lens[batch.cig_off[prev]:])
     cig_off = np.concatenate([[0], np.cumsum(new_nseg)]).astype(np.int64)
-    return ReadBatch(
+    out = ReadBatch(
         n=batch.n, names=batch.names, tid=batch.tid, pos=pos,
         mapq=batch.mapq, flag=batch.flag, mate_tid=batch.mate_tid,
         mate_pos=batch.mate_pos, tlen=batch.tlen, seq=batch.seq,
@@ -470,3 +470,11 @@ def _rebuild_cigars(batch: ReadBatch, new_cigars: dict) -> ReadBatch:
         cig_lens=np.concatenate(len_parts),
         cig_off=cig_off,
     )
+    # seq/qual/seq_off are shared with the input batch, so the
+    # per-base scoring cache (realign_batch._batch_base_cache) carries
+    # over — the somatic path rescoring post-realignment batches would
+    # otherwise recompute it per sample per pass
+    cache = getattr(batch, "_base_cache", None)
+    if cache is not None:
+        out._base_cache = cache
+    return out

@@ -62,15 +62,20 @@ def _batch_base_cache(batch: ReadBatch):
                          np.float32(0.0)).astype(np.float32)
     lmis_all = np.where(isb, _Q_LUT_LMIS[np.minimum(batch.qual, 127)],
                         np.float32(0.0))
-    # per-read reductions over the ragged layout; np.add.at keeps the
-    # exact sequential f32 accumulation order of the previous
-    # per-locus path (NOTE: np.add.reduceat is ~3x faster here but
-    # pairwise-sums long segments — NOT bit-identical, breaks parity)
+    # per-read reductions over the ragged layout; the native path and
+    # the np.add.at fallback both accumulate sequentially in f32 — the
+    # exact order of the previous per-locus path (NOTE: np.add.reduceat
+    # is faster but pairwise-sums long segments — NOT bit-identical,
+    # breaks parity)
     n = batch.n
-    rlen = np.diff(batch.seq_off)
-    lnmis_read = np.zeros(n, dtype=np.float32)
-    np.add.at(lnmis_read, np.repeat(np.arange(n), rlen),
-              lmis_all.astype(np.float32))
+    from ..io.native import segment_f32_sums_native
+    lnmis_read = segment_f32_sums_native(
+        lmis_all.astype(np.float32), batch.seq_off)
+    if lnmis_read is None:
+        rlen = np.diff(batch.seq_off)
+        lnmis_read = np.zeros(n, dtype=np.float32)
+        np.add.at(lnmis_read, np.repeat(np.arange(n), rlen),
+                  lmis_all.astype(np.float32))
     cnts = np.concatenate([[0], np.cumsum(isb.astype(np.int64))])
     nvalid_read = (cnts[batch.seq_off[1:]]
                    - cnts[batch.seq_off[:-1]]).astype(np.int32)

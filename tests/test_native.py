@@ -194,3 +194,27 @@ def test_native_region_segments_match_python():
                                                      end)
         assert nsp_n == nsp_p
         assert segs_n == segs_p, (begin, end)
+
+
+def test_arena_pool_reuse_and_eviction():
+    """Released arenas must be handed back (refcount bookkeeping is
+    fragile — a miscount silently disables all reuse and reintroduces
+    the page-fault tax), and idle arenas must eventually be dropped."""
+    from strelka_tpu.io.native import _ArenaPool
+
+    pool = _ArenaPool(max_arenas=4)
+    a = pool.acquire(1 << 20)
+    addr = a.ctypes.data
+    del a  # release
+    b = pool.acquire(1 << 20)
+    assert b.ctypes.data == addr, "freed arena was not reused"
+    del b
+    # a big arena idles out after MAX_IDLE acquires of small ones
+    big = pool.acquire(8 << 20)
+    del big
+    keep = []
+    for _ in range(pool.MAX_IDLE + 2):
+        keep.append(pool.acquire(1 << 10))
+        keep.pop()
+    assert all(x.nbytes < (8 << 20) for x in pool._arenas), \
+        "idle big arena never evicted"
