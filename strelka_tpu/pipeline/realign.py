@@ -45,6 +45,10 @@ class LocusReadScores:
     # [R] reads passing the breakpoint-overlap gate for genotyping
     # (None = all); realignment still considers every scored read
     genotyping_mask: np.ndarray | None = None
+    # [R] scored reads with nonzero-but-insufficient breakpoint
+    # overlap (per-read detail behind n_suboverlap; lets a tier subset
+    # recompute its own tally)
+    suboverlap_mask: np.ndarray | None = None
 
 
 def apply_genotyping_mask(scores: "LocusReadScores"):

@@ -301,6 +301,7 @@ def score_loci_batched(
             _round_up(w.read_len_max, L_PAD))
         read_lens = rlen_full[w.rows]
         gmask = None
+        sub_mask = None
         n_subover = 0
         if min_bp_flank is not None and offsets.get(wi) is not None:
             # breakpoint-overlap gate on the scored placement of the
@@ -315,7 +316,8 @@ def score_loci_batched(
             ro = np.maximum(0, np.minimum(rrp, rl - rrp))
             bpo = np.maximum(lo, ro)
             gmask = bpo >= min_bp_flank
-            n_subover = int((~gmask & (bpo > 0)).sum())
+            sub_mask = ~gmask & (bpo > 0)
+            n_subover = int(sub_mask.sum())
         out[w.locus_idx] = LocusReadScores(
             read_rows=w.rows,
             allele_lhoods=results[wi],
@@ -326,5 +328,6 @@ def score_loci_batched(
             win_begin=w.win_begin,
             genotyping_mask=gmask,
             n_suboverlap=n_subover,
+            suboverlap_mask=sub_mask,
         )
     return out

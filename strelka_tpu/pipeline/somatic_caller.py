@@ -552,16 +552,62 @@ def call_somatic_region(
     indel_loci = [[k] for k in cand_keys]
     batch_scores: dict = {}
     if indel_loci:
-        for tier_i, tiers in enumerate([(rd.MapLevel.TIER1,),
-                                        (rd.MapLevel.TIER1,
-                                         rd.MapLevel.TIER2)]):
-            for s in range(2):
-                flank = (opt.normal_sample_min_read_bp_flank if s == 0
-                         else opt.default_min_read_bp_flank)
-                batch_scores[(tier_i, s)] = rb.score_loci_batched(
+        # score the tier2 superset once per sample; tier1 results are
+        # exact row subsets whenever the scoring geometry matches (the
+        # locus window depends only on the max selected read length)
+        # and the 512-read cap didn't truncate — otherwise those loci
+        # are re-scored tier1-only
+        for s in range(2):
+            flank = (opt.normal_sample_min_read_bp_flank if s == 0
+                     else opt.default_min_read_bp_flank)
+            full = rb.score_loci_batched(
+                kept[s], eas[s], levels[s], ref_all, fetch_begin,
+                indel_loci, selection="overlap", min_bp_flank=flank,
+                tiers=(rd.MapLevel.TIER1, rd.MapLevel.TIER2))
+            batch_scores[(1, s)] = full
+            t1_scores: dict = {}
+            rescore = []
+            for li, sc in full.items():
+                t1 = levels[s][sc.read_rows] == rd.MapLevel.TIER1
+                rl = sc.read_len
+                geometry_ok = (len(sc.read_rows) < 512
+                               and (not t1.any()
+                                    or rl[t1].max() == rl.max()))
+                if not geometry_ok:
+                    rescore.append(li)
+                    continue
+                if not t1.any():
+                    continue  # absent locus == no tier1 reads
+                t1_scores[li] = realign.LocusReadScores(
+                    read_rows=sc.read_rows[t1],
+                    allele_lhoods=sc.allele_lhoods[t1],
+                    read_len=sc.read_len[t1],
+                    n_nonambig=sc.n_nonambig[t1],
+                    is_fwd=sc.is_fwd[t1],
+                    best_offsets=(sc.best_offsets[t1]
+                                  if sc.best_offsets is not None
+                                  else None),
+                    win_begin=sc.win_begin,
+                    genotyping_mask=(sc.genotyping_mask[t1]
+                                     if sc.genotyping_mask is not None
+                                     else None),
+                    n_suboverlap=(int(sc.suboverlap_mask[t1].sum())
+                                  if sc.suboverlap_mask is not None
+                                  else 0),
+                    suboverlap_mask=(sc.suboverlap_mask[t1]
+                                     if sc.suboverlap_mask is not None
+                                     else None),
+                )
+            if rescore:
+                res = rb.score_loci_batched(
                     kept[s], eas[s], levels[s], ref_all, fetch_begin,
-                    indel_loci, selection="overlap", min_bp_flank=flank,
-                    tiers=tiers)
+                    [indel_loci[li] for li in rescore],
+                    selection="overlap", min_bp_flank=flank,
+                    tiers=(rd.MapLevel.TIER1,))
+                for j, li in enumerate(rescore):
+                    if j in res:
+                        t1_scores[li] = res[j]
+            batch_scores[(0, s)] = t1_scores
 
     indels: list[SomaticIndelCall] = []
     for key_idx, key in enumerate(cand_keys):
