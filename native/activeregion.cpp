@@ -305,4 +305,38 @@ void segment_f32_sums(const float* vals, const int64_t* off, int64_t n,
     }
 }
 
+// Whole-batch per-base scoring cache in one pass: per-base delta
+// (lut_delta[q] at called bases, 0 at N) and per-read sequential-f32
+// lnmis sums / called-base counts. LUT values come from Python so the
+// f32 entries match the numpy path bitwise; the only arithmetic here
+// is the same sequential f32 accumulation as np.add.at.
+void base_cache(
+    const uint8_t* seq, const uint8_t* qual, const int64_t* seq_off,
+    int64_t n_reads, const float* lut_delta, const float* lut_lmis,
+    float* delta_out /* [nbases] */, float* lnmis_out /* [n_reads] */,
+    int32_t* nvalid_out /* [n_reads] */)
+{
+    for (int64_t r = 0; r < n_reads; ++r)
+    {
+        float s = 0.0f;
+        int32_t nv = 0;
+        for (int64_t i = seq_off[r]; i < seq_off[r + 1]; ++i)
+        {
+            if (seq[i] < 4)
+            {
+                const int q = std::min<int>(qual[i], 127);
+                delta_out[i] = lut_delta[q];
+                s += lut_lmis[q];
+                ++nv;
+            }
+            else
+            {
+                delta_out[i] = 0.0f;
+            }
+        }
+        lnmis_out[r] = s;
+        nvalid_out[r] = nv;
+    }
+}
+
 }  // extern "C"

@@ -625,6 +625,39 @@ def find_active_regions_native(counts, depth, anchors, ref_codes,
     return ob[:n], oe[:n]
 
 
+def base_cache_native(seq, qual, seq_off, lut_delta, lut_lmis):
+    """Whole-batch per-base scoring cache (native/activeregion.cpp
+    base_cache): (delta_all f32[nbases], lnmis_read f32[n],
+    nvalid_read i32[n]), or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_bcache_bound"):
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.base_cache.restype = None
+        lib.base_cache.argtypes = [u8p, u8p, i64p, ctypes.c_int64,
+                                   f32p, f32p, f32p, f32p, i32p]
+        lib._bcache_bound = True
+    s = np.ascontiguousarray(seq, dtype=np.uint8)
+    q = np.ascontiguousarray(qual, dtype=np.uint8)
+    o = np.ascontiguousarray(seq_off, dtype=np.int64)
+    ld = np.ascontiguousarray(lut_delta, dtype=np.float32)
+    ll = np.ascontiguousarray(lut_lmis, dtype=np.float32)
+    n = len(o) - 1
+    delta = np.empty(len(s), np.float32)
+    lnmis = np.empty(n, np.float32)
+    nvalid = np.empty(n, np.int32)
+    lib.base_cache(_p(s, ctypes.c_uint8), _p(q, ctypes.c_uint8),
+                   _p(o, ctypes.c_int64), n,
+                   _p(ld, ctypes.c_float), _p(ll, ctypes.c_float),
+                   _p(delta, ctypes.c_float), _p(lnmis, ctypes.c_float),
+                   _p(nvalid, ctypes.c_int32))
+    return delta, lnmis, nvalid
+
+
 def segment_f32_sums_native(vals, off):
     """Per-segment sequential f32 sums (native/activeregion.cpp
     segment_f32_sums; identical accumulation order to np.add.at).

@@ -57,28 +57,33 @@ def _batch_base_cache(batch: ReadBatch):
         lmis = np.log(e / 3.0)
         _Q_LUT_DELTA = (lm - lmis).astype(np.float32)
         _Q_LUT_LMIS = lmis.astype(np.float32)
-    isb = batch.seq < 4
-    delta_all = np.where(isb, _Q_LUT_DELTA[np.minimum(batch.qual, 127)],
-                         np.float32(0.0)).astype(np.float32)
-    lmis_all = np.where(isb, _Q_LUT_LMIS[np.minimum(batch.qual, 127)],
-                        np.float32(0.0))
-    # per-read reductions over the ragged layout; the native path and
-    # the np.add.at fallback both accumulate sequentially in f32 — the
-    # exact order of the previous per-locus path (NOTE: np.add.reduceat
-    # is faster but pairwise-sums long segments — NOT bit-identical,
-    # breaks parity)
+    # one native pass builds all three outputs without the ~6 whole-
+    # batch f32 temporaries the numpy route materializes (page-fault
+    # tax); the f32 LUT entries are shared, and the per-read lnmis
+    # accumulation is the same sequential f32 order as np.add.at
+    # (bit-identical — NOTE: np.add.reduceat is faster but pairwise-
+    # sums long segments, NOT bit-identical, breaks parity)
     n = batch.n
-    from ..io.native import segment_f32_sums_native
-    lnmis_read = segment_f32_sums_native(
-        lmis_all.astype(np.float32), batch.seq_off)
-    if lnmis_read is None:
+    from ..io.native import base_cache_native
+    res = base_cache_native(batch.seq, batch.qual, batch.seq_off,
+                            _Q_LUT_DELTA, _Q_LUT_LMIS)
+    if res is not None:
+        delta_all, lnmis_read, nvalid_read = res
+    else:
+        isb = batch.seq < 4
+        delta_all = np.where(
+            isb, _Q_LUT_DELTA[np.minimum(batch.qual, 127)],
+            np.float32(0.0)).astype(np.float32)
+        lmis_all = np.where(
+            isb, _Q_LUT_LMIS[np.minimum(batch.qual, 127)],
+            np.float32(0.0))
         rlen = np.diff(batch.seq_off)
         lnmis_read = np.zeros(n, dtype=np.float32)
         np.add.at(lnmis_read, np.repeat(np.arange(n), rlen),
                   lmis_all.astype(np.float32))
-    cnts = np.concatenate([[0], np.cumsum(isb.astype(np.int64))])
-    nvalid_read = (cnts[batch.seq_off[1:]]
-                   - cnts[batch.seq_off[:-1]]).astype(np.int32)
+        cnts = np.concatenate([[0], np.cumsum(isb.astype(np.int64))])
+        nvalid_read = (cnts[batch.seq_off[1:]]
+                       - cnts[batch.seq_off[:-1]]).astype(np.int32)
     out = (delta_all, lnmis_read, nvalid_read)
     batch._base_cache = out
     return out
