@@ -39,22 +39,31 @@ def indel_freq_grid_lhoods(
     """
     R = len(ref_lnp)
     fr = ss.FRACTIONS  # [F]
-    # ratio correction per read per target fraction
-    log_ref_p = np.zeros((R, len(fr)))
-    log_ind_p = np.full((R, len(fr)), -np.inf)
-    for j, f in enumerate(fr):
-        if f <= 0.0:
-            log_ref_p[:, j] = 0.0
-            log_ind_p[:, j] = -np.inf
-        elif f >= 1.0:
-            log_ref_p[:, j] = -np.inf
-            log_ind_p[:, j] = 0.0
-        else:
-            lr, la = ig.het_allele_ratio_log_priors(
-                read_len, min_read_bp_flank, insert_len, delete_len,
-                het_ratio=float(f))
-            log_ref_p[:, j] = lr
-            log_ind_p[:, j] = la
+    # ratio correction per read per target fraction, computed once for
+    # the unique read lengths x the whole grid (the per-fraction
+    # helper-call loop cost ~20 numpy dispatches per locus per tier);
+    # every element sees the same f64 arithmetic as
+    # ig.het_allele_ratio_log_priors, so values are bit-identical
+    uniq, inv = np.unique(np.asarray(read_len, dtype=np.float64),
+                          return_inverse=True)
+    base_expect = np.maximum(uniq + 1 - 2 * min_read_bp_flank, 0.0)
+    ref_expect = base_expect + np.minimum(delete_len, base_expect)
+    indel_expect = base_expect + np.minimum(insert_len, base_expect)
+    interior = (fr > 0.0) & (fr < 1.0)
+    fi = np.where(interior, fr, 0.5)  # placeholder at the endpoints
+    ref_term = (1.0 - fi)[None, :] * ref_expect[:, None]    # [U, F]
+    indel_term = fi[None, :] * indel_expect[:, None]
+    total = ref_term + indel_term
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(total > 0,
+                     indel_term / np.maximum(total, 1e-300),
+                     fi[None, :])
+        lr_u = np.log1p(-p)
+        la_u = np.log(p)
+    lr_u[:, ~interior] = np.where(fr[~interior] <= 0.0, 0.0, -np.inf)
+    la_u[:, ~interior] = np.where(fr[~interior] <= 0.0, -np.inf, 0.0)
+    log_ref_p = lr_u[inv]   # [R, F]
+    log_ind_p = la_u[inv]
 
     raw = np.logaddexp(ref_lnp[:, None] + log_ref_p,
                        indel_lnp[:, None] + log_ind_p)       # [R, F]
