@@ -291,20 +291,6 @@ void region_segments(
     }
 }
 
-// Sequential per-segment f32 sums over a ragged layout (exact
-// np.add.at accumulation order; used for per-read lnmis totals
-// without materializing a whole-batch index array).
-void segment_f32_sums(const float* vals, const int64_t* off, int64_t n,
-                      float* out)
-{
-    for (int64_t r = 0; r < n; ++r)
-    {
-        float s = 0.0f;
-        for (int64_t i = off[r]; i < off[r + 1]; ++i) s += vals[i];
-        out[r] = s;
-    }
-}
-
 // Whole-batch per-base scoring cache in one pass: per-base delta
 // (lut_delta[q] at called bases, 0 at N) and per-read sequential-f32
 // lnmis sums / called-base counts. LUT values come from Python so the

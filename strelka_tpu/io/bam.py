@@ -324,6 +324,12 @@ def parse_bam_body(data, header: BamHeader) -> ReadBatch:
             (refID, pos, l_rn_packed, mapq, _bin, n_cigar, flag, l_seq,
              next_refID, next_pos,
              tlen) = struct.unpack_from("<iiBBHHHiiii", data, off)
+            if (off + 32 + l_rn_packed + 4 * n_cigar
+                    + (l_seq + 1) // 2 + l_seq) > end:
+                raise ValueError(
+                    f"corrupt BAM record at offset {off - 4}: section "
+                    f"lengths (name={l_rn_packed} cigar={n_cigar} "
+                    f"seq={l_seq}) overrun the record body")
         except struct.error as e:
             raise ValueError(
                 f"truncated BAM record section at offset {off} "

@@ -1136,8 +1136,10 @@ def read_cram(path: str, reference: str | FastaReference | None = None,
     try:
         return _read_cram_impl(path, reference, _crai_entries, _regions)
     except (struct.error, zlib.error, lzma.LZMAError, IndexError,
-            KeyError, AssertionError, UnicodeDecodeError, MemoryError,
+            KeyError, AssertionError, UnicodeDecodeError,
             OverflowError) as e:
+        # (MemoryError deliberately not converted: a large valid CRAM
+        # on a constrained host is not "corrupt input")
         raise ValueError(f"{path}: truncated or corrupt CRAM "
                          f"({type(e).__name__}: {e})") from e
 

@@ -658,29 +658,6 @@ def base_cache_native(seq, qual, seq_off, lut_delta, lut_lmis):
     return delta, lnmis, nvalid
 
 
-def segment_f32_sums_native(vals, off):
-    """Per-segment sequential f32 sums (native/activeregion.cpp
-    segment_f32_sums; identical accumulation order to np.add.at).
-    Returns f32[n] or None when the library is unavailable."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    if not hasattr(lib, "_segsum_bound"):
-        f32p = ctypes.POINTER(ctypes.c_float)
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        lib.segment_f32_sums.restype = None
-        lib.segment_f32_sums.argtypes = [f32p, i64p, ctypes.c_int64,
-                                         f32p]
-        lib._segsum_bound = True
-    v = np.ascontiguousarray(vals, dtype=np.float32)
-    o = np.ascontiguousarray(off, dtype=np.int64)
-    n = len(o) - 1
-    out = np.empty(n, np.float32)
-    lib.segment_f32_sums(_p(v, ctypes.c_float), _p(o, ctypes.c_int64),
-                         n, _p(out, ctypes.c_float))
-    return out
-
-
 def align_affine_native(query, ref, s_match, s_mismatch, s_open,
                         s_extend):
     """Native affine-gap global aligner (native/activeregion.cpp

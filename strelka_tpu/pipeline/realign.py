@@ -71,6 +71,9 @@ def apply_genotyping_mask(scores: "LocusReadScores"):
         best_offsets=(scores.best_offsets[gm]
                       if scores.best_offsets is not None else None),
         win_begin=scores.win_begin,
+        suboverlap_mask=(scores.suboverlap_mask[gm]
+                         if scores.suboverlap_mask is not None
+                         else None),
     )
 
 

@@ -30,6 +30,8 @@ R_BUCKETS = (32, 128, 512)
 L_PAD = 32     # read length padded to multiple
 W_PAD = 64     # offset window padded to multiple
 B_CHUNK = 64   # locus-hap pairs per kernel launch (jit shape stability)
+MAX_READS_DEFAULT = 512  # per-locus read cap (callers that derive
+                         # score subsets must check against this)
 
 
 def _round_up(x, m):
@@ -106,7 +108,7 @@ def score_loci_batched(
     ref_offset: int,
     loci: list[list[IndelKey]],
     window_flank: int = 70,
-    max_reads: int = 512,
+    max_reads: int = MAX_READS_DEFAULT,
     tiers=(rd.MapLevel.TIER1,),
     use_pallas: bool | None = None,
     selection: str = "bracket",

@@ -570,7 +570,7 @@ def call_somatic_region(
             for li, sc in full.items():
                 t1 = levels[s][sc.read_rows] == rd.MapLevel.TIER1
                 rl = sc.read_len
-                geometry_ok = (len(sc.read_rows) < 512
+                geometry_ok = (len(sc.read_rows) < rb.MAX_READS_DEFAULT
                                and (not t1.any()
                                     or rl[t1].max() == rl.max()))
                 if not geometry_ok:

@@ -218,3 +218,32 @@ def test_arena_pool_reuse_and_eviction():
         keep.pop()
     assert all(x.nbytes < (8 << 20) for x in pool._arenas), \
         "idle big arena never evicted"
+
+
+def test_native_base_cache_matches_numpy():
+    """base_cache_native vs the numpy fallback: bit-identical per-base
+    deltas and per-read lnmis/nvalid (golden byte-parity depends on
+    the sequential-f32 accumulation order matching)."""
+    import numpy as np
+
+    from strelka_tpu.io import native as nat
+    from strelka_tpu.io.bam import read_bam
+    from strelka_tpu.pipeline import realign_batch as rb
+    from strelka_tpu.pipeline import reads as rd
+
+    _, raw = read_bam("/root/reference/src/demo/data/NA12891_demo20.bam")
+    keep, level = rd.filter_and_classify_reads(raw, 20)
+    b = raw.select(keep)
+    d1, l1, v1 = rb._batch_base_cache(b)
+    del b._base_cache
+    orig = nat.base_cache_native
+    try:
+        nat.base_cache_native = lambda *a: None  # force numpy fallback
+        d2, l2, v2 = rb._batch_base_cache(b)
+    finally:
+        nat.base_cache_native = orig
+        if hasattr(b, "_base_cache"):
+            del b._base_cache
+    assert np.array_equal(d1, d2)
+    assert np.array_equal(l1, l2)
+    assert np.array_equal(v1, v2)
