@@ -139,3 +139,47 @@ def test_engine_mesh_chunked_snv_identical():
         a = np.asarray(getattr(plain, f))
         b = np.asarray(getattr(meshed, f))
         assert np.array_equal(a, b), f
+
+
+def test_mesh_germline_synth_byte_identical(tmp_path):
+    """Full germline CLI on synthetic SNV+indel data: --mesh 4 output
+    is byte-identical to the unmeshed run (sharded SNV genotyping,
+    realign scoring, and somatic-free gvcf assembly all covered)."""
+    import gzip
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from benchmarks import synth
+    from strelka_tpu.io.bam import BamHeader
+    from strelka_tpu.io.bam_writer import write_bam
+    from strelka_tpu.workflow.germline import run_germline
+
+    refs, batch, _ = synth.generate(L=200_000, depth=25, snv_every=800,
+                                    indel_every=1100, seed=21)
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">syn\n" + refs + "\n")
+    bam = str(tmp_path / "s.bam")
+    write_bam(bam, BamHeader(text="", ref_names=["syn"],
+                             ref_lengths=[len(refs)]), batch)
+
+    def run(tag, extra):
+        out = tmp_path / tag
+        run_germline(["--reference", str(fa), "--align-file", bam,
+                      "--exome", "--output-dir", str(out), *extra])
+        lines = {}
+        for name in ("variants.vcf.gz", "genome.S1.vcf.gz"):
+            lines[name] = [
+                l for l in gzip.open(out / name, "rt")
+                if not l.startswith(("##cmdline", "##startTime",
+                                     "##fileDate"))]
+        return lines
+
+    from strelka_tpu.parallel import mesh as pm
+    try:
+        plain = run("plain", [])
+        meshed = run("mesh", ["--mesh", "4"])
+    finally:
+        pm.set_engine_mesh(None)
+    assert plain == meshed
+    assert len(plain["variants.vcf.gz"]) > 100
