@@ -130,6 +130,20 @@ class RunStats:
             **self.extra,
         }
 
+    def to_xml(self) -> str:
+        """runStats.xml-style report (the reference serializes
+        RunStatsData via a boost XML archive into statsDir/runStats.xml,
+        strelkaSharedWorkflow.py:250; same field names, simplified
+        envelope)."""
+        from xml.sax.saxutils import escape
+        rows = "".join(
+            f"    <{escape(str(k))}>{escape(str(v))}</{escape(str(k))}>\n"
+            for k, v in self.to_dict().items())
+        return ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+                "<runStats>\n  <runStatsData>\n"
+                f"{rows}"
+                "  </runStatsData>\n</runStats>\n")
+
 
 class TaskStateFile:
     """Checkpointed task completion state (pyflow task-state analog)."""

@@ -503,6 +503,9 @@ def run_germline(argv=None) -> int:
                   file=sys.stderr)
 
     total_stats = rn.merge_run_stats(workspace)
+    with open(os.path.join(args.output_dir, "runStats.xml"),
+              "w") as _sf:
+        _sf.write(total_stats.to_xml())
     elapsed = time.time() - t0
     print(f"strelka_tpu germline done in {elapsed:.1f}s; "
           f"stats={total_stats.to_dict()}; outputs: {var_path}",

@@ -656,6 +656,10 @@ def run_somatic(argv=None) -> int:
             print(f"realigned reads: {out_bam} ({merged.n} records)",
                   file=sys.stderr)
 
+    total_stats = rn.merge_run_stats(workspace)
+    with open(os.path.join(args.output_dir, "runStats.xml"), "w") as _sf:
+        _sf.write(total_stats.to_xml())
+
     print(f"strelka_tpu somatic done in {time.time() - t0:.1f}s; "
           f"snvs={n_snv} indels={n_indel}", file=sys.stderr)
     return 0
