@@ -356,8 +356,13 @@ def call_region(
         alpha=opt.indel_candidate_signal_test_alpha,
         require_active_region_discovery=True)
 
+    # segment assignment by the VCF anchor position (k.pos - 1): the
+    # record, its DPI lookup (depth at the site preceding the indel),
+    # and its emission slot all live in the anchor's segment — keying
+    # by k.pos instead silently dropped indels whose first changed
+    # base equals a segment begin and read out-of-tile DPI
     cand_keys = sorted(k for k, ok in candidacy.items() if ok
-                       and begin <= k.pos < end)
+                       and begin <= k.pos - 1 < end)
 
     # group overlapping candidate indels into loci (orthogonal allele
     # groups, OrthogonalVariantAlleleCandidateGroupUtil simplified:

@@ -179,16 +179,24 @@ def _site_sample_filters(opt: GermlineOptions, gqx, sb, dp, dpf, is_variant,
 def vcf_indel_strings(result: RegionCallResult, call: IndelCall):
     """(vcf_pos0, ref_str, alt_strs, cigars) for an indel locus
     (AlleleReportInfoUtil.cpp getSingleIndelAlleleVcfSummaryStrings +
-    multi-allele common-ref extension)."""
-    ref = result.ref_codes
-    begin = result.begin
+    multi-allele common-ref extension). Reference bases come from the
+    halo'd fetch window when available: an indel anchored at the
+    segment begin or a deletion running past the segment end reaches
+    outside [begin, end), and slicing the segment-only array would
+    wrap (pos == begin) or silently truncate REF against the CIGAR."""
+    if result.ref_halo is not None:
+        ref = result.ref_halo
+        begin = result.begin - result.halo_off
+    else:
+        ref = result.ref_codes
+        begin = result.begin
     left = min(k.pos for k in call.keys) - 1
     right = max(k.right_pos for k in call.keys)
-    ref_str = decode_bases(ref[left - begin:right - begin])
+    ref_str = decode_bases(ref[max(left - begin, 0):right - begin])
     alts = []
     cigars = []
     for k in call.keys:
-        pre = decode_bases(ref[left - begin:k.pos - begin])
+        pre = decode_bases(ref[max(left - begin, 0):k.pos - begin])
         post = decode_bases(ref[k.right_pos - begin:right - begin])
         alts.append(pre + k.insert_seq + post)
         parts = [f"{len(pre)}M"]
@@ -448,6 +456,17 @@ def emit_region(
                      if nocompress_mask is not None else None)
         nb_out = np.empty((L, 9), np.int64)
         _GT_STRS = ("0/0", "0", ".", "./.")
+
+    # defensive: an indel whose leftmost changed base IS the segment
+    # begin anchors at begin-1, which the loop below never reaches.
+    # Segment assignment is anchor-based (begin <= k.pos - 1 < end) so
+    # such calls shouldn't exist, but if one does, emitting it at the
+    # segment head beats silently losing it.
+    if result.begin in indel_positions:
+        for call in indels_at[result.begin]:
+            _emit_indel(opt, result, call, sample_names, gvcf_lines,
+                        var_lines, blocks, indel_forest=indel_forest,
+                        chrom_depth=chrom_depth)
 
     i = 0
     while i < L:

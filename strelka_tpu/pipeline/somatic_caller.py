@@ -338,7 +338,7 @@ def call_somatic_region(
         store, est_sum, fetch_begin, em, ref_all, fetch_begin,
         alpha=opt.indel_candidate_signal_test_alpha)
     cand_keys = sorted(k for k, ok in candidacy.items()
-                       if ok and begin <= k.pos < end)
+                       if ok and begin <= k.pos - 1 < end)
 
     # apply realignments before pileup (reference stage order)
     from . import realign_batch as rb

@@ -84,3 +84,48 @@ def test_native_block_compressor_matches_python(tmp_path):
     assert outs[False][1] == outs[True][1]
     assert outs[False][0] == outs[True][0]
     assert len(outs[False][0][0]) > 500
+
+
+def test_variant_records_invariant_under_segmentation(tmp_path):
+    """The variant record set must not depend on --max-region-size:
+    indels landing exactly on a segment boundary were silently dropped
+    (emission loop never reached pos+1 == begin), and deletion REF
+    strings sliced only the segment window."""
+    import gzip
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from benchmarks import synth
+    from strelka_tpu.io.bam import BamHeader
+    from strelka_tpu.io.bam_writer import write_bam
+    from strelka_tpu.workflow.germline import run_germline
+
+    refs, batch, _ = synth.generate(L=60_000, depth=30, snv_every=1500,
+                                    indel_every=997, seed=41)
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">syn\n" + refs + "\n")
+    bam = str(tmp_path / "s.bam")
+    write_bam(bam, BamHeader(text="", ref_names=["syn"],
+                             ref_lengths=[len(refs)]), batch)
+
+    def records(tag, size):
+        out = tmp_path / tag
+        run_germline(["--reference", str(fa), "--align-file", bam,
+                      "--exome", "--max-region-size", str(size),
+                      "--output-dir", str(out)])
+        return [l for l in gzip.open(out / "variants.vcf.gz", "rt")
+                if not l.startswith("#")]
+
+    whole = records("whole", 60_000)
+    assert len(whole) > 50
+    # deterministic boundary hit: split exactly at a called indel's
+    # first changed base (k.pos == segment begin), the case the old
+    # emission loop could never reach
+    indel_pos = next(int(l.split("\t")[1]) for l in whole
+                     if len(l.split("\t")[3]) != len(l.split("\t")[4])
+                     and int(l.split("\t")[1]) > 2000)
+    split = records("split", indel_pos)
+    assert sorted(whole) == sorted(split)
+    # and a many-boundaries sweep (997-spaced indels vs 1kb segments)
+    fine = records("fine", 1000)
+    assert sorted(whole) == sorted(fine)
