@@ -16,12 +16,17 @@ struct Band
 {
     int32_t lo, hi;
     void reset(int32_t v) { lo = hi = v; }
+    // exact port of gvcf_block_site_record.cpp check_block_tolerance
+    // over the running [lo, hi] extended by v: (min + tol) >= max/2
+    // with the abs/frac two-stage rule
     bool fits(int32_t v, int32_t abs_tol, double frac_tol) const
     {
-        const int32_t l = std::min(lo, v);
+        const int32_t m = std::min(lo, v);
         const int32_t h = std::max(hi, v);
-        return h <= std::max(static_cast<double>(l) + abs_tol,
-                             l * (1.0 + frac_tol));
+        if ((m + abs_tol) >= h / 2.0) return true;
+        const int32_t ftol = static_cast<int32_t>(m * frac_tol);
+        if (ftol <= abs_tol) return false;
+        return (m + ftol) >= h / 2.0;
     }
     void add(int32_t v)
     {
@@ -54,6 +59,8 @@ int64_t block_compress_run(
     Band bq{}, bd{}, bf{};
     int8_t cur_f = 0;
     int64_t gt_code = 0;
+    int cur_pl = 2;
+    bool cur_used_cov = false;
 
     auto flush = [&]()
     {
@@ -90,7 +97,19 @@ int64_t block_compress_run(
             r[8] = 0;
             continue;
         }
+        const bool covered = (d + f) > 0;
+        const bool used_cov = d > 0;
+        const int pl = ploidy ? ploidy[i] : 2;
+        const int64_t gtc = (pl == 0) ? 2
+                            : (pl == 1) ? (covered ? 1 : 2)
+                                        : (covered ? 0 : 3);
+        // join requires filter/genotype/ploidy/coverage-state equality
+        // + every tracked value within check_block_tolerance
+        // (testCanSiteJoinSampleBlockShared)
         if (open && (fcode[i] != cur_f ||
+                     gtc != gt_code ||
+                     pl != cur_pl ||
+                     used_cov != cur_used_cov ||
                      !bq.fits(g, abs_tol, frac_tol) ||
                      !bd.fits(d, abs_tol, frac_tol) ||
                      !bf.fits(f, abs_tol, frac_tol)))
@@ -107,11 +126,9 @@ int64_t block_compress_run(
             bd.reset(d);
             bf.reset(f);
             cur_f = fcode[i];
-            const bool covered = (d + f) > 0;
-            const int pl = ploidy ? ploidy[i] : 2;
-            gt_code = (pl == 0) ? 2
-                      : (pl == 1) ? (covered ? 1 : 2)
-                                  : (covered ? 0 : 3);
+            gt_code = gtc;
+            cur_pl = pl;
+            cur_used_cov = used_cov;
         }
         else
         {

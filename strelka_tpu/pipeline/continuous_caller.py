@@ -88,7 +88,8 @@ def emit_continuous_region(opt: GermlineOptions,
             gqx_str = gqx if covered else "."
             ref_base = decode_bases([res.ref_codes[i]]) if ref_gt < 4 else "N"
             if not block.can_join(gqx if covered else 0, dp, int(dpf[i]), fstr,
-                                  opt.block_abs_tol, opt.block_frac_tol):
+                                  opt.block_abs_tol, opt.block_frac_tol,
+                                  gt=gt, pl=2, used_cov=dp > 0):
                 _flush_cont_block(block, res.chrom, lines, opt.block_label)
             block.add(pos, ref_base, gt, gqx if covered else 0, dp,
                       int(dpf[i]), fstr)
@@ -119,6 +120,7 @@ def emit_continuous_region(opt: GermlineOptions,
 
 
 def _flush_cont_block(block, chrom, lines, label):
+    from .gvcf import _round_half
     """Block record without MIN_DP (continuous-mode layout)."""
     if block.count == 0:
         return
@@ -129,6 +131,7 @@ def _flush_cont_block(block, chrom, lines, label):
     lines.append(
         f"{chrom}\t{block.start + 1}\t.\t{block.ref_base}\t.\t.\t"
         f"{block.filters}\t{info}\tGT:GQX:DP:DPF\t"
-        f"{block.gt}:{gqx_str}:{round(block.dp_sum / block.count)}:"
-        f"{round(block.dpf_sum / block.count)}")
+        f"{block.gt}:{gqx_str}:"
+        f"{_round_half(block.dp_sum / block.count)}:"
+        f"{_round_half(block.dpf_sum / block.count)}")
     block.__init__()

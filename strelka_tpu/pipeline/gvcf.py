@@ -20,6 +20,29 @@ from .germline_caller import IndelCall, RegionCallResult, snv_hpol
 FORCE_PYTHON_BLOCKS = False  # test hook: disable native/blocks.cpp
 
 
+def _round_half(x: float) -> int:
+    """std::round / compat_round semantics: half away from zero (the
+    values here are non-negative means/RMS; Python round() is banker's
+    and differs on every .5)."""
+    import math
+    return int(math.floor(x + 0.5))
+
+
+def _blockable(lo: int, hi: int, v: int, abs_tol: int,
+               frac_tol: float) -> bool:
+    """Exact port of gvcf_block_site_record.cpp check_block_tolerance
+    over the running [lo, hi] extended by v: (min + tol) >= max/2
+    with the abs/frac two-stage rule."""
+    m = v if v < lo else lo
+    h = v if v > hi else hi
+    if (m + abs_tol) >= h / 2.0:
+        return True
+    ftol = int(m * frac_tol)  # floor for non-negative values
+    if ftol <= abs_tol:
+        return False
+    return (m + ftol) >= h / 2.0
+
+
 class BlockState:
     """Hom-ref block accumulator (gvcf_block_site_record.hh).
 
@@ -29,7 +52,7 @@ class BlockState:
 
     __slots__ = ("start", "count", "ref_base", "gt", "filters",
                  "gqx_min", "gqx_max", "dp_min", "dp_max", "dp_sum",
-                 "dpf_min", "dpf_max", "dpf_sum")
+                 "dpf_min", "dpf_max", "dpf_sum", "pl", "used_cov")
 
     def __init__(self):
         self.start = -1
@@ -40,27 +63,39 @@ class BlockState:
         self.gqx_min = self.gqx_max = 0
         self.dp_min = self.dp_max = self.dp_sum = 0
         self.dpf_min = self.dpf_max = self.dpf_sum = 0
+        self.pl = 2
+        self.used_cov = False
 
-    def can_join(self, gqx, dp, dpf, filters, abs_tol, frac_tol):
+    def can_join(self, gqx, dp, dpf, filters, abs_tol, frac_tol,
+                 gt=None, pl=2, used_cov=None):
+        """gvcf_block_site_record.cpp testCanSiteJoinSampleBlock:
+        filters, genotype, ploidy, and coverage states must match; gqx,
+        dpu, dpf must stay within check_block_tolerance."""
         if self.count == 0:
             return True
         if filters != self.filters:
             return False
-        for lo0, hi0, v in ((self.gqx_min, self.gqx_max, gqx),
-                            (self.dp_min, self.dp_max, dp),
-                            (self.dpf_min, self.dpf_max, dpf)):
-            lo = v if v < lo0 else lo0
-            hi = v if v > hi0 else hi0
-            if hi > max(lo + abs_tol, lo * (1 + frac_tol)):
-                return False
-        return True
+        if gt is not None and gt != self.gt:
+            return False
+        if pl != self.pl:
+            return False
+        if used_cov is not None and used_cov != self.used_cov:
+            return False
+        return (_blockable(self.gqx_min, self.gqx_max, gqx,
+                           abs_tol, frac_tol)
+                and _blockable(self.dp_min, self.dp_max, dp,
+                               abs_tol, frac_tol)
+                and _blockable(self.dpf_min, self.dpf_max, dpf,
+                               abs_tol, frac_tol))
 
-    def add(self, pos, ref_base, gt, gqx, dp, dpf, filters):
+    def add(self, pos, ref_base, gt, gqx, dp, dpf, filters, pl=2):
         if self.count == 0:
             self.start = pos
             self.ref_base = ref_base
             self.gt = gt
             self.filters = filters
+            self.pl = pl
+            self.used_cov = dp > 0
             self.gqx_min = self.gqx_max = gqx
             self.dp_min = self.dp_max = dp
             self.dpf_min = self.dpf_max = dpf
@@ -102,8 +137,9 @@ class BlockState:
             info = f"END={self.start + self.count};{block_label}"
         line = (f"{chrom}\t{self.start + 1}\t.\t{self.ref_base}\t.\t.\t"
                 f"{self.filters}\t{info}\tGT:GQX:DP:DPF:MIN_DP\t"
-                f"{self.gt}:{self.gqx_min}:{round(self.dp_sum / self.count)}:"
-                f"{round(self.dpf_sum / self.count)}:{self.dp_min}")
+                f"{self.gt}:{self.gqx_min}:"
+                f"{_round_half(self.dp_sum / self.count)}:"
+                f"{_round_half(self.dpf_sum / self.count)}:{self.dp_min}")
         out.append(line)
         self.__init__()
 
@@ -508,7 +544,8 @@ def emit_region(
                             f"{chrom}\t{p1}\t.\t{rb}\t.\t.\t{fstr}\t"
                             f"{info}\tGT:GQX:DP:DPF:MIN_DP\t"
                             f"{_GT_STRS[gtc]}:{gqx_min}:"
-                            f"{round(dp_sum / cnt)}:{round(dpf_sum / cnt)}:"
+                            f"{_round_half(dp_sum / cnt)}:"
+                            f"{_round_half(dpf_sum / cnt)}:"
                             f"{dp_min}")
             i = j
             continue
@@ -533,16 +570,17 @@ def emit_region(
                         f"GT:GQX:DP:DPF:MIN_DP\t0/0:{gqx}:{dp}:{dpf}:{dp}")
                     continue
                 b = blocks[s]
-                if not b.can_join(gqx, dp, dpf, fstr, abs_tol, frac_tol):
-                    b.flush(chrom, gvcf_lines[s], block_label)
-                pl_s = ps["ploidy"][i] if ps["ploidy"] is not None else 2
+                pl_s = int(ps["ploidy"][i]) if ps["ploidy"] is not None else 2
                 if pl_s == 0:
                     gt = "."
                 elif pl_s == 1:
                     gt = "0" if covered else "."
                 else:
                     gt = "0/0" if covered else "./."
-                b.add(pos, ref_base, gt, gqx, dp, dpf, fstr)
+                if not b.can_join(gqx, dp, dpf, fstr, abs_tol, frac_tol,
+                                  gt=gt, pl=pl_s, used_cov=dp > 0):
+                    b.flush(chrom, gvcf_lines[s], block_label)
+                b.add(pos, ref_base, gt, gqx, dp, dpf, fstr, pl=pl_s)
             i += 1
             continue
 
@@ -570,7 +608,7 @@ def emit_region(
         mq_n = sum(int(result.samples[s].pileup.mapq_n[i]) for s in range(n_samples))
         mq_ss = sum(float(result.samples[s].pileup.mapq_sumsq[i]) for s in range(n_samples))
         if mq_n > 0:
-            info += f";MQ={round(np.sqrt(mq_ss / mq_n))}"
+            info += f";MQ={_round_half(float(np.sqrt(mq_ss / mq_n)))}"
 
         fmt = "GT:GQ:GQX:DP:DPF:AD:ADF:ADR:SB:FT:PL"
         sample_cols = []
