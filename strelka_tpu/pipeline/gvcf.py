@@ -43,6 +43,22 @@ def _blockable(lo: int, hi: int, v: int, abs_tol: int,
     return (m + ftol) >= h / 2.0
 
 
+# reference FILTER enum order (gvcf_locus_info.hh
+# GERMLINE_VARIANT_VCF_FILTERS::index_t; HighBaseFilt prints as
+# HighDPFRatio)
+_FILTER_ORDER = ("IndelConflict", "SiteConflict", "PloidyConflict",
+                 "LowGQX", "PhasingConflict", "HighDPFRatio",
+                 "HighDepth", "HighSNVSB", "HighSNVHPOL", "HighRefRep",
+                 "LowDepth", "NoPassedVariantGTs", "NotGenotyped")
+
+
+def _filter_str(fset) -> str:
+    """FILTER/FT column string in the reference's enum order."""
+    ordered = [f for f in _FILTER_ORDER if f in fset]
+    ordered += [f for f in sorted(fset) if f not in _FILTER_ORDER]
+    return ";".join(ordered) if ordered else "PASS"
+
+
 class BlockState:
     """Hom-ref block accumulator (gvcf_block_site_record.hh).
 
@@ -612,6 +628,7 @@ def emit_region(
 
         fmt = "GT:GQ:GQX:DP:DPF:AD:ADF:ADR:SB:FT:PL"
         sample_cols = []
+        sample_filter_sets = []
         any_pass_variant = False
         any_phased = False
         evsf = ""
@@ -668,7 +685,8 @@ def emit_region(
             else:
                 filters = _site_sample_filters(opt, gqx, sb, dp, dpf, variant,
                                                chrom_depth, ad_sum=sum(ads))
-            fstr = ";".join(filters) if filters else "PASS"
+            sample_filter_sets.append(set(filters))
+            fstr = _filter_str(set(filters))
             if variant and not filters:
                 any_pass_variant = True
             # PL for the 10-genotype digt space reduced to listed alleles
@@ -689,15 +707,27 @@ def emit_region(
                 col + (f":{phases[s][1]}" if phases[s] is not None else ":.")
                 for s, col in enumerate(sample_cols)]
 
-        locus_filter = "PASS" if any_pass_variant else "NoPassedVariantGTs"
-        line = (f"{result.chrom}\t{pos + 1}\t.\t{ref_base}\t{alt_str}\t{qual}\t"
-                f"{locus_filter}\t{info}{evsf}\t{fmt}\t"
+        # FILTER merging (gvcf_writer.cpp getExtendedLocusFilters):
+        # variants VCF = locus filters + the intersection of every
+        # sample's filters + NoPassedVariantGTs when no variant sample
+        # passes; each per-sample gVCF stream = locus + that sample's
+        # filters (no NoPassedVariantGTs)
+        inter = (set.intersection(*sample_filter_sets)
+                 if sample_filter_sets else set())
+        var_fset = set(inter)
+        if not any_pass_variant:
+            var_fset.add("NoPassedVariantGTs")
+        pre_cols = (f"{result.chrom}\t{pos + 1}\t.\t{ref_base}\t"
+                    f"{alt_str}\t{qual}")
+        post_cols = f"{info}{evsf}\t{fmt}"
+        line = (f"{pre_cols}\t{_filter_str(var_fset)}\t{post_cols}\t"
                 + "\t".join(sample_cols))
         var_lines.append(line)
         for s in range(n_samples):
             blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)
             gvcf_lines[s].append(
-                line.rsplit("\t", n_samples)[0] + "\t" + sample_cols[s])
+                f"{pre_cols}\t{_filter_str(sample_filter_sets[s])}\t"
+                f"{post_cols}\t{sample_cols[s]}")
         i += 1
 
     for s in range(n_samples):
@@ -826,6 +856,7 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
             f"REFREP={','.join(refreps)};IDREP={','.join(idreps)}")
     fmt = "GT:GQ:GQX:DPI:AD:ADF:ADR:FT:PL"
     cols = []
+    sample_filter_sets = []
     any_pass_variant = False
     evsf = ""
     for s in range(n_samples):
@@ -837,8 +868,6 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
             gt = _gt_string_indel(call.sample_gt[s], max(ploidy, 1), A)
         gqx = call.sample_gqx[s]
         filters = []
-        if call.is_conflict:
-            filters.append("IndelConflict")
         is_var_gt = (ploidy > 0 and
                      any(int(a) > 0 for a in
                          _gt_string_indel(call.sample_gt[s], max(ploidy, 1),
@@ -864,7 +893,8 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
         if call.sample_dpi[s] < opt.gvcf_min_passed_call_depth or \
                 sum(call.sample_ad[s]) < opt.gvcf_min_passed_call_depth:
             filters.append("LowDepth")
-        fstr = ";".join(filters) if filters else "PASS"
+        sample_filter_sets.append(set(filters))
+        fstr = _filter_str(set(filters))
         is_var = any(int(a) > 0 for a in gt.replace("|", "/").split("/"))
         if is_var and not filters:
             any_pass_variant = True
@@ -874,13 +904,24 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
             f"{','.join(map(str, call.sample_adf[s]))}:"
             f"{','.join(map(str, call.sample_adr[s]))}:{fstr}:"
             f"{','.join(map(str, call.sample_pl[s]))}")
-    locus_filter = "PASS" if any_pass_variant else "NoPassedVariantGTs"
-    if call.is_conflict:
-        locus_filter = "IndelConflict"
-    line = (f"{result.chrom}\t{pos0 + 1}\t.\t{ref_str}\t{','.join(alts)}\t"
-            f"{call.qual}\t{locus_filter}\t{info}{evsf}\t{fmt}\t"
+    # FILTER merging (getExtendedLocusFilters): IndelConflict is a
+    # locus-level filter; variants VCF adds the per-sample filter
+    # intersection + NoPassedVariantGTs; per-sample gVCF adds that
+    # sample's filters
+    locus_fset = {"IndelConflict"} if call.is_conflict else set()
+    inter = (set.intersection(*sample_filter_sets)
+             if sample_filter_sets else set())
+    var_fset = locus_fset | inter
+    if not any_pass_variant:
+        var_fset.add("NoPassedVariantGTs")
+    pre_cols = (f"{result.chrom}\t{pos0 + 1}\t.\t{ref_str}\t"
+                f"{','.join(alts)}\t{call.qual}")
+    post_cols = f"{info}{evsf}\t{fmt}"
+    line = (f"{pre_cols}\t{_filter_str(var_fset)}\t{post_cols}\t"
             + "\t".join(cols))
     var_lines.append(line)
     for s in range(n_samples):
         blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)
-        gvcf_lines[s].append(line.rsplit("\t", n_samples)[0] + "\t" + cols[s])
+        gvcf_lines[s].append(
+            f"{pre_cols}\t{_filter_str(locus_fset | sample_filter_sets[s])}"
+            f"\t{post_cols}\t{cols[s]}")
