@@ -1,16 +1,22 @@
 // strelka_tpu native gVCF hom-ref block compressor.
 //
-// Replaces the per-position Python loop over BlockState
-// (pipeline/gvcf.py BlockState.can_join/add; reference semantics:
-// gvcf_block_site_record.hh — sites join a block while gqx/dp/dpf stay
-// within max(lo+abs_tol, lo*(1+frac_tol)) of the running min and the
-// filter string matches). Processes one hom-ref run [i0, i1) for one
-// sample and emits row tuples the Python side formats into text.
+// Replaces the per-position Python loop over _DiploidBlock
+// (pipeline/gvcf.py; reference semantics:
+// gvcf_block_site_record.{hh,cpp} testCanSiteJoinSampleBlock /
+// joinSiteToSampleBlock — sites join a block while the packed state
+// key matches exactly (filters, GT code, caller ploidy, coverage
+// states, GQX definedness) and gqx/dp/dpf stay within
+// check_block_tolerance; gqx is only banded while its defined bit is
+// set). Processes one hom-ref run [i0, i1) for one sample and emits
+// row tuples the Python side formats into text.
 
 #include <algorithm>
 #include <cstdint>
 
 namespace {
+
+// key bit 14 = "GQX defined" (pipeline/gvcf.py _KEY_GQXDEF_BIT)
+constexpr int64_t kGqxDefinedBit = int64_t(1) << 14;
 
 struct Band
 {
@@ -39,16 +45,11 @@ struct Band
 
 extern "C" {
 
-// Row layout (int64 x 9):
-//   kind(0=block,1=single-site), start_i, count,
-//   gqx_min, dp_sum, dpf_sum, dp_min, fcode, gt_code
-// gt codes: 0="0/0" 1="0" 2="." 3="./." (from the block's FIRST site).
-// Returns the number of rows written (<= i1-i0).
-int64_t block_compress_run(
-    const int32_t* gqx, const int32_t* dp, const int32_t* dpf,
-    const int8_t* fcode, const uint8_t* nonref_ok,
-    const int8_t* ploidy /* may be null -> diploid */,
-    const uint8_t* nocompress /* may be null */,
+// Row layout (int64 x 7): start_i, count, key, gqx_min, dp_sum,
+// dpf_sum, dp_min. Returns the number of rows written (<= i1-i0).
+int64_t block_compress_run2(
+    const int64_t* key, const int32_t* gqx, const int32_t* dp,
+    const int32_t* dpf,
     int64_t i0, int64_t i1,
     int32_t abs_tol, double frac_tol,
     int64_t* out)
@@ -56,61 +57,30 @@ int64_t block_compress_run(
     int64_t n_rows = 0;
     bool open = false;
     int64_t start = 0, count = 0, dp_sum = 0, dpf_sum = 0;
+    int64_t cur_key = 0;
     Band bq{}, bd{}, bf{};
-    int8_t cur_f = 0;
-    int64_t gt_code = 0;
-    int cur_pl = 2;
-    bool cur_used_cov = false;
 
     auto flush = [&]()
     {
         if (!open) return;
-        int64_t* r = out + 9 * n_rows++;
-        r[0] = 0;
-        r[1] = start;
-        r[2] = count;
+        int64_t* r = out + 7 * n_rows++;
+        r[0] = start;
+        r[1] = count;
+        r[2] = cur_key;
         r[3] = bq.lo;
         r[4] = dp_sum;
         r[5] = dpf_sum;
         r[6] = bd.lo;
-        r[7] = cur_f;
-        r[8] = gt_code;
         open = false;
     };
 
     for (int64_t i = i0; i < i1; ++i)
     {
+        const int64_t k = key[i];
         const int32_t g = gqx[i], d = dp[i], f = dpf[i];
-        if (!nonref_ok[i] || (nocompress && nocompress[i]))
-        {
-            // always emitted as an individual site record
-            flush();
-            int64_t* r = out + 9 * n_rows++;
-            r[0] = 1;
-            r[1] = i;
-            r[2] = 1;
-            r[3] = g;
-            r[4] = d;
-            r[5] = f;
-            r[6] = d;
-            r[7] = fcode[i];
-            r[8] = 0;
-            continue;
-        }
-        const bool covered = (d + f) > 0;
-        const bool used_cov = d > 0;
-        const int pl = ploidy ? ploidy[i] : 2;
-        const int64_t gtc = (pl == 0) ? 2
-                            : (pl == 1) ? (covered ? 1 : 2)
-                                        : (covered ? 0 : 3);
-        // join requires filter/genotype/ploidy/coverage-state equality
-        // + every tracked value within check_block_tolerance
-        // (testCanSiteJoinSampleBlockShared)
-        if (open && (fcode[i] != cur_f ||
-                     gtc != gt_code ||
-                     pl != cur_pl ||
-                     used_cov != cur_used_cov ||
-                     !bq.fits(g, abs_tol, frac_tol) ||
+        if (open && (k != cur_key ||
+                     ((k & kGqxDefinedBit) &&
+                      !bq.fits(g, abs_tol, frac_tol)) ||
                      !bd.fits(d, abs_tol, frac_tol) ||
                      !bf.fits(f, abs_tol, frac_tol)))
         {
@@ -122,13 +92,10 @@ int64_t block_compress_run(
             start = i;
             count = 0;
             dp_sum = dpf_sum = 0;
+            cur_key = k;
             bq.reset(g);
             bd.reset(d);
             bf.reset(f);
-            cur_f = fcode[i];
-            gt_code = gtc;
-            cur_pl = pl;
-            cur_used_cov = used_cov;
         }
         else
         {

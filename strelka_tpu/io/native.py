@@ -727,38 +727,32 @@ def region_segments_native(match_refpos, match_readoff, row_lo, row_hi,
     return o0, o1, valid.view(bool)
 
 
-def block_compress_run(gqx, dp, dpf, fcode, nonref_ok, ploidy,
-                       nocompress, i0: int, i1: int,
-                       abs_tol: int, frac_tol: float, out):
+def block_compress_run2(key, gqx, dp, dpf, i0: int, i1: int,
+                        abs_tol: int, frac_tol: float, out):
     """Native gVCF hom-ref block compression over run [i0, i1).
 
-    Arrays: gqx/dp/dpf int32[L], fcode int8[L], nonref_ok uint8[L],
-    ploidy int8[L] or None, nocompress uint8[L] or None; out is an
-    int64[(i1-i0), 9] row buffer. Returns the row count, or None when
-    the native library is unavailable (callers fall back to the
-    Python BlockState loop).
+    Arrays: key int64[L] (packed join-state key, pipeline/gvcf.py
+    _pack_key), gqx/dp/dpf int32[L]; out is an int64[(i1-i0), 7] row
+    buffer. Returns the row count, or None when the native library is
+    unavailable (callers fall back to the Python _DiploidBlock loop).
     """
     lib = get_lib()
-    if lib is None or not hasattr(lib, "block_compress_run"):
+    if lib is None or not hasattr(lib, "block_compress_run2"):
         return None  # stale .so without the symbol -> Python fallback
-    if not getattr(lib, "_blocks_ready", False):
-        i8p = ctypes.POINTER(ctypes.c_int8)
+    if not getattr(lib, "_blocks2_ready", False):
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.block_compress_run.restype = ctypes.c_int64
-        lib.block_compress_run.argtypes = [
-            i32p, i32p, i32p, i8p, u8p, i8p, u8p,
+        lib.block_compress_run2.restype = ctypes.c_int64
+        lib.block_compress_run2.argtypes = [
+            i64p, i32p, i32p, i32p,
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_double, i64p]
-        lib._blocks_ready = True
+        lib._blocks2_ready = True
 
     def p(a, t):
-        return a.ctypes.data_as(ctypes.POINTER(t)) if a is not None else None
+        return a.ctypes.data_as(ctypes.POINTER(t))
 
-    return int(lib.block_compress_run(
-        p(gqx, ctypes.c_int32), p(dp, ctypes.c_int32),
-        p(dpf, ctypes.c_int32), p(fcode, ctypes.c_int8),
-        p(nonref_ok, ctypes.c_uint8), p(ploidy, ctypes.c_int8),
-        p(nocompress, ctypes.c_uint8), i0, i1, abs_tol, frac_tol,
-        p(out, ctypes.c_int64)))
+    return int(lib.block_compress_run2(
+        p(key, ctypes.c_int64), p(gqx, ctypes.c_int32),
+        p(dp, ctypes.c_int32), p(dpf, ctypes.c_int32),
+        i0, i1, abs_tol, frac_tol, p(out, ctypes.c_int64)))

@@ -149,6 +149,12 @@ class SnvCallResult(NamedTuple):
     poly_max_gt_qphred: jnp.ndarray    # [L]
     phred_loghood: jnp.ndarray   # [L, 10] PL values
     strand_bias: jnp.ndarray     # [L]
+    # [L] ln of the genomic ref-genotype posterior; summed over samples
+    # it becomes site QUAL (starling_pos_processor.cpp:688-691
+    # homRefLogProb += std::log(dgt.genome.ref_pprob)). Floored at the
+    # f64 smallest-normal (the reference's double underflows to -inf a
+    # few decades later; unreachable at realistic depths).
+    ln_ref_pprob: jnp.ndarray = None
 
 
 def _call_vals(qual, eprob_floor: float = 1e-35):
@@ -266,7 +272,8 @@ def _result_set(lhood, ln_prior, ref_gt):
     # round-half-up (reference error_prob_to_qphred uses floor(x+0.5))
     q_ref = jnp.minimum(jnp.floor(-10.0 * jnp.log10(jnp.maximum(ref_pprob, tiny)) + 0.5), 999)
     q_max = jnp.minimum(jnp.floor(-10.0 * jnp.log10(jnp.maximum(comp, tiny)) + 0.5), 999)
-    return p, max_gt, q_ref.astype(jnp.int32), q_max.astype(jnp.int32)
+    ln_ref = jnp.log(jnp.maximum(ref_pprob, tiny))
+    return p, max_gt, q_ref.astype(jnp.int32), q_max.astype(jnp.int32), ln_ref
 
 
 def _het_vf_extension_lhoods(base_id, qual, mask, extension: float,
@@ -402,8 +409,8 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
             is_haploid[:, None], jnp.asarray(priors["poly_haploid"])[ref_gt], poly_prior)
 
     ref_clamped = jnp.minimum(ref_gt, digt.N_BASE - 1)
-    g_p, g_max, g_qref, g_qmax = _result_set(lhood, gen_prior, ref_clamped)
-    p_p, p_max, _p_qref, p_qmax = _result_set(lhood, poly_prior, ref_clamped)
+    g_p, g_max, g_qref, g_qmax, g_lnref = _result_set(lhood, gen_prior, ref_clamped)
+    p_p, p_max, _p_qref, p_qmax, _p_lnref = _result_set(lhood, poly_prior, ref_clamped)
 
     # PLs (position_snp_call_pprob_digt.cpp:498-511); haploid loci
     # normalize against the hom-only max (gtcount=N_BASE, :501)
@@ -429,6 +436,7 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
         genome_max_gt=g_max, poly_max_gt=p_max,
         snv_qphred=g_qref, genome_max_gt_qphred=g_qmax,
         poly_max_gt_qphred=p_qmax, phred_loghood=pl, strand_bias=sb,
+        ln_ref_pprob=g_lnref,
     )
 
 
@@ -494,7 +502,7 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
         # lhood/pprob matrices stay on device.
         _PULL = ("genome_max_gt", "poly_max_gt", "snv_qphred",
                  "genome_max_gt_qphred", "poly_max_gt_qphred",
-                 "phred_loghood")
+                 "phred_loghood", "ln_ref_pprob")
         # pipelined dispatch: jax dispatch is async, so device compute
         # of chunk k overlaps host padding of k+1..; results are pulled
         # a few chunks behind dispatch to bound staging memory, and
@@ -577,7 +585,8 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
             genome_max_gt_qphred=outbufs["genome_max_gt_qphred"],
             poly_max_gt_qphred=outbufs["poly_max_gt_qphred"],
             phred_loghood=outbufs["phred_loghood"],
-            strand_bias=None)
+            strand_bias=None,
+            ln_ref_pprob=outbufs["ln_ref_pprob"])
 
     # strand bias on the SNP subset only (is_snp gate, reference :524)
     snp_rows = np.nonzero(np.asarray(out.snv_qphred) != 0)[0]

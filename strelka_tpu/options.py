@@ -77,6 +77,10 @@ class GermlineOptions(StarlingBaseOptions):
     is_depth_filter: bool = False
     # LowDepth: minPassedCallDepth for gVCF loci (gvcf_options.hh:68)
     gvcf_min_passed_call_depth: int = 3
+    # HighSNVHPOL / HighREFREP hard filters — disabled unless >= 0
+    # (starling_option_parser.cpp:136 is_max_snv_hpol = max_snv_hpol>=0)
+    gvcf_max_snv_hpol: int | None = None
+    gvcf_max_ref_rep: int | None = None
     # EVS
     snv_scoring_model_file: str | None = None
     indel_scoring_model_file: str | None = None

@@ -40,6 +40,16 @@ class SampleSiteData:
     used_fwd_counts: np.ndarray   # [L, 4]
     dpf: np.ndarray               # [L] filtered basecalls
     mean_edge_dist: np.ndarray | None = None  # [L] mean min-dist from read edge
+    # per-position ploidy state (starling_pos_processor.cpp:644-651):
+    # group_ploidy = max(0, region ploidy + spanning-deletion
+    # adjustment); caller_ploidy = 2 where group_ploidy == 0 else
+    # group_ploidy (genotyping ploidy); homalt_del marks sites inside
+    # hom-alt genotyped deletions (GT "." / GQX undefined);
+    # ploidy_conflict marks covered sites in no-ploid regions
+    group_ploidy: np.ndarray | None = None    # [L] int8
+    caller_ploidy: np.ndarray | None = None   # [L] int8, 1 or 2
+    homalt_del: np.ndarray | None = None      # [L] bool
+    ploidy_conflict: np.ndarray | None = None  # [L] bool
 
 
 @dataclass
@@ -122,7 +132,7 @@ def snv_hpol(ref_codes: np.ndarray, pos: int) -> int:
     return 1 + (up + dn if up_repeat == dn_repeat else max(up, dn))
 
 
-def call_sample_sites(
+def build_sample_pileup(
     opt: GermlineOptions,
     batch: bamio.ReadBatch,
     ea: rd.ExpandedAlignments,
@@ -132,11 +142,16 @@ def call_sample_sites(
     begin: int,
     end: int,
     candidate_snv_mask=None,
-    haploid_mask: np.ndarray | None = None,
     exempt_snv_keys: np.ndarray | None = None,
-) -> SampleSiteData:
-    """ref_codes covers the halo'd fetch window starting at ref_offset;
-    the pileup/report range is [begin, end)."""
+):
+    """Pileup + per-position counts (no genotyping).
+
+    ref_codes covers the halo'd fetch window starting at ref_offset;
+    the pileup/report range is [begin, end). Returns a SampleSiteData
+    with snv=None; genotype_sample_snvs fills it in (the split lets
+    indel genotyping run first, whose genotyped deletions modify the
+    site-genotyping ploidy — starling_pos_processor.hh:70-74 indel
+    before snp order + pos_basecall_buffer decrementSpanningIndelPloidy)."""
     pu = None
     native_fwd = None
     if batch.n:
@@ -173,13 +188,6 @@ def call_sample_sites(
         mask=pu.used,
         ref_gt=rc.astype(np.int32),
     )
-    snv = snv_digt.call_snv_tile_chunked(
-        tile, theta=opt.bsnp_diploid_theta,
-        is_haploid=(jnp.asarray(haploid_mask)
-                    if haploid_mask is not None and haploid_mask.any()
-                    else None),
-        het_vf_extension=opt.het_variant_frequency_extension,
-        het_vf_increment=opt.max_het_variant_frequency_increment)
 
     counts = pu.used_counts()
     if native_fwd is not None:
@@ -206,9 +214,46 @@ def call_sample_sites(
             mean_dist = np.where(
                 used_n > 0,
                 (dist_t * pu.used).sum(axis=1) / np.maximum(used_n, 1), 0.0)
-    return SampleSiteData(pileup=pu, snv=snv, used_counts=counts,
-                          used_fwd_counts=fwd_counts, dpf=dpf,
-                          mean_edge_dist=mean_dist)
+    sd = SampleSiteData(pileup=pu, snv=None, used_counts=counts,
+                        used_fwd_counts=fwd_counts, dpf=dpf,
+                        mean_edge_dist=mean_dist)
+    sd._tile = tile  # carried to genotype_sample_snvs
+    return sd
+
+
+def genotype_sample_snvs(opt: GermlineOptions, sd: SampleSiteData,
+                         haploid_mask: np.ndarray | None = None) -> None:
+    """SNV genotyping over a built pileup; fills sd.snv in place."""
+    snv = snv_digt.call_snv_tile_chunked(
+        sd._tile, theta=opt.bsnp_diploid_theta,
+        is_haploid=(jnp.asarray(haploid_mask)
+                    if haploid_mask is not None and haploid_mask.any()
+                    else None),
+        het_vf_extension=opt.het_variant_frequency_extension,
+        het_vf_increment=opt.max_het_variant_frequency_increment)
+    sd.snv = snv
+    del sd._tile
+
+
+def call_sample_sites(
+    opt: GermlineOptions,
+    batch: bamio.ReadBatch,
+    ea: rd.ExpandedAlignments,
+    level: np.ndarray,
+    ref_codes: np.ndarray,
+    ref_offset: int,
+    begin: int,
+    end: int,
+    candidate_snv_mask=None,
+    haploid_mask: np.ndarray | None = None,
+    exempt_snv_keys: np.ndarray | None = None,
+) -> SampleSiteData:
+    """Pileup + SNV genotyping in one step (no indel interaction)."""
+    sd = build_sample_pileup(opt, batch, ea, level, ref_codes, ref_offset,
+                             begin, end, candidate_snv_mask=candidate_snv_mask,
+                             exempt_snv_keys=exempt_snv_keys)
+    genotype_sample_snvs(opt, sd, haploid_mask=haploid_mask)
+    return sd
 
 
 def call_region(
@@ -425,15 +470,20 @@ def call_region(
                 eas[s] = rd.expand_alignments(new_batch)
                 n_realigned_total += n_bp
 
-    # per-sample site calling over the report range (post-realignment,
+    # per-sample pileups over the report range (post-realignment,
     # matching the reference's align -> pileup stage order)
     for s in range(n_samples):
-        samples.append(call_sample_sites(
+        samples.append(build_sample_pileup(
             opt, kept[s], eas[s], levels[s], ref_codes, fetch_begin,
             begin, end, candidate_snv_mask=snv_exempt_mask,
-            haploid_mask=(ploidy_arr[s] == 1),
             exempt_snv_keys=exempt_keys))
 
+    # indel genotyping runs BEFORE site genotyping (the reference
+    # processes indels first at each position,
+    # starling_pos_processor.hh:70-74) because genotyped deletion
+    # alleles reduce the site-genotyping ploidy over their span
+    # (updateDiploidIndelLocusWithSampleInfo ->
+    # pos_basecall_buffer::decrementSpanningIndelPloidy)
     indel_calls: list[IndelCall] = []
     for gi, group in enumerate(groups_trimmed):
         call = genotype_indel_locus(
@@ -448,6 +498,47 @@ def call_region(
             if len(loci[gi]) > len(group):
                 call.is_conflict = True
             indel_calls.append(call)
+
+    # spanning-deletion ploidy modification: each deletion allele
+    # occurrence in a sample's max GT decrements ploidy over
+    # [key.pos, key.right_pos) (starling_pos_processor.cpp:1213-1243)
+    from ..models.indel_genotype import genotype_alleles as _galleles
+    ploidy_adj = np.zeros((n_samples, L_report), dtype=np.int16)
+    for call in indel_calls:
+        A = len(call.keys) + 1
+        for s in range(n_samples):
+            pl_s = max(call.sample_ploidy[s], 1) if call.sample_ploidy else 2
+            ga = _galleles(pl_s, A)
+            for ai in ga[call.sample_gt[s]][:pl_s]:
+                ai = int(ai)
+                if ai == 0:
+                    continue
+                k = call.keys[ai - 1]
+                if k.delete_length == 0:
+                    continue
+                b = max(k.pos - begin, 0)
+                e = min(k.right_pos - begin, L_report)
+                if e > b:
+                    ploidy_adj[s, b:e] -= 1
+
+    group_ploidy = np.maximum(
+        ploidy_arr.astype(np.int16) + ploidy_adj, 0).astype(np.int8)
+    caller_ploidy = np.where(group_ploidy == 0, 2, group_ploidy).astype(np.int8)
+    homalt_del = (group_ploidy == 0) & (ploidy_adj < 0)
+
+    # site genotyping with the deletion-adjusted ploidy
+    for s in range(n_samples):
+        sd = samples[s]
+        genotype_sample_snvs(opt, sd, haploid_mask=(caller_ploidy[s] == 1))
+        dp_v = sd.used_counts.sum(axis=1)
+        sd.group_ploidy = group_ploidy[s]
+        sd.caller_ploidy = caller_ploidy[s]
+        sd.homalt_del = homalt_del[s]
+        # covered sites in a no-ploid region that is NOT a hom-alt
+        # deletion span conflict with the declared ploidy
+        # (updateSnvLocusWithSampleInfo:366-373)
+        sd.ploidy_conflict = ((dp_v > 0) & (group_ploidy[s] == 0)
+                              & ~homalt_del[s])
 
     return RegionCallResult(
         chrom=chrom, begin=begin, end=end,
@@ -509,7 +600,7 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
                      sample_dpi=[], sample_ploidy=list(sample_ploidy),
                      sample_edge_dist=[])
     any_variant = False
-    max_qual = 0
+    homref_lnp = 0.0  # sum over samples of ln P(hom-ref | genome prior)
     for s in range(n_samples):
         ploidy = max(sample_ploidy[s], 1)  # ploidy-0: emit as haploid no-call
         tri_g = ig.ag_genotype_priors_to_triangular(
@@ -594,8 +685,12 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
         ga = ig.genotype_alleles(ploidy, A)
         if (ga[max_p] > 0).any():
             any_variant = True
-        max_qual = max(max_qual, q_ref_g)
-    call.qual = max_qual
+        # QUAL accumulates ln of the genome-prior hom-ref posterior
+        # over samples (starling_pos_processor.cpp:1500-1501 + :1774
+        # ln_error_prob_to_qphred(homRefLogProb))
+        homref_lnp += float(np.log(max(pg[0], np.finfo(np.float64).tiny)))
+    import math
+    call.qual = int(math.floor(-10.0 * homref_lnp / math.log(10.0) + 0.5))
     if not any_variant and not any(r.is_forced_output for r in recs):
         return None
     return call

@@ -208,17 +208,29 @@ def gvcf_header(opt: GermlineOptions, chrom: str, chrom_len: int,
 
 def _site_sample_filters(opt: GermlineOptions, gqx, sb, dp, dpf, is_variant,
                          chrom_depth: float | None = None,
-                         ad_sum: int | None = None):
+                         ad_sum: int | None = None,
+                         pooled_depth: int | None = None,
+                         hpol: int | None = None):
+    """Per-sample hard filters for one site
+    (ScoringModelManager::default_classify_site +
+    applyDepthFilter). HighDepth tests the POOLED all-sample
+    mapq-tracker read depth (locus.getTotalReadDepth(),
+    ScoringModelManager.cpp:293-299), not this sample's dp+dpf."""
     f = []
     if gqx < (opt.gvcf_min_gqx if is_variant else opt.gvcf_min_homref_gqx):
         f.append("LowGQX")
     if is_variant and sb > opt.gvcf_max_snv_strand_bias:
         f.append("HighSNVSB")
+    if (is_variant and opt.gvcf_max_snv_hpol is not None
+            and hpol is not None and hpol > opt.gvcf_max_snv_hpol):
+        f.append("HighSNVHPOL")
     total = dp + dpf
     if total > 0 and dpf / total > 0.4:
         f.append("HighDPFRatio")
-    if chrom_depth and total > opt.max_depth_factor * chrom_depth:
-        f.append("HighDepth")
+    if chrom_depth:
+        pd = pooled_depth if pooled_depth is not None else total
+        if pd > opt.max_depth_factor * chrom_depth:
+            f.append("HighDepth")
     # LowDepth: DP or confident AD sum below minPassedCallDepth
     # (ScoringModelManager::applyDepthFilter :234-249, applied to every
     # locus by variant_prefilter_stage)
@@ -226,6 +238,201 @@ def _site_sample_filters(opt: GermlineOptions, gqx, sb, dp, dpf, is_variant,
     if dp < min_dp or (ad_sum if ad_sum is not None else dp) < min_dp:
         f.append("LowDepth")
     return f
+
+
+# ---------------------------------------------------------------------------
+# Diploid germline block machinery (gvcf_block_site_record.{hh,cpp})
+# ---------------------------------------------------------------------------
+# A site's block-join state is packed into one integer key: sample
+# filter bits, locus filter bits, GT code, caller ploidy, coverage
+# states, and GQX definedness — testCanSiteJoinSampleBlockShared
+# requires equality of all of them; gqx/dp/dpf must additionally stay
+# within check_block_tolerance (gqx only while defined).
+
+# sample-level filter bits (subset appearing on hom-ref sites), in
+# GERMLINE_VARIANT_VCF_FILTERS enum order
+_SF_NAMES = ("LowGQX", "HighDPFRatio", "HighDepth", "LowDepth",
+             "PloidyConflict", "SiteConflict")
+_SF_LOWGQX, _SF_HDPF, _SF_HDEP, _SF_LOWDEP, _SF_PLOIDY, _SF_SITECONF = (
+    1, 2, 4, 8, 16, 32)
+# locus-level filter bits
+_LF_NAMES = ("IndelConflict", "SiteConflict")
+_LF_INDELCONF, _LF_SITECONF = 1, 2
+
+_GT_OF_CODE = ("0/0", "0", ".")
+# key bit layout: scode[0:6] | lcode[6:8] | gtc[8:10] | cp[10:12]
+#                 | used_cov[12] | any_cov[13] | gqx_defined[14]
+_KEY_GQXDEF_BIT = 1 << 14
+
+
+def _pack_key(lcode, scode, gtc, cp, used, anyc, gqxdef):
+    return (int(scode) | (int(lcode) << 6) | (gtc << 8) | (cp << 10)
+            | (used << 12) | (anyc << 13) | (gqxdef << 14))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _key_fsets(key: int):
+    """(locus filter set, sample filter set) decoded from a key."""
+    scode = key & 63
+    lcode = (key >> 6) & 3
+    sfs = {n for b, n in enumerate(_SF_NAMES) if scode & (1 << b)}
+    lfs = {n for b, n in enumerate(_LF_NAMES) if lcode & (1 << b)}
+    return frozenset(lfs), frozenset(sfs)
+
+
+@functools.lru_cache(maxsize=None)
+def _key_fstr(key: int) -> str:
+    """Extended FILTER string for a single-sample record with this key
+    (getExtendedLocusFilters: locus filters + the sample's filters)."""
+    lfs, sfs = _key_fsets(key & ((1 << 8) - 1))
+    return _filter_str(set(lfs) | set(sfs))
+
+
+class _DiploidBlock:
+    """Per-sample hom-ref block accumulator. Exact semantics of
+    gvcf_block_site_record::testCanSiteJoinSampleBlock /
+    joinSiteToSampleBlock; the native compressor
+    (native/blocks.cpp block_compress_run2) is the production path,
+    this class is the fallback and semantic oracle."""
+    __slots__ = ("start", "count", "key", "gq_lo", "gq_hi", "dp_lo",
+                 "dp_hi", "df_lo", "df_hi", "dp_sum", "dpf_sum")
+
+    def __init__(self):
+        self.count = 0
+
+    def can_join(self, key, gqx, dp, dpf, abs_tol, frac_tol):
+        if self.count == 0:
+            return True
+        if key != self.key:
+            return False
+        if (key & _KEY_GQXDEF_BIT) and not _blockable(
+                self.gq_lo, self.gq_hi, gqx, abs_tol, frac_tol):
+            return False
+        return (_blockable(self.dp_lo, self.dp_hi, dp, abs_tol, frac_tol)
+                and _blockable(self.df_lo, self.df_hi, dpf,
+                               abs_tol, frac_tol))
+
+    def add(self, i, key, gqx, dp, dpf):
+        if self.count == 0:
+            self.start = i
+            self.key = key
+            self.gq_lo = self.gq_hi = gqx
+            self.dp_lo = self.dp_hi = dp
+            self.df_lo = self.df_hi = dpf
+            self.dp_sum = self.dpf_sum = 0
+        else:
+            if gqx < self.gq_lo:
+                self.gq_lo = gqx
+            elif gqx > self.gq_hi:
+                self.gq_hi = gqx
+            if dp < self.dp_lo:
+                self.dp_lo = dp
+            elif dp > self.dp_hi:
+                self.dp_hi = dp
+            if dpf < self.df_lo:
+                self.df_lo = dpf
+            elif dpf > self.df_hi:
+                self.df_hi = dpf
+        self.count += 1
+        self.dp_sum += dp
+        self.dpf_sum += dpf
+
+    def flush_row(self):
+        """(start, count, key, gqx_min, dp_sum, dpf_sum, dp_min) or
+        None when empty; resets the accumulator."""
+        if self.count == 0:
+            return None
+        row = (self.start, self.count, self.key, self.gq_lo,
+               self.dp_sum, self.dpf_sum, self.dp_lo)
+        self.count = 0
+        return row
+
+
+def _block_line(chrom, begin, ref_chars, ref_list, block_label, row):
+    """Serialize one block row (gvcf_writer write_site_record(block)).
+
+    GT comes from the block's first site; GQX prints '.' while no site
+    in the block had a defined GQX (isBlockGqxDefined); DP/DPF are the
+    rounded means of used/unused basecall counts; MIN_DP the DP min."""
+    st, cnt, key, gqx_min, dp_sum, dpf_sum, dp_min = row
+    p1 = begin + st + 1
+    rb = ref_chars[ref_list[st]]
+    info = "." if cnt == 1 else f"END={begin + st + cnt};{block_label}"
+    gt = _GT_OF_CODE[(key >> 8) & 3]
+    gqx_str = str(gqx_min) if key & _KEY_GQXDEF_BIT else "."
+    return (f"{chrom}\t{p1}\t.\t{rb}\t.\t.\t{_key_fstr(key)}\t{info}\t"
+            f"GT:GQX:DP:DPF:MIN_DP\t{gt}:{gqx_str}:"
+            f"{_round_half(dp_sum / cnt)}:{_round_half(dpf_sum / cnt)}:"
+            f"{dp_min}")
+
+
+def compute_alt_ranks(counts_list, dp_list, cp_list):
+    """Vectorized first phase of getSiteAltAlleles
+    (starling_pos_processor.cpp:516-556): per sample, the top-ploidy
+    basecall-count bases with count >= max(1, trunc(0.1 * depth)) earn
+    rank 2 (top) / 1 (second, diploid callers only); ranks aggregate
+    over samples. Ties resolve to the lowest base index (the C++ scans
+    bases in order), which stable argsort of -counts reproduces.
+
+    counts_list: per-sample [L, 4] used basecall counts;
+    dp_list: per-sample [L] used depth; cp_list: per-sample [L]
+    caller ploidy (1 or 2). Returns [L, 4] aggregated ranks.
+    """
+    L = counts_list[0].shape[0]
+    ar = np.arange(L)
+    rank_v = np.zeros((L, 4), dtype=np.int64)
+    for counts, dp, cp in zip(counts_list, dp_list, cp_list):
+        counts = counts.astype(np.int64)
+        # unsigned truncation of (unsigned)(count * 0.1), floored at 1
+        minc = np.maximum(
+            1, (dp.astype(np.float64) * 0.1).astype(np.int64))
+        order = np.argsort(-counts, axis=1, kind="stable")
+        t1 = order[:, 0]
+        rank_v[ar, t1] += np.where(counts[ar, t1] >= minc, 2, 0)
+        t2 = order[:, 1]
+        rank_v[ar, t2] += np.where(
+            (np.asarray(cp) == 2) & (counts[ar, t2] >= minc), 1, 0)
+    return rank_v
+
+
+def nominate_site_alts(rank_row, ref_gt, gt_entries):
+    """Ordered alt-allele list for one site from aggregated ranks plus
+    every sample's max-GT alleles (getSiteAltAlleles second phase,
+    starling_pos_processor.cpp:558-616): ranked bases descending
+    (lowest base index on ties, ref excluded), then poly/genome max-GT
+    alleles appended in sample order.
+
+    gt_entries: per-sample (poly_max_gt digt index, genome_max_gt digt
+    index, n_chromosomes from the caller ploidy).
+    """
+    r = list(rank_row)
+    added = [False, False, False, False]
+    added[ref_gt] = True
+    alts = []
+    while True:
+        mb = 0
+        for b in range(1, 4):
+            if r[b] > r[mb]:
+                mb = b
+        if r[mb] == 0:
+            break
+        r[mb] = 0
+        if mb == ref_gt:
+            continue
+        alts.append(mb)
+        added[mb] = True
+    for pgt, ggt, n_chrom in gt_entries:
+        for gt in (pgt, ggt):
+            pair = digt.ALLELES[gt]
+            for c in range(n_chrom):
+                b = int(pair[c])
+                if not added[b]:
+                    alts.append(b)
+                    added[b] = True
+    return alts
 
 
 def vcf_indel_strings(result: RegionCallResult, call: IndelCall):
@@ -327,6 +534,72 @@ def germline_snv_features(forest, sd, i, hpol, qual, alt_id, sb):
     }
     return np.array([vals.get(name, 0.0) for name in forest.features])
 
+def _indel_filters(opt, result, call, n_samples, chrom_depth=None,
+                   indel_forest=None, pooled_indel_depth=0):
+    """Locus + per-sample filter sets and output GQX for one indel
+    locus (variant_prefilter_stage::process(indel) semantics:
+    applyDepthFilter -> classify_indel).
+
+    classify_indel (ScoringModelManager.cpp:172-238): EVS-scored
+    variant samples get the EVS LowGQX threshold only; non-variant
+    samples (and every sample when no EVS model is loaded) fall back
+    to default_classify_indel — LowGQX on min_gqx, HighDepth on the
+    POOLED all-sample read depth at the position preceding the locus
+    (getTotalReadDepth -> indel mapqTracker, ScoringModelManager.cpp
+    :365-371), and HighREFREP when configured. LowDepth applies to
+    all samples (applyDepthFilter :252-265: AD sum or DPI below
+    minPassedCallDepth).
+
+    Returns dict(locus_fset, sample_fsets, gqx_out, is_var_gt).
+    """
+    A = len(call.keys) + 1
+    locus_fset = {"IndelConflict"} if call.is_conflict else set()
+    sample_fsets = []
+    gqx_out = []
+    is_var = []
+    for s in range(n_samples):
+        ploidy = (call.sample_ploidy[s] if call.sample_ploidy is not None
+                  else 2)
+        if ploidy == 0:
+            gt = "."
+        else:
+            gt = _gt_string_indel(call.sample_gt[s], max(ploidy, 1), A)
+        is_var_gt = any(a not in (".", "0") for a in
+                        gt.replace("|", "/").split("/"))
+        is_var.append(is_var_gt)
+        gqx = call.sample_gqx[s]
+        filters = []
+        if indel_forest is not None and is_var_gt:
+            # EVS replaces GQX and drives the LowGQX filter
+            feats = germline_indel_features(indel_forest, result, call, s,
+                                            chrom_depth)
+            evs = float(indel_forest.score_phred(feats[None])[0])
+            gqx = int(round(evs))
+            if evs < indel_forest.filter_cutoff:
+                filters.append("LowGQX")
+        else:
+            # default_classify_indel
+            if call.sample_gqx[s] < opt.gvcf_min_gqx:
+                filters.append("LowGQX")
+            if chrom_depth and pooled_indel_depth > \
+                    opt.max_depth_factor * chrom_depth:
+                filters.append("HighDepth")
+            if opt.gvcf_max_ref_rep is not None:
+                for rec in call.records:
+                    ru = rec.repeat_unit or ""
+                    if ru and len(ru) <= 2 and \
+                            rec.ref_repeat_count > opt.gvcf_max_ref_rep:
+                        filters.append("HighRefRep")
+                        break
+        # applyDepthFilter: DPI or AD sum below minPassedCallDepth
+        if call.sample_dpi[s] < opt.gvcf_min_passed_call_depth or \
+                sum(call.sample_ad[s]) < opt.gvcf_min_passed_call_depth:
+            filters.append("LowDepth")
+        sample_fsets.append(set(filters))
+        gqx_out.append(gqx)
+    return {"locus_fset": locus_fset, "sample_fsets": sample_fsets,
+            "gqx_out": gqx_out, "is_var_gt": is_var}
+
 
 def emit_region(
     opt: GermlineOptions,
@@ -337,12 +610,33 @@ def emit_region(
     indel_forest=None,
     nocompress_mask=None,
 ):
-    """Returns (per-sample gvcf line lists, variants vcf line list)."""
+    """Returns (per-sample gvcf line lists, variants vcf line list).
+
+    Record routing follows gvcf_writer::queue_site_record: a site that
+    fails the locus-level blockability test (variant locus, confident
+    nonref fraction >= block_max_nonref in any sample, nocompress-bed
+    position — gvcf_compressor::is_site_compressible) flushes every
+    sample's block and is written as a FULL site record to the
+    variants VCF and every per-sample gVCF (write_site_record_instance)
+    — including hom-ref sites, which print real ploidy/coverage GT,
+    SNVHPOL/MQ INFO and ':.' GQ/GQX when undefined. All other sites
+    join per-sample hom-ref blocks.
+    """
     n_samples = len(result.samples)
     L = result.end - result.begin
+    begin = result.begin
+    chrom = result.chrom
     gvcf_lines: list[list[str]] = [[] for _ in range(n_samples)]
     var_lines: list[str] = []
-    blocks = [BlockState() for _ in range(n_samples)]
+
+    ref = result.ref_codes
+    hpol_ref = result.ref_halo if result.ref_halo is not None else ref
+    hpol_off = result.halo_off if result.ref_halo is not None else 0
+    ref_list = ref.tolist()
+    ref_chars = "ACGTN"
+    ref_ok = ref < 4
+    refc = np.minimum(ref, 3).astype(np.int64)
+    ar = np.arange(L)
 
     # --- read-backed phasing bookkeeping (VariantPhaser.hh:37-60):
     # count phase-informative het variants per (sample, phase set);
@@ -370,370 +664,480 @@ def emit_region(
             return f"{b}|{a}", ps
         return f"{a}|{b}", ps
 
-    # precompute numpy views of snv results
+    # ---- vectorized per-position, per-sample precompute ----
+    ALL = np.asarray(digt.ALLELES, dtype=np.int64)  # [10, 2]
     sv = []
-    for s in range(n_samples):
-        r = result.samples[s].snv
-        sv.append({
-            "q": np.asarray(r.snv_qphred), "ggt": np.asarray(r.genome_max_gt),
-            "pgt": np.asarray(r.poly_max_gt), "gq": np.asarray(r.poly_max_gt_qphred),
-            "gqg": np.asarray(r.genome_max_gt_qphred),
-            "pl": np.asarray(r.phred_loghood), "sb": np.asarray(r.strand_bias),
-        })
-
-    # indel loci indexed by position, to interleave in order and to
-    # suppress site records inside deletion spans (simplified
-    # VariantOverlapResolver)
-    indels_at = {}
-    deleted_span = np.zeros(L, dtype=bool)
-    # VariantOverlapResolver site modification inputs: qual/gqx caps and
-    # per-sample ploidy reduction over variant-indel spans
-    # (modifySiteOverlappingNonconflictingVariantIndel:390-442 + the
-    # "change ploidy of overlapped sites" role)
-    site_qual_cap = np.full(L, 10 ** 9, dtype=np.int64)
-    site_gqx_cap = [np.full(L, 10 ** 9, dtype=np.int64)
-                    for _ in range(n_samples)]
-    site_ploidy_red = [np.zeros(L, dtype=np.int8) for _ in range(n_samples)]
-    from ..models.indel_genotype import genotype_alleles as _ga
-    for call in result.indels:
-        indels_at.setdefault(call.pos, []).append(call)
-        if not any(g > 0 for g in call.sample_gt):
-            continue
-        ga2 = _ga(2, len(call.keys) + 1)
-        for ki, k in enumerate(call.keys):
-            if k.delete_length == 0:
-                continue
-            b = max(k.pos - result.begin, 0)
-            e = min(k.right_pos - result.begin, L)
-            if e <= b:
-                continue
-            deleted_span[b:e] = True
-            site_qual_cap[b:e] = np.minimum(site_qual_cap[b:e], call.qual)
-            for s in range(n_samples):
-                a0, a1 = ga2[call.sample_gt[s]]
-                n_del_alleles = int(a0 == ki + 1) + int(a1 == ki + 1)
-                if n_del_alleles:
-                    site_gqx_cap[s][b:e] = np.minimum(
-                        site_gqx_cap[s][b:e], call.sample_gqx[s])
-                    site_ploidy_red[s][b:e] = np.maximum(
-                        site_ploidy_red[s][b:e], n_del_alleles)
-
-    ref = result.ref_codes
-    hpol_ref = result.ref_halo if result.ref_halo is not None else ref
-    hpol_off = result.halo_off if result.ref_halo is not None else 0
-    ref_list = ref.tolist()
-    ref_chars = "ACGTN"
-
-    # ---- vectorized per-position precompute (replaces the reference's
-    # per-position scalar extraction; everything becomes plain Python
-    # ints via tolist() so the emission loop has no numpy dispatch) ----
-    ref_ok = ref < 4
     pre = []
     any_variant_v = np.zeros(L, dtype=bool)
+    pooled_depth_v = np.zeros(L, dtype=np.int64)
+    ln_ref_sum_v = np.zeros(L, dtype=np.float64)
     for s in range(n_samples):
-        d = sv[s]
         sd = result.samples[s]
-        dp_v = sd.used_counts.sum(axis=1)
+        r = sd.snv
+        d = {
+            "ggt": np.asarray(r.genome_max_gt).astype(np.int64),
+            "pgt": np.asarray(r.poly_max_gt).astype(np.int64),
+            "gq": np.asarray(r.poly_max_gt_qphred).astype(np.int64),
+            "gqg": np.asarray(r.genome_max_gt_qphred).astype(np.int64),
+            "pl": np.asarray(r.phred_loghood),
+            "sb": np.asarray(r.strand_bias),
+        }
+        sv.append(d)
+        dp_v = sd.used_counts.sum(axis=1).astype(np.int64)
         dpf_v = sd.dpf.astype(np.int64)
-        ggt_v = d["ggt"]
-        pgt_v = d["pgt"]
-        gq_v = d["gq"]
-        gqx_v = np.where(ggt_v == pgt_v, np.minimum(d["gqg"], gq_v), 0)
-        gqx_v = np.minimum(gqx_v, site_gqx_cap[s])
-        variant_v = (pgt_v != ref.astype(np.int64)) & ref_ok
+        raw_v = dp_v + dpf_v
+        cp_v = (sd.caller_ploidy.astype(np.int64)
+                if sd.caller_ploidy is not None else np.full(L, 2, np.int64))
+        if sd.group_ploidy is not None:
+            gp_v = sd.group_ploidy.astype(np.int64)
+        elif result.ploidy is not None:
+            gp_v = result.ploidy[s].astype(np.int64)
+        else:
+            gp_v = np.full(L, 2, np.int64)
+        homalt_v = (sd.homalt_del if sd.homalt_del is not None
+                    else np.zeros(L, bool))
+        conflict_v = (sd.ploidy_conflict if sd.ploidy_conflict is not None
+                      else np.zeros(L, bool))
+        # GT/GQ/GQX are unknown for uncovered samples and for sites
+        # inside hom-alt genotyped deletions
+        # (updateSnvLocusWithSampleInfo:375-383)
+        unknown_v = (dp_v == 0) | homalt_v
+        gqxdef_v = ~unknown_v  # is_gqx (gvcf_locus_info.hh:991-999)
+        gq_v = np.where(unknown_v, 0, d["gq"])
+        gqx0_v = np.where(unknown_v | (d["ggt"] != d["pgt"]), 0,
+                          np.minimum(d["gqg"], d["gq"]))
+        variant_v = ~unknown_v & ref_ok & (d["pgt"] != refc)
         any_variant_v |= variant_v
-        total_v = dp_v + dpf_v
-        ref_counts = sd.used_counts[np.arange(L), np.minimum(ref, 3)]
-        nonref_v = np.where(ref_ok, dp_v - ref_counts, 0)
-        nonref_ok_v = (dp_v == 0) | (nonref_v <= opt.gvcf_block_max_nonref * dp_v)
-        # homref filter string codes
-        low_v = gqx_v < opt.gvcf_min_homref_gqx
-        hdpf_v = (total_v > 0) & (dpf_v > 0.4 * total_v)
-        hdep_v = np.zeros(L, dtype=bool)
-        if chrom_depth:
-            hdep_v = total_v > opt.max_depth_factor * chrom_depth
-        lowdep_v = dp_v < opt.gvcf_min_passed_call_depth
-        fcode_v = low_v.astype(np.int8) + 2 * hdpf_v.astype(np.int8) \
-            + 4 * hdep_v.astype(np.int8) + 8 * lowdep_v.astype(np.int8)
-        ploidy_l = (result.ploidy[s].tolist() if result.ploidy is not None
-                    else None)
+        pooled_depth_v += sd.pileup.mapq_n.astype(np.int64)
+        if r.ln_ref_pprob is not None:
+            ln_ref_sum_v += np.asarray(r.ln_ref_pprob, dtype=np.float64)
         pre.append({
-            "dp": dp_v.tolist(), "dpf": dpf_v.tolist(),
-            "ggt": ggt_v.tolist(), "pgt": pgt_v.tolist(),
-            "gq": gq_v.tolist(), "gqx": gqx_v.tolist(),
-            "variant": variant_v.tolist(), "sb": d["sb"].tolist(),
-            "nonref_ok": nonref_ok_v.tolist(), "fcode": fcode_v.tolist(),
-            "ploidy": ploidy_l,
-            "ploidy_red": site_ploidy_red[s].tolist(),
-            # numpy views for the native block compressor
-            "_np": (gqx_v.astype(np.int32), dp_v.astype(np.int32),
-                    dpf_v.astype(np.int32), fcode_v,
-                    nonref_ok_v.astype(np.uint8),
-                    (result.ploidy[s].astype(np.int8)
-                     if result.ploidy is not None else None)),
+            "dp": dp_v, "dpf": dpf_v, "raw": raw_v, "cp": cp_v,
+            "gp": gp_v, "homalt": homalt_v, "conflict": conflict_v,
+            "unknown": unknown_v, "gqxdef": gqxdef_v, "gq": gq_v,
+            "gqx0": gqx0_v, "variant": variant_v,
         })
-    any_variant = any_variant_v.tolist()
-    deleted_list = deleted_span.tolist()
+    locus_exists_v = np.zeros(L, dtype=bool)
+    for s in range(n_samples):
+        locus_exists_v |= pre[s]["raw"] > 0
 
-    _FSTR_BASE = ["PASS", "LowGQX", "HighDPFRatio", "LowGQX;HighDPFRatio",
-                  "HighDepth", "LowGQX;HighDepth", "HighDPFRatio;HighDepth",
-                  "LowGQX;HighDPFRatio;HighDepth"]
-    # bit 8 = LowDepth (appended last, enum order)
-    _FSTR = _FSTR_BASE + [
-        ("LowDepth" if f == "PASS" else f + ";LowDepth")
-        for f in _FSTR_BASE]
+    # QUAL: sum over samples of ln P(hom-ref genotype | genome prior)
+    # -> phred (starling_pos_processor.cpp:688-691)
+    qual_v = np.floor(-10.0 * ln_ref_sum_v / np.log(10.0) + 0.5
+                      ).astype(np.int64)
 
-    indel_positions = set(indels_at)
-    chrom = result.chrom
+    # ---- site alt-allele nomination (getSiteAltAlleles,
+    # starling_pos_processor.cpp:508-616): per sample the top-ploidy
+    # basecall-count bases above max(1, 10% depth) earn rank 2/1;
+    # aggregated rank nominates alt alleles; max-GT alleles of every
+    # sample are appended ----
+    rank_v = compute_alt_ranks(
+        [result.samples[s].used_counts for s in range(n_samples)],
+        [pre[s]["dp"] for s in range(n_samples)],
+        [pre[s]["cp"] for s in range(n_samples)])
+    amask = rank_v > 0
+    for s in range(n_samples):
+        cp2 = pre[s]["cp"] == 2
+        for gt_v in (sv[s]["pgt"], sv[s]["ggt"]):
+            amask[ar, ALL[gt_v, 0]] = True
+            sel = np.nonzero(cp2)[0]
+            amask[sel, ALL[gt_v[sel], 1]] = True
+    amask[ar, refc] = False
+    amask[~ref_ok] = False
+
+    # confident support counts (supportCounts over ref + nominated
+    # alts) per sample: LowDepth AD-sum test + compressibility fraction
+    csum_m = np.zeros((n_samples, L), dtype=np.int64)
+    cref_m = np.zeros((n_samples, L), dtype=np.int64)
+    sup_mask = amask.copy()
+    sup_mask[ar, refc] |= ref_ok
+    for s in range(n_samples):
+        counts = result.samples[s].used_counts.astype(np.int64)
+        csum_m[s] = (counts * sup_mask).sum(axis=1)
+        cref_m[s] = np.where(ref_ok, counts[ar, refc], 0)
+
+    # locus-level blockability (gvcf_compressor::is_site_compressible):
+    # any sample whose confident nonref fraction crosses
+    # block_max_nonref makes the whole site a full record
+    nonblock_v = np.zeros(L, dtype=bool)
+    for s in range(n_samples):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = cref_m[s] / np.maximum(csum_m[s], 1)
+        nonblock_v |= (ref_ok & (csum_m[s] > 0)
+                       & (frac + opt.gvcf_block_max_nonref <= 1.0))
+    nocomp_v = (np.asarray(nocompress_mask, bool)
+                if nocompress_mask is not None else np.zeros(L, bool))
+    stop_site_v = any_variant_v | nonblock_v | nocomp_v
+
+    # ---- written-variant-indel site modification
+    # (VariantOverlapResolver::modifySiteOverlappingVariantIndel via
+    # gvcf_writer::modifySiteForConsistencyWithUpstreamIndels): sites
+    # within the range of the most recently written variant indel get
+    # qual/gqx caps + SiteConflict from indel filters, or IndelConflict
+    # when the indel locus is in conflict ----
+    indels_at: dict[int, list] = {}
+    for call in result.indels:
+        indels_at.setdefault(call.pos, []).append(call)
+
+    # indel filter sets are needed both for the site modification and
+    # for indel record emission; compute once
+    indel_meta: dict[int, dict] = {}
+    for call in result.indels:
+        dpi_idx = call.pos - 1 - begin
+        pooled_ind = 0
+        if 0 <= dpi_idx < L:
+            pooled_ind = int(pooled_depth_v[dpi_idx])
+        indel_meta[id(call)] = _indel_filters(
+            opt, result, call, n_samples, chrom_depth=chrom_depth,
+            indel_forest=indel_forest, pooled_indel_depth=pooled_ind)
+
+    site_qual_cap = np.full(L, np.iinfo(np.int64).max, dtype=np.int64)
+    gqx_cap = [np.full(L, np.iinfo(np.int32).max, dtype=np.int64)
+               for _ in range(n_samples)]
+    lbits_v = np.zeros(L, dtype=np.int8)
+    sbits_m = [np.zeros(L, dtype=np.int8) for _ in range(n_samples)]
+    variant_calls = sorted(
+        (c for c in result.indels
+         if any(g > 0 for g in c.sample_gt)), key=lambda c: c.pos)
+    for idx, call in enumerate(variant_calls):
+        end_pos = max(k.right_pos for k in call.keys)
+        # the modifier is replaced as soon as the NEXT variant indel is
+        # written (_lastVariantIndelWritten), so each call governs
+        # [its pos, min(its end, next call pos))
+        w_end = end_pos
+        if idx + 1 < len(variant_calls):
+            w_end = min(w_end, variant_calls[idx + 1].pos)
+        w0 = max(call.pos - begin, 0)
+        w1 = min(w_end - begin, L)
+        if w1 <= w0:
+            continue
+        meta = indel_meta[id(call)]
+        if call.is_conflict:
+            lbits_v[w0:w1] |= _LF_INDELCONF
+            continue
+        site_qual_cap[w0:w1] = np.minimum(site_qual_cap[w0:w1], call.qual)
+        for s in range(n_samples):
+            # gqx cap uses the indel's RAW sample gqx (sampleInfo.gqx),
+            # not the EVS-replaced output value
+            gqx_cap[s][w0:w1] = np.minimum(gqx_cap[s][w0:w1],
+                                           call.sample_gqx[s])
+            if meta["sample_fsets"][s]:
+                sbits_m[s][w0:w1] |= _SF_SITECONF
+
+    # ---- per-sample filter codes + block keys ----
+    maxdep = (opt.max_depth_factor * chrom_depth) if chrom_depth else None
+    hdep_v = (locus_exists_v & (pooled_depth_v > maxdep)
+              if maxdep is not None else np.zeros(L, bool))
+    min_dp = opt.gvcf_min_passed_call_depth
+    key_l, gqx_l, dp_l, dpf_l = [], [], [], []
+    key_arrs, gqx_arrs, dp_arrs, dpf_arrs = [], [], [], []
+    for s in range(n_samples):
+        p = pre[s]
+        gqx_v = np.minimum(p["gqx0"], gqx_cap[s])
+        p["gqx"] = gqx_v
+        low_v = gqx_v < opt.gvcf_min_homref_gqx
+        hdpf_v = (p["raw"] > 0) & (p["dpf"] > 0.4 * p["raw"])
+        lowdep_v = locus_exists_v & ((p["dp"] < min_dp)
+                                     | (csum_m[s] < min_dp))
+        pconf_v = p["conflict"] & locus_exists_v
+        fcode_v = (low_v * _SF_LOWGQX + hdpf_v * _SF_HDPF
+                   + hdep_v * _SF_HDEP + lowdep_v * _SF_LOWDEP
+                   + pconf_v * _SF_PLOIDY).astype(np.int64) | sbits_m[s]
+        p["fcode"] = fcode_v
+        gtc_v = np.where(p["unknown"], 2, np.where(p["cp"] == 1, 1, 0))
+        key_v = (fcode_v | (lbits_v.astype(np.int64) << 6) | (gtc_v << 8)
+                 | (p["cp"] << 10) | ((p["dp"] > 0) << 12)
+                 | ((p["raw"] > 0) << 13) | (p["gqxdef"] << 14))
+        key_arrs.append(key_v)
+        gqx_arrs.append(gqx_v.astype(np.int32))
+        dp_arrs.append(p["dp"].astype(np.int32))
+        dpf_arrs.append(p["dpf"].astype(np.int32))
+        key_l.append(key_v.tolist())
+        gqx_l.append(gqx_v.tolist())
+        dp_l.append(p["dp"].tolist())
+        dpf_l.append(p["dpf"].tolist())
+
     abs_tol = opt.block_abs_tol
     frac_tol = opt.block_frac_tol
     block_label = opt.block_label
 
-    # native hom-ref block compression: whole runs between "events"
-    # (variant sites and indel-emission positions) compress in one C++
-    # pass per sample (native/blocks.cpp); the per-position BlockState
-    # loop below stays as the fallback and semantic oracle
     from ..io import native as natio
-    use_native_blocks = (not FORCE_PYTHON_BLOCKS and L > 0
-                         and hasattr(natio.get_lib(), "block_compress_run"))
-    if use_native_blocks:
-        stop_mask = any_variant_v.copy()
-        for p in indels_at:
-            ie = p - 1 - result.begin
-            if 0 <= ie < L:
-                stop_mask[ie] = True
-        stops = np.nonzero(stop_mask)[0]
-        nb_arrs = [pre[s]["_np"] for s in range(n_samples)]
-        nb_nocomp = (np.asarray(nocompress_mask, np.uint8)
-                     if nocompress_mask is not None else None)
-        nb_out = np.empty((L, 9), np.int64)
-        _GT_STRS = ("0/0", "0", ".", "./.")
+    use_native = (not FORCE_PYTHON_BLOCKS and L > 0
+                  and hasattr(natio.get_lib() or object(),
+                              "block_compress_run2"))
+    if use_native:
+        nb_out = np.empty((L, 7), np.int64)
+    pyblocks = [_DiploidBlock() for _ in range(n_samples)]
 
-    # defensive: an indel whose leftmost changed base IS the segment
-    # begin anchors at begin-1, which the loop below never reaches.
-    # Segment assignment is anchor-based (begin <= k.pos - 1 < end) so
-    # such calls shouldn't exist, but if one does, emitting it at the
-    # segment head beats silently losing it.
-    if result.begin in indel_positions:
-        for call in indels_at[result.begin]:
-            _emit_indel(opt, result, call, sample_names, gvcf_lines,
-                        var_lines, blocks, indel_forest=indel_forest,
-                        chrom_depth=chrom_depth)
+    def compress_run(i, j):
+        """Emit hom-ref block records covering [i, j) for all samples
+        (the run ends at a full-flush event, so blocks never straddle
+        runs)."""
+        for s in range(n_samples):
+            gl = gvcf_lines[s]
+            if use_native:
+                n_rows = natio.block_compress_run2(
+                    key_arrs[s], gqx_arrs[s], dp_arrs[s], dpf_arrs[s],
+                    i, j, abs_tol, frac_tol, nb_out)
+                for row in nb_out[:n_rows].tolist():
+                    gl.append(_block_line(chrom, begin, ref_chars,
+                                          ref_list, block_label, row))
+            else:
+                b = pyblocks[s]
+                ks, gs, ds, fs = key_l[s], gqx_l[s], dp_l[s], dpf_l[s]
+                for t in range(i, j):
+                    if not b.can_join(ks[t], gs[t], ds[t], fs[t],
+                                      abs_tol, frac_tol):
+                        gl.append(_block_line(chrom, begin, ref_chars,
+                                              ref_list, block_label,
+                                              b.flush_row()))
+                    b.add(t, ks[t], gs[t], ds[t], fs[t])
+                row = b.flush_row()
+                if row is not None:
+                    gl.append(_block_line(chrom, begin, ref_chars,
+                                          ref_list, block_label, row))
 
-    i = 0
-    while i < L:
-        pos = result.begin + i
-        # indel records sort before the site at the same position + 1
-        # (VCF indel pos is pos-1 of first changed base)
-        if pos + 1 in indel_positions:
-            for call in indels_at[pos + 1]:
-                _emit_indel(opt, result, call, sample_names, gvcf_lines,
-                            var_lines, blocks, indel_forest=indel_forest,
-                            chrom_depth=chrom_depth)
+    # ---- scalar helpers for full site records ----
+    pgt_ll = [sv[s]["pgt"].tolist() for s in range(n_samples)]
+    ggt_ll = [sv[s]["ggt"].tolist() for s in range(n_samples)]
+    cp_ll = [pre[s]["cp"].tolist() for s in range(n_samples)]
+    rank_ll = rank_v.tolist()
+    ref_ok_l = ref_ok.tolist()
+    ALL_L = ALL.tolist()
 
+    def site_alt_order(i):
+        if not ref_ok_l[i]:
+            return []
+        gt_entries = [(pgt_ll[s][i], ggt_ll[s][i],
+                       2 if cp_ll[s][i] == 2 else 1)
+                      for s in range(n_samples)]
+        return nominate_site_alts(rank_ll[i], ref_list[i], gt_entries)
+
+    qual_cap_l = site_qual_cap.tolist()
+    qual_l = qual_v.tolist()
+    mapq_n_list = [result.samples[s].pileup.mapq_n for s in range(n_samples)]
+    mapq_ss_list = [result.samples[s].pileup.mapq_sumsq
+                    for s in range(n_samples)]
+
+    def emit_site_record(i):
+        """Full site record (write_site_record_instance, diploid
+        branch) written to the variants VCF and every sample gVCF."""
+        pos = begin + i
         ref_gt = ref_list[i]
         ref_base = ref_chars[ref_gt]
+        alts = site_alt_order(i)
+        isalt = bool(alts)
+        variant_locus = bool(any_variant_v[i])
 
-        if use_native_blocks and not any_variant[i]:
-            # hom-ref run [i, j): j = next variant/indel event after i
-            k = int(np.searchsorted(stops, i, side="right"))
-            j = int(stops[k]) if k < len(stops) else L
-            for s in range(n_samples):
-                gq_a, dp_a, dpf_a, fc_a, nr_a, pl_a = nb_arrs[s]
-                n_rows = natio.block_compress_run(
-                    gq_a, dp_a, dpf_a, fc_a, nr_a, pl_a, nb_nocomp,
-                    i, j, abs_tol, frac_tol, nb_out)
-                gl = gvcf_lines[s]
-                for kind, st, cnt, gqx_min, dp_sum, dpf_sum, dp_min,                         fc, gtc in nb_out[:n_rows].tolist():
-                    p1 = result.begin + st + 1
-                    rb = ref_chars[ref_list[st]]
-                    fstr = _FSTR[fc]
-                    if kind == 1:
-                        gl.append(
-                            f"{chrom}\t{p1}\t.\t{rb}\t.\t.\t{fstr}\t.\t"
-                            f"GT:GQX:DP:DPF:MIN_DP\t"
-                            f"0/0:{gqx_min}:{dp_sum}:{dpf_sum}:{dp_min}")
-                    else:
-                        info = ("." if cnt == 1 else
-                                f"END={result.begin + st + cnt};{block_label}")
-                        gl.append(
-                            f"{chrom}\t{p1}\t.\t{rb}\t.\t.\t{fstr}\t"
-                            f"{info}\tGT:GQX:DP:DPF:MIN_DP\t"
-                            f"{_GT_STRS[gtc]}:{gqx_min}:"
-                            f"{_round_half(dp_sum / cnt)}:"
-                            f"{_round_half(dpf_sum / cnt)}:"
-                            f"{dp_min}")
-            i = j
-            continue
-
-        if not any_variant[i]:
-            # hom-ref path -> block compression per sample
-            for s in range(n_samples):
-                ps = pre[s]
-                dp = ps["dp"][i]
-                dpf = ps["dpf"][i]
-                gqx = ps["gqx"][i]
-                covered = dp + dpf > 0
-                fstr = _FSTR[ps["fcode"][i]]
-                if not ps["nonref_ok"][i] or (
-                        nocompress_mask is not None and nocompress_mask[i]):
-                    # emit single-site record outside blocks
-                    # (gvcf_compressor nocompress-bed positions are
-                    # always emitted individually)
-                    blocks[s].flush(chrom, gvcf_lines[s], block_label)
-                    gvcf_lines[s].append(
-                        f"{chrom}\t{pos + 1}\t.\t{ref_base}\t.\t.\t{fstr}\t.\t"
-                        f"GT:GQX:DP:DPF:MIN_DP\t0/0:{gqx}:{dp}:{dpf}:{dp}")
-                    continue
-                b = blocks[s]
-                pl_s = int(ps["ploidy"][i]) if ps["ploidy"] is not None else 2
-                if pl_s == 0:
-                    gt = "."
-                elif pl_s == 1:
-                    gt = "0" if covered else "."
-                else:
-                    gt = "0/0" if covered else "./."
-                if not b.can_join(gqx, dp, dpf, fstr, abs_tol, frac_tol,
-                                  gt=gt, pl=pl_s, used_cov=dp > 0):
-                    b.flush(chrom, gvcf_lines[s], block_label)
-                b.add(pos, ref_base, gt, gqx, dp, dpf, fstr, pl=pl_s)
-            i += 1
-            continue
-
-        # variant site record (rare path; gather per-sample scalars)
-        per_sample = []
-        for s in range(n_samples):
-            ps = pre[s]
-            per_sample.append((ps["dp"][i], ps["dpf"][i], ps["ggt"][i],
-                               ps["pgt"][i], ps["gq"][i], ps["gqx"][i],
-                               ps["variant"][i], ps["sb"][i]))
-        alts = sorted({a for s in range(n_samples)
-                       for a in digt.ALLELES[per_sample[s][3]]
-                       if a != ref_gt and per_sample[s][6]})
-        if not alts:
-            i += 1
-            continue
-        alt_str = ",".join(decode_bases([a]) for a in alts)
         allele_map = {ref_gt: 0}
         for j, a in enumerate(alts):
             allele_map[a] = j + 1
-        qual = max(int(sv[s]["q"][i]) for s in range(n_samples))
-        qual = min(qual, int(site_qual_cap[i]))
-        hpol = snv_hpol(hpol_ref, i + hpol_off)
-        info = f"SNVHPOL={hpol}"
-        mq_n = sum(int(result.samples[s].pileup.mapq_n[i]) for s in range(n_samples))
-        mq_ss = sum(float(result.samples[s].pileup.mapq_sumsq[i]) for s in range(n_samples))
-        if mq_n > 0:
-            info += f";MQ={_round_half(float(np.sqrt(mq_ss / mq_n)))}"
+        alt_str = ",".join(ref_chars[a] for a in alts) if isalt else "."
 
-        fmt = "GT:GQ:GQX:DP:DPF:AD:ADF:ADR:SB:FT:PL"
+        # QUAL printed only for variant loci (isQual)
+        qual = min(qual_l[i], qual_cap_l[i]) if variant_locus else "."
+
+        hpol = snv_hpol(hpol_ref, i + hpol_off)
+        mq_n = sum(int(m[i]) for m in mapq_n_list)
+        mq_ss = sum(float(m[i]) for m in mapq_ss_list)
+        mq = _round_half(float(np.sqrt(mq_ss / mq_n))) if mq_n > 0 else 0
+        info = f"SNVHPOL={hpol};MQ={mq}"
+
+        fmt = "GT:GQ:GQX:DP:DPF"
+        if isalt:
+            fmt += ":AD:ADF:ADR:SB"
+        fmt += ":FT"
+        if isalt:
+            fmt += ":PL"
+
+        locus_fset = set(_key_fsets(int(lbits_v[i]) << 6)[0])
         sample_cols = []
-        sample_filter_sets = []
+        sample_fsets = []
         any_pass_variant = False
-        any_phased = False
-        evsf = ""
         phases = []
+        evsf = ""
         for s in range(n_samples):
-            dp, dpf, ggt, pgt, gq, gqx, variant, sb = per_sample[s]
-            if s == 0 and variant and alts and opt.is_report_evs_features:
-                # first sample's features (training runs are
-                # single-sample; gvcf_writer.cpp:515-527)
+            p = pre[s]
+            dp = int(p["dp"][i])
+            dpf = int(p["dpf"][i])
+            unknown = bool(p["unknown"][i])
+            cp = cp_ll[s][i]
+            is_var = bool(p["variant"][i])
+            gq = int(p["gq"][i])
+            gqx = int(p["gqx"][i])
+            sb = float(sv[s]["sb"][i])
+            pgt = pgt_ll[s][i]
+
+            if s == 0 and is_var and isalt and opt.is_report_evs_features:
                 f0 = germline_snv_features(
                     snv_forest or _EVSF_SNV_DEFAULT, result.samples[0], i,
-                    hpol, int(sv[0]["q"][i]), alts[0], sb)
+                    hpol, qual_l[i], alts[0], sb)
                 evsf = ";EVSF=" + format_evsf(f0)
-            a_pair = digt.ALLELES[pgt]
-            gt_idx = sorted(allele_map.get(a, 0) for a in a_pair)
-            pl_s = (pre[s]["ploidy"][i] if pre[s]["ploidy"] is not None
-                    else 2)
-            # sites inside genotyped deletions lose the deleted allele's
-            # ploidy (VariantOverlapResolver role 2)
-            pl_s = max(pl_s - pre[s]["ploidy_red"][i], 0)
-            if pl_s == 0:
-                gt = "."
-            elif pl_s == 1:
-                gt = str(gt_idx[1])  # haploid single-allele call
-            else:
-                gt = f"{gt_idx[0]}/{gt_idx[1]}"
-            phase = None
-            if pl_s == 2 and variant and gt_idx[0] != gt_idx[1] and len(alts) == 1:
-                phase = snv_phase(s, pos, alts[0], tuple(gt_idx))
-            phases.append(phase)
-            if phase is not None:
-                gt = phase[0]
-                any_phased = True
-            counts = result.samples[s].used_counts[i]
-            fcounts = result.samples[s].used_fwd_counts[i]
-            ads = [int(counts[ref_gt])] + [int(counts[a]) for a in alts]
-            adfs = [int(fcounts[ref_gt])] + [int(fcounts[a]) for a in alts]
-            adrs = [ads[j] - adfs[j] for j in range(len(ads))]
-            if snv_forest is not None and variant:
-                # EVS replaces GQX and drives the LowGQX filter
-                # (ScoringModelManager.hh classify_site semantics)
-                feats = germline_snv_features(
-                    snv_forest, result.samples[s], i,
-                    snv_hpol(hpol_ref, i + hpol_off),
-                    int(sv[s]["q"][i]), alts[0] if alts else 0, sb)
-                evs = float(snv_forest.score_phred(feats[None])[0])
-                gqx = int(round(evs))
-                filters = ["LowGQX"] if evs < snv_forest.filter_cutoff else []
-                if chrom_depth and dp + dpf > opt.max_depth_factor * chrom_depth:
-                    filters.append("HighDepth")
-                if dp < opt.gvcf_min_passed_call_depth or \
-                        sum(ads) < opt.gvcf_min_passed_call_depth:
-                    filters.append("LowDepth")
-            else:
-                filters = _site_sample_filters(opt, gqx, sb, dp, dpf, variant,
-                                               chrom_depth, ad_sum=sum(ads))
-            sample_filter_sets.append(set(filters))
-            fstr = _filter_str(set(filters))
-            if variant and not filters:
-                any_pass_variant = True
-            # PL for the 10-genotype digt space reduced to listed alleles
-            pl_full = sv[s]["pl"][i]
-            order = [ref_gt] + list(alts)
-            pls = []
-            for bj in range(len(order)):
-                for aj in range(bj + 1):
-                    pls.append(int(pl_full[digt.het_gt_of(order[aj], order[bj])]))
-            col = (f"{gt}:{gq}:{gqx}:{dp}:{dpf}:{','.join(map(str, ads))}:"
-                   f"{','.join(map(str, adfs))}:{','.join(map(str, adrs))}:"
-                   f"{sb:.1f}:{fstr}:{','.join(map(str, pls))}")
-            sample_cols.append(col)
 
-        if any_phased:
+            # GT
+            phase = None
+            if unknown:
+                gt = "."
+                gt_idx = None
+            else:
+                pair = ALL_L[pgt]
+                if cp == 1:
+                    gt_idx = [allele_map[pair[0]]]
+                    gt = str(gt_idx[0])
+                else:
+                    gt_idx = sorted(allele_map[a] for a in pair)
+                    gt = f"{gt_idx[0]}/{gt_idx[1]}"
+                    if (is_var and gt_idx[0] != gt_idx[1]
+                            and len(alts) == 1):
+                        phase = snv_phase(s, pos, alts[0], tuple(gt_idx))
+                        if phase is not None:
+                            gt = phase[0]
+            phases.append(phase)
+
+            # per-sample filters
+            if is_var:
+                if snv_forest is not None:
+                    # EVS path: EVS replaces GQX; only the EVS LowGQX
+                    # threshold applies from classify_site, plus the
+                    # prefilter LowDepth (ScoringModelManager.cpp
+                    # :124-160 — no HighDepth for EVS-scored samples)
+                    feats = germline_snv_features(
+                        snv_forest, result.samples[s], i, hpol,
+                        qual_l[i], alts[0] if alts else 0, sb)
+                    evs = float(snv_forest.score_phred(feats[None])[0])
+                    gqx = int(round(evs))
+                    filters = set()
+                    if evs < snv_forest.filter_cutoff:
+                        filters.add("LowGQX")
+                    if int(p["fcode"][i]) & _SF_LOWDEP:
+                        filters.add("LowDepth")
+                else:
+                    filters = set(_site_sample_filters(
+                        opt, gqx, sb, dp, dpf, True, chrom_depth,
+                        ad_sum=int(csum_m[s][i]),
+                        pooled_depth=int(pooled_depth_v[i]), hpol=hpol))
+                # shared bits (PloidyConflict / SiteConflict) apply to
+                # variant samples too
+                fc = int(p["fcode"][i])
+                if fc & _SF_PLOIDY:
+                    filters.add("PloidyConflict")
+                if fc & _SF_SITECONF:
+                    filters.add("SiteConflict")
+            else:
+                filters = set(_key_fsets(int(p["fcode"][i]))[1])
+            sample_fsets.append(filters)
+            if is_var and not filters:
+                any_pass_variant = True
+
+            col = [gt]
+            if unknown or bool(p["homalt"][i]) or dp == 0:
+                col.append(".:.")
+            else:
+                col.append(f"{gq}:{gqx}")
+            col.append(f"{dp}:{dpf}")
+            if isalt:
+                counts = result.samples[s].used_counts[i]
+                fcounts = result.samples[s].used_fwd_counts[i]
+                ads = [int(counts[ref_gt])] + [int(counts[a]) for a in alts]
+                adfs = [int(fcounts[ref_gt])] + [int(fcounts[a])
+                                                 for a in alts]
+                adrs = [ads[j] - adfs[j] for j in range(len(ads))]
+                col.append(",".join(map(str, ads)))
+                col.append(",".join(map(str, adfs)))
+                col.append(",".join(map(str, adrs)))
+                col.append(f"{sb:.1f}")
+            col.append(_filter_str(filters))
+            if isalt:
+                if unknown:
+                    col.append(".")
+                else:
+                    pl_full = sv[s]["pl"][i]
+                    order = [ref_gt] + list(alts)
+                    pls = []
+                    if cp == 1:
+                        for b in order:
+                            pls.append(int(pl_full[b]))
+                    else:
+                        for bj in range(len(order)):
+                            for aj in range(bj + 1):
+                                pls.append(int(pl_full[
+                                    digt.het_gt_of(order[aj], order[bj])]))
+                    col.append(",".join(str(min(v, 999)) for v in pls))
+            sample_cols.append(":".join(col))
+
+        if any(ph is not None for ph in phases):
             fmt += ":PS"
             sample_cols = [
-                col + (f":{phases[s][1]}" if phases[s] is not None else ":.")
-                for s, col in enumerate(sample_cols)]
+                c + (f":{phases[s][1]}" if phases[s] is not None else ":.")
+                for s, c in enumerate(sample_cols)]
 
-        # FILTER merging (gvcf_writer.cpp getExtendedLocusFilters):
-        # variants VCF = locus filters + the intersection of every
-        # sample's filters + NoPassedVariantGTs when no variant sample
-        # passes; each per-sample gVCF stream = locus + that sample's
-        # filters (no NoPassedVariantGTs)
-        inter = (set.intersection(*sample_filter_sets)
-                 if sample_filter_sets else set())
-        var_fset = set(inter)
+        # FILTER merging (getExtendedLocusFilters)
+        inter = (set.intersection(*sample_fsets) if sample_fsets else set())
+        var_fset = locus_fset | inter
         if not any_pass_variant:
             var_fset.add("NoPassedVariantGTs")
-        pre_cols = (f"{result.chrom}\t{pos + 1}\t.\t{ref_base}\t"
-                    f"{alt_str}\t{qual}")
+        pre_cols = f"{chrom}\t{pos + 1}\t.\t{ref_base}\t{alt_str}\t{qual}"
         post_cols = f"{info}{evsf}\t{fmt}"
-        line = (f"{pre_cols}\t{_filter_str(var_fset)}\t{post_cols}\t"
-                + "\t".join(sample_cols))
-        var_lines.append(line)
+        var_lines.append(f"{pre_cols}\t{_filter_str(var_fset)}\t{post_cols}\t"
+                         + "\t".join(sample_cols))
         for s in range(n_samples):
-            blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)
             gvcf_lines[s].append(
-                f"{pre_cols}\t{_filter_str(sample_filter_sets[s])}\t"
+                f"{pre_cols}\t{_filter_str(locus_fset | sample_fsets[s])}\t"
                 f"{post_cols}\t{sample_cols[s]}")
-        i += 1
 
-    for s in range(n_samples):
-        blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)
+    # ---- main sweep: hom-ref runs between events; events are full
+    # site records (variant / non-blockable / nocompress) and indel
+    # emissions (which flush all blocks) ----
+    stop_idx = np.nonzero(stop_site_v)[0]
+    flush_idx = sorted(p - begin for p in indels_at if 0 <= p - begin < L)
+
+    # defensive: indels anchored before the segment begin shouldn't
+    # exist (anchor-based segment assignment) but emitting beats losing
+    for p in sorted(p for p in indels_at if p < begin):
+        for call in indels_at[p]:
+            _emit_indel(opt, result, call, sample_names, gvcf_lines,
+                        var_lines, indel_meta[id(call)],
+                        indel_forest=indel_forest,
+                        chrom_depth=chrom_depth)
+
+    fi = 0
+    i = 0
+    while i < L:
+        k = int(np.searchsorted(stop_idx, i))
+        ns = int(stop_idx[k]) if k < len(stop_idx) else L
+        while fi < len(flush_idx) and flush_idx[fi] < i:
+            fi += 1
+        nf = flush_idx[fi] if fi < len(flush_idx) else L
+        j = min(ns, nf)
+        if j > i:
+            compress_run(i, j)
+        if j >= L:
+            break
+        if nf == j:
+            # indel locus at stream position j: emitted after site j-1,
+            # before site j (starling_pos_processor.hh:70-74)
+            for call in indels_at[begin + j]:
+                _emit_indel(opt, result, call, sample_names, gvcf_lines,
+                            var_lines, indel_meta[id(call)],
+                            indel_forest=indel_forest,
+                            chrom_depth=chrom_depth)
+            fi += 1
+        if ns == j:
+            emit_site_record(j)
+            i = j + 1
+        else:
+            i = j
+
+    # indels whose locus position is the segment end (anchor = last
+    # report position) are emitted after every site
+    for p in sorted(p for p in indels_at if p - begin >= L):
+        for call in indels_at[p]:
+            _emit_indel(opt, result, call, sample_names, gvcf_lines,
+                        var_lines, indel_meta[id(call)],
+                        indel_forest=indel_forest,
+                        chrom_depth=chrom_depth)
+
     return gvcf_lines, var_lines
-
 
 def germline_indel_features(forest, result, call: IndelCall, s: int,
                             chrom_depth: float | None):
@@ -841,8 +1245,13 @@ def germline_indel_features(forest, result, call: IndelCall, s: int,
 
 
 def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
-                var_lines, blocks, indel_forest=None,
+                var_lines, meta, indel_forest=None,
                 chrom_depth: float | None = None):
+    """Serialize one indel locus (gvcf_writer
+    write_indel_record_instance :816-1010). `meta` is the
+    precomputed _indel_filters() result for this call; blocks are
+    flushed by the caller (writer.process(indel) flushes all
+    non-variant blocks before any indel record)."""
     n_samples = len(sample_names)
     pos0, ref_str, alts, cigars = vcf_indel_strings(result, call)
     A = len(call.keys) + 1
@@ -852,11 +1261,22 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
         rus.append(ru)
         refreps.append(str(rec.ref_repeat_count))
         idreps.append(str(rec.indel_repeat_count))
+    # MQ: RMS of the pooled all-sample mapq tracker at the position
+    # preceding the locus (write_indel_record_instance :902-922,
+    # addIndelSamplePileupInfo :1126-1139)
+    dpi_idx = call.pos - 1 - result.begin
+    mq_n = 0
+    mq_ss = 0.0
+    if 0 <= dpi_idx < result.end - result.begin:
+        for s in range(n_samples):
+            mq_n += int(result.samples[s].pileup.mapq_n[dpi_idx])
+            mq_ss += float(result.samples[s].pileup.mapq_sumsq[dpi_idx])
+    mq = _round_half(float(np.sqrt(mq_ss / mq_n))) if mq_n > 0 else 0
     info = (f"CIGAR={','.join(cigars)};RU={','.join(rus)};"
-            f"REFREP={','.join(refreps)};IDREP={','.join(idreps)}")
+            f"REFREP={','.join(refreps)};IDREP={','.join(idreps)};MQ={mq}")
     fmt = "GT:GQ:GQX:DPI:AD:ADF:ADR:FT:PL"
     cols = []
-    sample_filter_sets = []
+    sample_filter_sets = meta["sample_fsets"]
     any_pass_variant = False
     evsf = ""
     for s in range(n_samples):
@@ -866,37 +1286,16 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
             gt = "."
         else:
             gt = _gt_string_indel(call.sample_gt[s], max(ploidy, 1), A)
-        gqx = call.sample_gqx[s]
-        filters = []
-        is_var_gt = (ploidy > 0 and
-                     any(int(a) > 0 for a in
-                         _gt_string_indel(call.sample_gt[s], max(ploidy, 1),
-                                          A).replace("|", "/").split("/")
-                         if a != "."))
+        gqx = meta["gqx_out"][s]
+        is_var_gt = meta["is_var_gt"][s] and ploidy > 0
         if s == 0 and is_var_gt and opt.is_report_evs_features:
             f0 = germline_indel_features(
                 indel_forest or _EVSF_INDEL_DEFAULT, result, call, 0,
                 chrom_depth)
             evsf = ";EVSF=" + format_evsf(f0)
-        if indel_forest is not None and is_var_gt:
-            # EVS replaces GQX and drives the LowGQX filter
-            # (ScoringModelManager classify_indel semantics)
-            feats = germline_indel_features(indel_forest, result, call, s,
-                                            chrom_depth)
-            evs = float(indel_forest.score_phred(feats[None])[0])
-            gqx = int(round(evs))
-            if evs < indel_forest.filter_cutoff:
-                filters.append("LowGQX")
-        elif gqx < opt.gvcf_min_gqx:
-            filters.append("LowGQX")
-        # LowDepth on DPI or AD sum (applyDepthFilter :252-265)
-        if call.sample_dpi[s] < opt.gvcf_min_passed_call_depth or \
-                sum(call.sample_ad[s]) < opt.gvcf_min_passed_call_depth:
-            filters.append("LowDepth")
-        sample_filter_sets.append(set(filters))
-        fstr = _filter_str(set(filters))
-        is_var = any(int(a) > 0 for a in gt.replace("|", "/").split("/"))
-        if is_var and not filters:
+        filters = sample_filter_sets[s]
+        fstr = _filter_str(filters)
+        if is_var_gt and not filters:
             any_pass_variant = True
         cols.append(
             f"{gt}:{call.sample_gq[s]}:{gqx}:{call.sample_dpi[s]}:"
@@ -908,7 +1307,7 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
     # locus-level filter; variants VCF adds the per-sample filter
     # intersection + NoPassedVariantGTs; per-sample gVCF adds that
     # sample's filters
-    locus_fset = {"IndelConflict"} if call.is_conflict else set()
+    locus_fset = meta["locus_fset"]
     inter = (set.intersection(*sample_filter_sets)
              if sample_filter_sets else set())
     var_fset = locus_fset | inter
@@ -921,7 +1320,6 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
             + "\t".join(cols))
     var_lines.append(line)
     for s in range(n_samples):
-        blocks[s].flush(result.chrom, gvcf_lines[s], opt.block_label)
         gvcf_lines[s].append(
             f"{pre_cols}\t{_filter_str(locus_fset | sample_filter_sets[s])}"
             f"\t{post_cols}\t{cols[s]}")

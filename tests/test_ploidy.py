@@ -37,10 +37,17 @@ def test_ploidy_regions(tmp_path):
         pos = int(l[1])
         if pos < 2000 and l[4] != ".":
             assert "/" not in l[9].split(":")[0], l
-    # ploidy-0 region: blocks report GT '.'
+    # ploidy-0 region: covered sites keep their diploid GT but carry
+    # the PloidyConflict filter (updateSnvLocusWithSampleInfo:366-373 —
+    # uncovered sites report GT '.')
     p0 = [l for l in lines if 3000 <= int(l[1]) < 3500 and l[4] == "."]
     assert p0
-    assert all(l[9].split(":")[0] == "." for l in p0)
+    for l in p0:
+        gt = l[9].split(":")[0]
+        if gt == ".":
+            continue  # uncovered span
+        assert gt == "0/0", l
+        assert "PloidyConflict" in l[6], l
     # diploid region unaffected
     v2455 = next(l for l in lines if l[1] == "2455")
     assert v2455[9].split(":")[0] == "1/1"
