@@ -172,14 +172,44 @@ def chunk_sharder():
 
 def sharded_best_offsets(kernel, mesh: Mesh):
     """Wrap a best-offsets kernel (codes, delta, lnmis, win) -> (best,
-    off) to run dp-sharded over the leading batch axis."""
+    off) to run sharded over `mesh`:
+
+      dp — leading batch (locus-hap pair) axis; pairs are independent,
+           no collectives.
+      sp — the offset-window axis of `win` (sequence parallelism over
+           the scoring wavefront): each sp shard scores a contiguous
+           slice of offsets, then the global best is an all_gather +
+           max over sp with argmax's first-occurrence tie-break
+           (padding windows can tie the best real offset, so the
+           combine must keep the LOWEST winning offset to match the
+           unsharded jnp.argmax byte-for-byte).
+    """
     key = (kernel, id(mesh))
     fn = _SHARDED_KERNELS.get(key)
     if fn is None:
         b3 = P("dp", None, None)
         b2 = P("dp", None)
-        inner = jax.shard_map(kernel, mesh=mesh,
-                              in_specs=(b3, b3, b2, b3),
-                              out_specs=(b2, b2), check_vma=False)
-        _SHARDED_KERNELS[key] = fn = inner
+        sp = mesh.shape.get("sp", 1)
+        if sp == 1:
+            inner = kernel
+            win_spec = b3
+        else:
+            win_spec = P("dp", "sp", None)
+
+            def inner(codes, delta, lnmis, win):
+                best, off = kernel(codes, delta, lnmis, win)
+                w_local = win.shape[1]
+                off = off + jax.lax.axis_index("sp").astype(off.dtype) * w_local
+                bests = jax.lax.all_gather(best, "sp")   # [sp, B, R]
+                offs = jax.lax.all_gather(off, "sp")
+                gbest = jnp.max(bests, axis=0)
+                big = jnp.iinfo(offs.dtype).max
+                goff = jnp.min(
+                    jnp.where(bests == gbest[None], offs, big), axis=0)
+                return gbest, goff
+
+        wrapped = jax.shard_map(inner, mesh=mesh,
+                                in_specs=(b3, b3, b2, win_spec),
+                                out_specs=(b2, b2), check_vma=False)
+        _SHARDED_KERNELS[key] = fn = wrapped
     return fn

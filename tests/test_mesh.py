@@ -141,6 +141,42 @@ def test_engine_mesh_chunked_snv_identical():
         assert np.array_equal(a, b), f
 
 
+def test_sharded_best_offsets_sp_axis_exact(devices):
+    """sp-sharding the offset-window axis of the production scoring
+    kernel must reproduce the unsharded (best, argmax-offset) pair
+    EXACTLY — including argmax's first-occurrence tie-break when
+    padding windows (code 4, zero contribution) tie a real offset."""
+    from strelka_tpu.ops import pallas_readlik as pk
+
+    rng = np.random.default_rng(7)
+    B, R, L, W = 8, 16, 32, 64
+    codes = rng.integers(0, 5, (B, R, L)).astype(np.int8)
+    delta = rng.uniform(0.5, 20, (B, R, L)).astype(np.float32)
+    delta[codes >= 4] = 0.0
+    lnmis = rng.normal(-50, 5, (B, R)).astype(np.float32)
+    win = rng.integers(0, 5, (B, W, L)).astype(np.int8)
+    win[:, W // 2:] = 4   # padding offsets -> guaranteed score ties
+    # make some reads all-N so every window ties at lnmis exactly
+    codes[:, :2] = 4
+    delta[:, :2] = 0.0
+
+    ref_best, ref_off = pk.reference_best_offsets(
+        jnp.asarray(codes), jnp.asarray(delta), jnp.asarray(lnmis),
+        jnp.asarray(win))
+
+    # CPU XLA picks different dot microkernels below ~32-wide output
+    # tiles (ulp-level K-accumulation differences), so exactness is
+    # asserted for shard widths >= 32 — the supported sp configs; the
+    # TPU kernel's K pass order is W-independent (Mosaic fixed tiling)
+    for dp, sp, ndev in ((4, 2, 8), (2, 2, 4)):
+        m = pm.make_mesh(devices[:ndev], dp=dp, sp=sp)
+        fn = pm.sharded_best_offsets(pk.reference_best_offsets, m)
+        best, off = fn(jnp.asarray(codes), jnp.asarray(delta),
+                       jnp.asarray(lnmis), jnp.asarray(win))
+        assert np.array_equal(np.asarray(best), np.asarray(ref_best)), (dp, sp)
+        assert np.array_equal(np.asarray(off), np.asarray(ref_off)), (dp, sp)
+
+
 def test_mesh_germline_synth_byte_identical(tmp_path):
     """Full germline CLI on synthetic SNV+indel data: --mesh 4 output
     is byte-identical to the unmeshed run (sharded SNV genotyping,
