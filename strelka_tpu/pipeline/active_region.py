@@ -39,8 +39,13 @@ MAX_REPEAT_UNIT_LENGTH = 50
 MIN_REPEAT_SPAN = 3
 MIN_FRAC_READS_COVERING_REGION = 0.65  # ActiveRegionProcessor.hh:53
 MIN_HAPLOTYPE_COUNT = 3
-MAX_REF_SPAN_FOR_ASSEMBLY = 250
+MAX_REF_SPAN_FOR_ASSEMBLY = 250        # MaxRefSpanToBypassAssembly
 MAX_MISMATCHES_TO_BUFFER = 10  # MaxNumMismatchesToAddToIndelBuffer
+MAX_ASSEMBLY_PADDING = 9       # ActiveRegionReadBuffer.hh:69
+MAX_READS_FOR_ASSEMBLY = 1000  # MinNumReadsToBypassAssembly (hh:50)
+MAX_ASSEMBLY_WORD_SIZE = 76    # ActiveRegionProcessor.hh:59
+MIN_ASSEMBLY_COVERAGE = 3      # ActiveRegionProcessor.hh:60
+MIN_PHASE_ERROR_HPOL_SIZE = 10  # ActiveRegionProcessor.cpp:330
 
 
 def anchor_mask(ref_codes: np.ndarray, use_native: bool = True) -> np.ndarray:
@@ -220,9 +225,110 @@ def find_active_regions(counts, depth, anchors, ref_codes,
 
 @dataclass
 class DiscoveredVariants:
-    """Primitive variants discovered from selected haplotypes."""
+    """Primitive variants discovered from selected haplotypes.
+
+    hap ids accumulate like the reference's IndelSampleData.haplotypeId
+    (ActiveRegionProcessor.cpp:751): 1 or 2 for a variant on one alt
+    haplotype, 3 when both alt haplotypes carry it.
+
+    bypassed=True means haplotyping failed (region too large, or both
+    counting and assembly failed): the caller must mark every indel in
+    the region as active-region-discovered so normal binomial candidacy
+    applies (doNotUseHaplotyping, ActiveRegionProcessor.cpp:266-292)."""
     indels: list[tuple[IndelKey, int]] = field(default_factory=list)  # (key, hap_id)
     snvs: list[tuple[int, int, int]] = field(default_factory=list)    # (pos, base, hap_id)
+    bypassed: bool = False
+
+
+def candidate_variant_mask(counts: np.ndarray, depth: np.ndarray,
+                           ref_codes: np.ndarray) -> np.ndarray:
+    """Exact ActiveRegionReadBuffer::isCandidateVariant (:257-269):
+    note a zero-depth non-N position satisfies the low-depth fraction
+    test (0 >= 0.35*0), so it stops assembly-anchor expansion."""
+    L = len(counts)
+    return (ref_codes[:L] != 4) & (
+        ((counts >= MIN_NUM_VARIANTS_PER_POSITION)
+         & (counts >= MIN_ALT_FRACTION * depth))
+        | (counts >= MIN_ALT_FRACTION_LOW_DEPTH * depth))
+
+
+def _is_sequencer_phasing_noise(hap_to_ids: dict, hap1, hap2,
+                                is_fwd: np.ndarray | None) -> bool:
+    """isFilterSecondHaplotypeAsSequencerPhasingNoise
+    (ActiveRegionProcessor.cpp:317-411): hap2 is a phasing-error echo
+    of hap1 when they differ by exactly one base, hap2's unique support
+    is single-stranded, and the changed base extends a >=10bp
+    homopolymer in the strand-consistent direction."""
+    if is_fwd is None:
+        return False
+    # condition 1: same length, exactly one mismatch
+    if len(hap1) != len(hap2) or hap1 == hap2:
+        return False
+    n = len(hap1)
+    mis = next(i for i in range(n) if hap1[i] != hap2[i])
+    if any(hap1[i] != hap2[i] for i in range(mis + 1, n)):
+        return False
+    # condition 2: hap2's non-duplicate support is exclusively stranded
+    dups = set(hap_to_ids[hap1]) & set(hap_to_ids[hap2])
+    unique2 = [r for r in hap_to_ids[hap2] if r not in dups]
+    n2 = len(unique2)
+    fwd2 = sum(1 for r in unique2 if is_fwd[r])
+    if 0 < fwd2 < n2:
+        return False
+    # conditions 3+4: the mismatch base heads a long homopolymer in
+    # hap2, running right for reverse-only support, left for fwd-only
+    base = hap2[mis]
+    if fwd2 == 0:
+        j = mis
+        while j < n and hap2[j] == base:
+            j += 1
+        return (j - mis) > MIN_PHASE_ERROR_HPOL_SIZE
+    j = mis
+    while hap2[j] == base and j > 0:
+        j -= 1
+    return (mis - j) > MIN_PHASE_ERROR_HPOL_SIZE
+
+
+def select_haplotypes(hap_to_ids: dict, ref_hap, ploidy: int,
+                      is_fwd: np.ndarray | None) -> list:
+    """ActiveRegionProcessor::selectHaplotypes (:416-483) +
+    selectOrDropHaplotypesWithSameCount (:485-514). Haplotypes below
+    MinHaplotypeCount support are dropped; the rest are scanned in
+    descending count order, whole same-count groups selected or dropped
+    together, up to ploidy haplotypes (ploidy+1 when the reference
+    haplotype is among them). Ties are ordered lexicographically (the
+    reference's tie order is unordered_map/std::sort-unspecified)."""
+    ranked = sorted(((len(ids), h) for h, ids in hap_to_ids.items()
+                     if len(ids) >= MIN_HAPLOTYPE_COUNT),
+                    key=lambda x: (-x[0], x[1]))
+    if not ranked:
+        return []
+    top_hap = ranked[0][1]
+    selected: list = []
+    same_count: list = []
+    is_ref_selected = False
+
+    def flush():
+        n_after = len(selected) + len(same_count)
+        if same_count and (n_after <= ploidy
+                           or (n_after == ploidy + 1 and is_ref_selected)):
+            selected.extend(same_count)
+            same_count.clear()
+
+    prev_count = None
+    for count, hap in ranked:
+        if prev_count is None or count < prev_count:
+            flush()
+        if len(selected) >= ploidy:
+            break
+        if not _is_sequencer_phasing_noise(hap_to_ids, top_hap, hap,
+                                           is_fwd):
+            same_count.append(hap)
+            if hap == ref_hap:
+                is_ref_selected = True
+        prev_count = count
+    flush()
+    return selected
 
 
 def _region_scan_ctx(batch: ReadBatch, ea: rd.ExpandedAlignments,
@@ -258,6 +364,13 @@ def read_segments_for_region(batch: ReadBatch, ea: rd.ExpandedAlignments,
     w = slice(lo, hi)
     spanning = lo + np.nonzero(usable[w] & (ea.ref_begin[w] <= begin) &
                                (ea.ref_end[w] >= end))[0]
+    # numReadsAlignedToActiveRegion: every usable read whose alignment
+    # intersects [begin, end) (getReadSegments allAlignIds) — the
+    # denominator of the counting give-up test
+    hi2 = int(np.searchsorted(batch.pos, end, side="right"))
+    w2 = slice(lo, hi2)
+    n_aligned = int(np.count_nonzero(
+        usable[w2] & (ea.ref_begin[w2] < end) & (ea.ref_end[w2] > begin)))
     # match rows are contiguous and ascending in read index (the
     # expansion emits reads in order), so each read's rows are a slice.
     # The probe array must match the table dtype exactly or numpy casts
@@ -282,7 +395,7 @@ def read_segments_for_region(batch: ReadBatch, ea: rd.ExpandedAlignments,
                                batch.seq_off[r] + o1 + 1].tobytes())
                     for r, o0, o1 in zip(spanning[valid], o0s[valid],
                                          o1s[valid])]
-            return segs, len(spanning)
+            return segs, n_aligned
     segs = []
     for r, lo, hi in zip(spanning, row_lo, row_hi):
         rp = ea.match_refpos[lo:hi]
@@ -297,7 +410,7 @@ def read_segments_for_region(batch: ReadBatch, ea: rd.ExpandedAlignments,
         if (seq >= 4).any():
             continue
         segs.append((int(r), seq.tobytes()))
-    return segs, len(spanning)
+    return segs, n_aligned
 
 
 def decompose_haplotype(hap: bytes, ref_seg: np.ndarray, region_begin: int,
@@ -330,6 +443,119 @@ def decompose_haplotype(hap: bytes, ref_seg: np.ndarray, region_begin: int,
     del n_mismatch
 
 
+def _partial_read_segments(batch: ReadBatch, ea: rd.ExpandedAlignments,
+                           map_level: np.ndarray, begin: int, end: int,
+                           min_len: int):
+    """Read sub-segments overlapping [begin, end) for assembly input
+    (getReadSegments with includePartialReads=true,
+    ActiveRegionReadBuffer.cpp:191-255): the read bases aligned from
+    the first to the last in-range matched position, inserted bases
+    included, shorter-than-min_len segments dropped. N bases are kept
+    (the assembler skips N k-mers). Returns (segments, n_aligned)."""
+    usable, max_span = _region_scan_ctx(batch, ea, map_level)
+    lo = int(np.searchsorted(batch.pos, begin - max_span, "left"))
+    hi = int(np.searchsorted(batch.pos, end, "right"))
+    w = slice(lo, hi)
+    overl = lo + np.nonzero(usable[w] & (ea.ref_begin[w] < end) &
+                            (ea.ref_end[w] > begin))[0]
+    probe = overl.astype(ea.match_read.dtype, copy=False)
+    row_lo = np.searchsorted(ea.match_read, probe, side="left")
+    row_hi = np.searchsorted(ea.match_read, probe, side="right")
+    segs: list[tuple[int, str]] = []
+    for r, rl, rh in zip(overl, row_lo, row_hi):
+        rp = ea.match_refpos[rl:rh]
+        sel = (rp >= begin) & (rp < end)
+        if not sel.any():
+            continue
+        ro = ea.match_readoff[rl:rh][sel]
+        o0 = int(ro.min())
+        o1 = int(ro.max())
+        if o1 - o0 + 1 < min_len:
+            continue
+        segs.append((int(r), decode_bases(batch.get_seq(r)[o0:o1 + 1])))
+    return segs, len(overl)
+
+
+def _haplotypes_with_assembly(batch, ea, map_level, ref_codes, ref_offset,
+                              region, cand_mask):
+    """generateHaplotypesWithAssembly (ActiveRegionProcessor.cpp:117-263):
+    expand the region with anchors that stop at candidate-variant
+    positions, assemble partial read segments, and trim contigs back to
+    the active-region span by anchor match. Returns hap->align-id map
+    (str haplotypes) or None on failure."""
+    from .assembly import AssemblerOptions, run_iterative_assembler
+    buf_begin = ref_offset
+    buf_end = ref_offset + len(ref_codes)
+
+    def is_cand(pos: int) -> bool:
+        if cand_mask is None:
+            return False
+        i = pos - ref_offset
+        return bool(cand_mask[i]) if 0 <= i < len(cand_mask) else False
+
+    # prefix anchor ends with the first base of the active region
+    min_begin = max(buf_begin, region.begin - MAX_ASSEMBLY_PADDING)
+    begin_pos = region.begin
+    while begin_pos > min_begin and not is_cand(begin_pos - 1):
+        begin_pos -= 1
+    # suffix anchor starts with the last base of the active region
+    max_end = min(buf_end, region.end + MAX_ASSEMBLY_PADDING)
+    end_pos = region.end
+    while end_pos < max_end and not is_cand(end_pos):
+        end_pos += 1
+    prefix = decode_bases(
+        ref_codes[begin_pos - ref_offset:region.begin - ref_offset + 1])
+    suffix = decode_bases(
+        ref_codes[region.end - 1 - ref_offset:end_pos - ref_offset])
+    min_word = len(prefix) + len(suffix)
+
+    segs, n_aligned = _partial_read_segments(
+        batch, ea, map_level, begin_pos, end_pos, min_word)
+    # too many reads: assembly would be too slow (hh:50)
+    if n_aligned > MAX_READS_FOR_ASSEMBLY:
+        return None
+
+    seg_read_ids = [r for r, _ in segs]
+    contigs, read_info = run_iterative_assembler(
+        [s for _, s in segs],
+        AssemblerOptions(min_word_length=min_word,
+                         max_word_length=max(min_word,
+                                             MAX_ASSEMBLY_WORD_SIZE),
+                         min_coverage=MIN_ASSEMBLY_COVERAGE))
+
+    ref_str = decode_bases(
+        ref_codes[region.begin - ref_offset:region.end - ref_offset])
+    hap_to_ids: dict[str, list[int]] = {}
+    nonref_found = False
+    for contig in contigs:
+        start = contig.seq.find(prefix)
+        if start < 0:
+            continue
+        start += len(prefix) - 1
+        end = contig.seq.rfind(suffix)
+        if end < 0 or start > end:
+            continue
+        hap = contig.seq[start:end + 1]
+        align_ids = []
+        contains_unique = False
+        for r in sorted(contig.support_reads):
+            ri = read_info[r]
+            if ri.is_pseudo:
+                continue
+            if not contains_unique and len(ri.contig_ids) == 1:
+                contains_unique = True
+            align_ids.append(seg_read_ids[r])
+        # require a read supporting only this contig (:246-249)
+        if not contains_unique:
+            continue
+        if hap != ref_str:
+            nonref_found = True
+        hap_to_ids[hap] = align_ids
+    if not nonref_found:
+        return None
+    return hap_to_ids
+
+
 def process_active_region(
     batch: ReadBatch,
     ea: rd.ExpandedAlignments,
@@ -338,58 +564,59 @@ def process_active_region(
     ref_offset: int,
     region: ActiveRegion,
     ploidy: int = 2,
+    cand_mask: np.ndarray | None = None,
 ) -> DiscoveredVariants:
-    """Haplotype generation by read counting + haplotype->ref
-    decomposition. (Assembly fallback for low-spanning regions is
-    handled by the caller via pipeline/assembly.py.)"""
+    """Haplotype generation (counting, assembly fallback) + selection +
+    haplotype->ref decomposition
+    (ActiveRegionProcessor::processHaplotypes, :45-77). Oversized
+    regions and regions where both generators fail return
+    bypassed=True; the caller then exempts the region's indels from the
+    haplotyping candidacy gate (doNotUseHaplotyping)."""
     out = DiscoveredVariants()
-    segs, n_spanning = read_segments_for_region(
-        batch, ea, map_level, region.begin, region.end)
+    if region.end - region.begin > MAX_REF_SPAN_FOR_ASSEMBLY:
+        out.bypassed = True
+        return out
     ref_seg = ref_codes[region.begin - ref_offset:region.end - ref_offset]
     ref_bytes = np.ascontiguousarray(ref_seg, dtype=np.uint8).tobytes()
+    is_fwd = (batch.flag & 0x10) == 0 if batch.n else None
 
-    ranked: list[tuple[int, bytes]]
-    if segs and len(segs) >= MIN_FRAC_READS_COVERING_REGION * n_spanning:
-        # generateHaplotypesWithCounting
-        counts: dict[bytes, int] = {}
-        for _, s in segs:
-            counts[s] = counts.get(s, 0) + 1
-        ranked = sorted(((c, h) for h, c in counts.items()
-                         if h != ref_bytes),
-                        key=lambda x: (-x[0], x[1]))
-    elif region.end - region.begin <= MAX_REF_SPAN_FOR_ASSEMBLY:
-        # generateHaplotypesWithAssembly: contigs from all overlapping
-        # read subsequences
-        from .assembly import assemble_region
-        usable, max_span = _region_scan_ctx(batch, ea, map_level)
-        lo = int(np.searchsorted(batch.pos, region.begin - max_span, "left"))
-        hi = int(np.searchsorted(batch.pos, region.end, "right"))
-        w = slice(lo, hi)
-        overl = lo + np.nonzero(usable[w] & (ea.ref_begin[w] < region.end) &
-                                (ea.ref_end[w] > region.begin))[0]
-        read_seqs = []
-        for r in overl[:1000]:
-            s = batch.get_seq(r)
-            if (s < 4).all():
-                read_seqs.append(decode_bases(s))
-        contigs = assemble_region(read_seqs)
-        ranked = [(c, h) for h, c in
-                  ((encode_bases(contig).tobytes(), cnt)
-                   for contig, cnt in contigs)
-                  if h != ref_bytes]
-        # assembled contigs extend past the region; trim by alignment is
-        # handled naturally in decompose (global alignment to region ref
-        # only works for region-sized haplotypes), so keep contigs whose
-        # length is close to the region span
-        span = region.end - region.begin
-        ranked = [(c, h) for c, h in ranked if abs(len(h) - span) <= 60]
+    segs, n_aligned = read_segments_for_region(
+        batch, ea, map_level, region.begin, region.end)
+
+    selected: list[bytes] = []
+    if (n_aligned > 0
+            and len(segs) >= MIN_FRAC_READS_COVERING_REGION * n_aligned):
+        # generateHaplotypesWithCounting (:79-115)
+        hap_to_ids: dict[bytes, list[int]] = {}
+        for ridx, s in segs:
+            hap_to_ids.setdefault(s, []).append(ridx)
+        selected = select_haplotypes(hap_to_ids, ref_bytes, ploidy, is_fwd)
     else:
-        return out
+        hap_map = _haplotypes_with_assembly(
+            batch, ea, map_level, ref_codes, ref_offset, region, cand_mask)
+        if hap_map is None:
+            out.bypassed = True
+            return out
+        ref_str = decode_bases(ref_seg)
+        selected = [encode_bases(h).tobytes()
+                    for h in select_haplotypes(hap_map, ref_str, ploidy,
+                                               is_fwd)]
 
+    # processSelectedHaplotypes (:515-571): alt haplotypes get ids 1..;
+    # a variant on both alt haplotypes accumulates id 3 (:751)
     hap_id = 0
-    for c, h in ranked[:ploidy]:
-        if c < MIN_HAPLOTYPE_COUNT:
+    acc_indels: dict[IndelKey, int] = {}
+    acc_snvs: dict[tuple[int, int], int] = {}
+    for h in selected:
+        if h == ref_bytes:
             continue
         hap_id += 1
-        decompose_haplotype(h, ref_seg, region.begin, hap_id, out)
+        tmp = DiscoveredVariants()
+        decompose_haplotype(h, ref_seg, region.begin, hap_id, tmp)
+        for key, hid in tmp.indels:
+            acc_indels[key] = acc_indels.get(key, 0) + hid
+        for pos, base, hid in tmp.snvs:
+            acc_snvs[(pos, base)] = acc_snvs.get((pos, base), 0) + hid
+    out.indels = list(acc_indels.items())
+    out.snvs = [(pos, base, hid) for (pos, base), hid in acc_snvs.items()]
     return out

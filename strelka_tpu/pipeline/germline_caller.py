@@ -302,11 +302,14 @@ def call_region(
     indel_hap_ids: dict[tuple[int, cand.IndelKey], int] = {}
     anchors = arp.anchor_mask(ref_codes)
     region_sets = []
+    cand_masks = []
     for s in range(n_samples):
         counts_ev, depth_ev = arp.variant_evidence(
             kept[s], eas[s], levels[s], ref_codes, fetch_begin, fetch_end)
         region_sets.append(arp.find_active_regions(
             counts_ev, depth_ev, anchors, ref_codes, fetch_begin))
+        cand_masks.append(arp.candidate_variant_mask(
+            counts_ev, depth_ev, ref_codes))
     # synchronize regions across samples (union of overlapping spans)
     from ..utils.ranges import RegionTracker
     tracker = RegionTracker()
@@ -318,7 +321,16 @@ def call_region(
     for region in sync_regions:
         for s in range(n_samples):
             dv = arp.process_active_region(
-                kept[s], eas[s], levels[s], ref_codes, fetch_begin, region)
+                kept[s], eas[s], levels[s], ref_codes, fetch_begin, region,
+                cand_mask=cand_masks[s])
+            if dv.bypassed:
+                # doNotUseHaplotyping (ActiveRegionProcessor.cpp:266-292):
+                # indels in a failed region skip the haplotyping gate and
+                # go through normal binomial candidacy
+                for key, rec in store.records.items():
+                    if region.begin <= key.pos < region.end:
+                        rec.discovered_in_active_region = True
+                continue
             for key, hap in dv.indels:
                 rec = store._get(key)
                 rec.discovered_in_active_region = True

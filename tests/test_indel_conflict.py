@@ -28,17 +28,19 @@ def test_three_overlapping_indels_marked_conflict(tmp_path):
     _write_fasta(str(fa), codes)
     ref = FastaReference(str(fa))
 
-    # three distinct insertion alleles at position 1000
+    # two distinct insertion alleles at position 1000 with distinct
+    # support counts: same-count alt haplotypes would be dropped as a
+    # group by selectHaplotypes (ActiveRegionProcessor.cpp:448-452)
     p = 1000
     reads = []
     rl = 100
-    for ins in ("AA", "CC", "GG"):
-        for k in range(8):
+    for ins, n in (("AA", 10), ("CC", 9)):
+        for k in range(n):
             st = p - 60 + 3 * k
             seq = refs[st:p] + ins + refs[p:st + rl - len(ins)]
             reads.append((st, f"{p - st}M{len(ins)}I{rl - (p - st) - len(ins)}M",
                           seq, [35] * rl, 0, 60))
-    for k in range(10):  # ref support
+    for k in range(4):  # ref support (below both alt counts)
         st = p - 70 + 5 * k
         reads.append((st, f"{rl}M", refs[st:st + rl], [35] * rl, 0, 60))
     reads.sort(key=lambda r: r[0])
