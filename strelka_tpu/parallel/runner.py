@@ -189,6 +189,9 @@ class SegmentRunner:
         self.process_index = process_index
         self.process_count = process_count
         self.stats = RunStats()
+        # per-worker leveled log (pyflow_log.txt analog, one per worker)
+        from ..utils.flowlog import open_flow_log
+        self.log = open_flow_log(workspace_dir, process_index)
 
     def assigned(self, groups: list) -> list[tuple[int, list]]:
         return [(i, g) for i, g in enumerate(groups)
@@ -220,9 +223,13 @@ class SegmentRunner:
         for gi, group in self.assigned(groups):
             label = f"seg_{gi}"
             if self.state.is_complete(label):
+                self.log.info("task %s already complete (resume skips)",
+                              label)
                 continue
             attempt = 0
             task_t0 = time.time()
+            spans = ",".join(f"{s.chrom}:{s.begin}-{s.end}" for s in group)
+            self.log.info("task %s begin [%s]", label, spans)
             while True:
                 try:
                     result, seg_stats = task_fn(group)
@@ -230,11 +237,19 @@ class SegmentRunner:
                 except Exception as e:  # noqa: BLE001 — retry any task error
                     attempt += 1
                     if attempt > self.max_retries:
+                        self.log.error(
+                            "task %s failed after %d attempts: %s",
+                            label, attempt, e)
                         raise RuntimeError(
                             f"task {label} failed after {attempt} attempts: {e}"
                         ) from e
+                    self.log.warning("task %s attempt %d failed (%s); "
+                                     "retrying in %.1fs", label, attempt, e,
+                                     self.retry_wait * attempt)
                     time.sleep(self.retry_wait * attempt)
             task_dt = time.time() - task_t0
+            self.log.info("task %s complete in %.2fs (attempts=%d)",
+                          label, task_dt, attempt + 1)
             if seg_stats is not None:
                 self.stats.merge(seg_stats)
             self.stats.segments_completed += 1
@@ -339,6 +354,24 @@ def run_local_jobs(module: str, argv: list[str], jobs,
         env["STRELKA_TPU_COMPILE_CACHE"] = os.path.join(
             tempfile.gettempdir(), "strelka_tpu_jitcache")
 
+    # per-worker stream capture (pyflow per-task stderr logs analog):
+    # everything a worker prints lands in workspace/logs/, so one
+    # worker's failure is diagnosable from one file
+    out_dir = None
+    for j, a in enumerate(child_argv):
+        if a == "--output-dir" and j + 1 < len(child_argv):
+            out_dir = child_argv[j + 1]
+        elif a.startswith("--output-dir="):
+            out_dir = a.split("=", 1)[1]
+    log_dir = None
+    if out_dir:
+        log_dir = os.path.join(out_dir, "workspace", "logs")
+        os.makedirs(log_dir, exist_ok=True)
+
+    def stream_path(i):
+        return (os.path.join(log_dir, f"worker.p{i}.stderr.log")
+                if log_dir else None)
+
     def spawn(i):
         cmd = [sys.executable, "-m", module, *child_argv,
                "--process-index", str(i), "--process-count", str(n)]
@@ -348,6 +381,10 @@ def run_local_jobs(module: str, argv: list[str], jobs,
                     cluster_submit.replace("{cmd}", shlex.join(cmd)))
             else:
                 cmd = shlex.split(cluster_submit) + cmd
+        sp = stream_path(i)
+        if sp:
+            with open(sp, "ab") as lf:
+                return subprocess.Popen(cmd, env=env, stdout=lf, stderr=lf)
         return subprocess.Popen(cmd, env=env)
 
     procs = {i: spawn(i) for i in range(n)}
@@ -359,6 +396,11 @@ def run_local_jobs(module: str, argv: list[str], jobs,
         if spawn(i).wait() != 0:
             print(f"worker {i}/{n} failed twice; aborting merge",
                   file=sys.stderr)
+            sp = stream_path(i)
+            if sp:
+                from ..utils.flowlog import tail
+                print(f"--- last lines of {sp} ---\n{tail(sp)}",
+                      file=sys.stderr)
             return 1
     merge = subprocess.run(
         [sys.executable, "-m", module, *child_argv,

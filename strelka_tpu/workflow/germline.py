@@ -506,6 +506,11 @@ def run_germline(argv=None) -> int:
     with open(os.path.join(args.output_dir, "runStats.xml"),
               "w") as _sf:
         _sf.write(total_stats.to_xml())
+    from ..utils.flowlog import merge_worker_logs
+    surfaced = merge_worker_logs(
+        workspace, os.path.join(args.output_dir, "workflow.log"))
+    for line in surfaced["warnings"] + surfaced["errors"]:
+        print(line, file=sys.stderr)
     elapsed = time.time() - t0
     print(f"strelka_tpu germline done in {elapsed:.1f}s; "
           f"stats={total_stats.to_dict()}; outputs: {var_path}",

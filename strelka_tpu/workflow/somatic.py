@@ -659,6 +659,11 @@ def run_somatic(argv=None) -> int:
     total_stats = rn.merge_run_stats(workspace)
     with open(os.path.join(args.output_dir, "runStats.xml"), "w") as _sf:
         _sf.write(total_stats.to_xml())
+    from ..utils.flowlog import merge_worker_logs
+    surfaced = merge_worker_logs(
+        workspace, os.path.join(args.output_dir, "workflow.log"))
+    for line in surfaced["warnings"] + surfaced["errors"]:
+        print(line, file=sys.stderr)
 
     print(f"strelka_tpu somatic done in {time.time() - t0:.1f}s; "
           f"snvs={n_snv} indels={n_indel}", file=sys.stderr)
