@@ -411,3 +411,231 @@ def fit_snv_indy(sp: SnvPatterns, lock_theta: bool = False,
                   else float(np.exp(theta_smoother(jnp.float64(x[Q]))))),
         "log_lhood": -neg,
     }
+
+
+# ---------------------------------------------------------------------------
+# NoOverlap variants: one indel type, one error rate, 3-state mixture
+# (the reference fits these on counts exported without overlapping
+# loci; the same pattern arrays serve here — overlap filtering is a
+# counts-export concern, not a likelihood concern)
+# ---------------------------------------------------------------------------
+
+def indel_indy_noovl_lhood(p: IndelPatterns, ln_indel, is_insert: bool,
+                           ln_theta):
+    """indelModelVariantAndIndyErrorNoOverlap.cpp:55-112: single indel
+    error rate for one indel type, {homref, het, hom} mixture."""
+    log_hom_prior = ln_theta - LN2
+    log_het_prior = ln_theta
+    theta = jnp.exp(ln_theta)
+    log_noindel_prior = jnp.log(1.0 - theta * 1.5)
+    ln_ref = jnp.log1p(-jnp.exp(ln_indel))
+
+    tot_ins, tot_del = _alt_split(p.alt_obs)
+    k = tot_ins if is_insert else tot_del
+    noindel = ln_indel * k + ln_ref * p.ref_obs
+    het = LOG_HET * (p.ref_obs + k)
+    hom = LOG_HOM_ALT * k + LOG_HOM_REF * p.ref_obs
+    mix = jax.scipy.special.logsumexp(
+        jnp.stack([log_hom_prior + hom, log_het_prior + het,
+                   log_noindel_prior + noindel]), axis=0)
+    return jnp.sum(mix * p.inst)
+
+
+def indel_binom_mixture_noovl_lhood(p: IndelPatterns, ln_indel, ln_noisy,
+                                    is_insert: bool, ln_theta):
+    """indelModelVariantAndBinomialMixtureErrorNoOverlap.cpp:64-160:
+    per-locus mixture of a clean locus (rate 1e-8) and a noisy locus
+    (fitted rate), single indel type."""
+    log_hom_prior = ln_theta - LN2
+    log_het_prior = ln_theta
+    theta = jnp.exp(ln_theta)
+    log_noindel_prior = jnp.log(1.0 - theta * 1.5)
+
+    tot_ins, tot_del = _alt_split(p.alt_obs)
+    k = tot_ins if is_insert else tot_del
+
+    def obs(li):
+        lref = jnp.log1p(-jnp.exp(li))
+        noindel = li * k + lref * p.ref_obs
+        het = LOG_HET * (p.ref_obs + k)
+        hom = LOG_HOM_ALT * k + LOG_HOM_REF * p.ref_obs
+        return jax.scipy.special.logsumexp(
+            jnp.stack([log_hom_prior + hom, log_het_prior + het,
+                       log_noindel_prior + noindel]), axis=0)
+
+    noisy = obs(ln_indel)
+    clean = obs(float(np.log(CLEAN_LOCUS_INDEL_RATE)))
+    ln_clean_locus = jnp.log1p(-jnp.exp(ln_noisy))
+    mix = jnp.logaddexp(ln_clean_locus + clean, ln_noisy + noisy)
+    return jnp.sum(mix * p.inst)
+
+
+def fit_indel_indy_noovl(counts, is_insert: bool,
+                         lock_theta: bool = False, steps: int = 600):
+    """ML fit of {indel rate, theta} for one indel type."""
+    p = IndelPatterns.build(counts)
+
+    def loss(x):
+        li = _ln_bounded(x[0], 0.5)
+        lt = DEFAULT_LOG_THETA if lock_theta else _ln_bounded(x[1], 0.3)
+        return -indel_indy_noovl_lhood(p, li, is_insert, lt)
+
+    x0 = np.array([_bounded_init(1e-4, 0.5), _bounded_init(1e-4, 0.3)])
+    x, neg = _fit(loss, x0, steps)
+    return {
+        "indel_rate": float(np.exp(_ln_bounded(x[0], 0.5))),
+        "theta": (1e-4 if lock_theta
+                  else float(np.exp(_ln_bounded(x[1], 0.3)))),
+        "log_lhood": -neg,
+    }
+
+
+def fit_indel_binom_mixture_noovl(counts, is_insert: bool,
+                                  lock_theta: bool = False,
+                                  steps: int = 1500):
+    """ML fit of {indel rate, noisy-locus rate, theta} for one indel
+    type; multi-start on the noisy-locus rate (bimodal surface, see
+    fit_indel_binom_mixture)."""
+    p = IndelPatterns.build(counts)
+
+    def loss(x):
+        li = _ln_bounded(x[0], 0.5)
+        ln = _ln_bounded(x[1], 1.0)
+        lt = DEFAULT_LOG_THETA if lock_theta else _ln_bounded(x[2], 0.3)
+        return -indel_binom_mixture_noovl_lhood(p, li, ln, is_insert, lt)
+
+    best = None
+    for noisy0 in (0.9, 1e-2):
+        x0 = np.array([_bounded_init(1e-4, 0.5),
+                       _bounded_init(noisy0, 1.0),
+                       _bounded_init(1e-4, 0.3)])
+        xi, negi = _fit(loss, x0, steps)
+        if best is None or negi < best[1]:
+            best = (xi, negi)
+    x, neg = best
+    return {
+        "indel_rate": float(np.exp(_ln_bounded(x[0], 0.5))),
+        "noisy_locus_rate": float(np.exp(_ln_bounded(x[1], 1.0))),
+        "theta": (1e-4 if lock_theta
+                  else float(np.exp(_ln_bounded(x[2], 0.3)))),
+        "log_lhood": -neg,
+    }
+
+
+# ---------------------------------------------------------------------------
+# SNV binomial-mixture model: per-qual noisy rates + per-site
+# clean/noisy mixture with clean rates tied to noisy rates by a
+# log-space exponent (snvModelVariantAndBinomialMixtureError.cpp)
+# ---------------------------------------------------------------------------
+
+def snv_binom_mixture_lhood(sp: SnvPatterns, ln_err_q, ln_clean_q,
+                            ln_noisy, ln_theta):
+    """getObsLogLhood of snvModelVariantAndBinomialMixtureError.cpp
+    :60-155 (the strand-combined branch the reference compiles) summed
+    over patterns: the no-variant state is a per-SITE clean/noisy
+    mixture; het/hom states are rate-free as in the indy model."""
+    log_hom_prior = ln_theta - LN2
+    log_het_prior = ln_theta
+    theta = jnp.exp(ln_theta)
+    log_novar_prior = jnp.log(1.0 - theta * 1.5)
+
+    ref_total = jnp.sum(sp.ref_qual_hist)
+    ln_novar_ref = jnp.log1p(
+        -jnp.sum(sp.ref_qual_hist * jnp.exp(ln_err_q)) / ref_total)
+    ln_novar_clean_ref = jnp.log1p(
+        -jnp.sum(sp.ref_qual_hist * jnp.exp(ln_clean_q)) / ref_total)
+    ln_clean_locus = jnp.log1p(-jnp.exp(ln_noisy))
+
+    novar_noise = (ln_novar_ref * sp.ref_count
+                   + jnp.sum(sp.alt_count * ln_err_q[None, :], axis=1))
+    novar_clean = (ln_novar_clean_ref * sp.ref_count
+                   + jnp.sum(sp.alt_count * ln_clean_q[None, :], axis=1))
+    novar = jnp.logaddexp(ln_noisy + novar_noise,
+                          ln_clean_locus + novar_clean)
+
+    alt_tot = sp.alt_count.sum(axis=1)
+    het = LOG_HET * (sp.ref_count + alt_tot)
+    hom = LOG_HOM_ALT * alt_tot + LOG_HOM_REF * sp.ref_count
+    mix = jax.scipy.special.logsumexp(
+        jnp.stack([log_hom_prior + hom, log_het_prior + het,
+                   log_novar_prior + novar]), axis=0)
+    return jnp.sum(mix * sp.inst)
+
+
+def fit_snv_binom_mixture(sp: SnvPatterns, lock_theta: bool = False,
+                          steps: int = 1500):
+    """ML fit of per-qual noisy rates, the clean-rate exponent
+    (logClean = logNoisy * factor, factor > 1 => cleaner,
+    getLogCleanLocusBaseErrorRate :50-55), the noisy-locus rate, and
+    theta."""
+    Q = len(sp.qual_levels)
+    r0 = np.power(10.0, -np.asarray(sp.qual_levels, dtype=np.float64) / 10.0)
+
+    def loss(x):
+        le = _ln_bounded(x[:Q], 0.5)
+        factor = 1.0 + jnp.exp(x[Q])
+        lc = le * factor
+        ln = _ln_bounded(x[Q + 1], 1.0)
+        lt = DEFAULT_LOG_THETA if lock_theta else _ln_bounded(x[Q + 2], 0.3)
+        return -snv_binom_mixture_lhood(sp, le, lc, ln, lt)
+
+    best = None
+    for noisy0 in (0.9, 1e-2):
+        x0 = np.array([_bounded_init(r, 0.5) for r in r0]
+                      + [float(np.log(1.0)),
+                         _bounded_init(noisy0, 1.0),
+                         _bounded_init(1e-4, 0.3)])
+        xi, negi = _fit(loss, x0, steps)
+        if best is None or negi < best[1]:
+            best = (xi, negi)
+    x, neg = best
+    rates = np.exp(np.asarray(_ln_bounded(jnp.asarray(x[:Q]), 0.5)))
+    return {
+        "qual_levels": [int(q) for q in sp.qual_levels],
+        "error_rates": [float(r) for r in rates],
+        "clean_rate_exponent": float(1.0 + np.exp(x[Q])),
+        "noisy_locus_rate": float(np.exp(_ln_bounded(x[Q + 1], 1.0))),
+        "theta": (1e-4 if lock_theta
+                  else float(np.exp(_ln_bounded(x[Q + 2], 0.3)))),
+        "log_lhood": -neg,
+    }
+
+
+# ---------------------------------------------------------------------------
+# model 1: direct summary rates with noisy-locus exclusion
+# ---------------------------------------------------------------------------
+
+def indel_model1_report(counts, is_insert: bool,
+                        max_alt_frac: float = 0.05,
+                        min_depth: int = 25) -> dict:
+    """indelModel1.cpp:60-100 reportExtendedContext: exclude loci that
+    are shallow or noisy (altFrac > 5%), report the pooled error rate
+    and its 95% Clopper-Pearson upper bound."""
+    from scipy.stats import beta as beta_dist
+
+    ref = np.asarray(counts.ref_obs, dtype=np.float64)
+    alt6 = np.asarray(counts.alt_obs, dtype=np.float64)
+    inst = np.asarray(counts.instance_count, dtype=np.float64)
+    alt = alt6[:, :3].sum(axis=1) if is_insert else alt6[:, 3:].sum(axis=1)
+    total = ref + alt
+    used = (total >= min_depth) & \
+        (np.divide(alt, np.maximum(total, 1)) <= max_alt_frac)
+    sig_ref = float((ref[used] * inst[used]).sum())
+    sig_alt = float((alt[used] * inst[used]).sum())
+    sig_tot = sig_ref + sig_alt
+    alpha = 0.05
+    if sig_tot <= 0:
+        upper = 1.0
+    elif sig_alt >= sig_tot:
+        upper = 1.0
+    else:
+        upper = float(beta_dist.ppf(1.0 - alpha, sig_alt + 1,
+                                    sig_tot - sig_alt))
+    return {
+        "loci": float(inst.sum()),
+        "used_loci": float(inst[used].sum()),
+        "ref_reads": sig_ref,
+        "alt_reads": sig_alt,
+        "rate": sig_alt / sig_tot if sig_tot > 0 else 0.0,
+        "rate_95pct_upper_bound": upper,
+    }

@@ -270,6 +270,15 @@ def estimate_parameters(counts_path: str, model: str,
             out[key] = ez.fit_indel_beta_binomial(cc, True, lock_theta)
         elif model == "indelBetaBinomialDelete":
             out[key] = ez.fit_indel_beta_binomial(cc, False, lock_theta)
+        elif model in ("indelIndyNoOverlapInsert", "indelIndyNoOverlapDelete"):
+            out[key] = ez.fit_indel_indy_noovl(
+                cc, model.endswith("Insert"), lock_theta)
+        elif model in ("indelBinomialMixtureNoOverlapInsert",
+                       "indelBinomialMixtureNoOverlapDelete"):
+            out[key] = ez.fit_indel_binom_mixture_noovl(
+                cc, model.endswith("Insert"), lock_theta)
+        elif model in ("indelModel1Insert", "indelModel1Delete"):
+            out[key] = ez.indel_model1_report(cc, model.endswith("Insert"))
         else:
             raise ValueError(f"unknown model: {model}")
     return out

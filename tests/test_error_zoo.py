@@ -206,3 +206,136 @@ def test_estimate_parameters_cli(tmp_path):
     res = estimate_parameters(path, "indelIndy")
     assert "unit1_rep1" in res
     assert 0 < res["unit1_rep1"]["insert_rate"] < 0.1
+
+
+def scalar_indy_noovl_lhood(ref_obs, alt_obs, inst, ln_indel, is_insert,
+                            ln_theta):
+    """Direct transcription of
+    indelModelVariantAndIndyErrorNoOverlap.cpp contextLogLhood:55-112."""
+    log_hom_alt = math.log(0.99)
+    log_hom_ref = math.log(1 - 0.99)
+    log_het = math.log(0.5)
+    log_hom_prior = ln_theta - math.log(2)
+    log_het_prior = ln_theta
+    theta = math.exp(ln_theta)
+    log_noindel_prior = math.log(1 - theta * 3.0 / 2.0)
+    ln_ref = math.log1p(-math.exp(ln_indel))
+
+    def lse(*vals):
+        m = max(vals)
+        return m + math.log(sum(math.exp(v - m) for v in vals))
+
+    total = 0.0
+    for ref, alt, n in zip(ref_obs, alt_obs, inst):
+        k = sum(alt[:3]) if is_insert else sum(alt[3:])
+        noindel = ln_indel * k + ln_ref * ref
+        het = log_het * (ref + k)
+        hom = log_hom_alt * k + log_hom_ref * ref
+        total += lse(log_hom_prior + hom, log_het_prior + het,
+                     log_noindel_prior + noindel) * n
+    return total
+
+
+def test_indy_noovl_lhood_matches_scalar_oracle():
+    rng = np.random.default_rng(21)
+    cc = random_counts(rng)
+    p = ez.IndelPatterns.build(cc)
+    for is_insert in (True, False):
+        got = float(ez.indel_indy_noovl_lhood(
+            p, np.log(3e-4), is_insert, np.log(1e-4)))
+        want = scalar_indy_noovl_lhood(
+            cc.ref_obs, cc.alt_obs, cc.instance_count,
+            math.log(3e-4), is_insert, math.log(1e-4))
+        assert got == pytest.approx(want, rel=1e-12), is_insert
+
+
+def _sim_single_type_counts(rng, rate, n_loci=4000, depth=40):
+    """Non-overlap counts: insert-type errors at `rate`, no deletes."""
+    patterns = {}
+    for _ in range(n_loci):
+        k = rng.binomial(depth, rate)
+        key = (depth - k, k)
+        patterns[key] = patterns.get(key, 0) + 1
+    rows = np.array(list(patterns.keys()), np.int64)
+    inst = np.array(list(patterns.values()), np.int64)
+    alt = np.zeros((len(rows), 6), np.int64)
+    alt[:, 0] = rows[:, 1]
+    return ContextCounts(ref_obs=rows[:, 0], alt_obs=alt,
+                         instance_count=inst)
+
+
+def test_indy_noovl_fit_recovers_rate():
+    rng = np.random.default_rng(22)
+    cc = _sim_single_type_counts(rng, 2e-3)
+    fit = ez.fit_indel_indy_noovl(cc, is_insert=True, lock_theta=True)
+    assert fit["indel_rate"] == pytest.approx(2e-3, rel=0.25)
+    # the delete-side fit sees zero alt signal -> rate collapses low
+    fit_d = ez.fit_indel_indy_noovl(cc, is_insert=False, lock_theta=True)
+    assert fit_d["indel_rate"] < 1e-4
+
+
+def test_binom_mixture_noovl_fit_runs_and_improves():
+    rng = np.random.default_rng(23)
+    # mixture data: 10% noisy loci at 2e-2, the rest clean
+    patterns = {}
+    for _ in range(3000):
+        rate = 2e-2 if rng.random() < 0.1 else 1e-8
+        k = rng.binomial(40, rate)
+        key = (40 - k, k)
+        patterns[key] = patterns.get(key, 0) + 1
+    rows = np.array(list(patterns.keys()), np.int64)
+    inst = np.array(list(patterns.values()), np.int64)
+    alt = np.zeros((len(rows), 6), np.int64)
+    alt[:, 3] = rows[:, 1]
+    cc = ContextCounts(ref_obs=rows[:, 0], alt_obs=alt,
+                       instance_count=inst)
+    indy = ez.fit_indel_indy_noovl(cc, is_insert=False, lock_theta=True)
+    mix = ez.fit_indel_binom_mixture_noovl(cc, is_insert=False,
+                                           lock_theta=True)
+    assert mix["log_lhood"] >= indy["log_lhood"] - 1e-6
+    assert mix["noisy_locus_rate"] == pytest.approx(0.1, rel=0.6)
+
+
+def test_snv_binom_mixture_fit_runs_and_improves():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(24)
+    quals = np.array([30])
+    n_loci, depth = 20000, 30
+    patterns = {}
+    ref_hist = np.zeros(1, np.int64)
+    for _ in range(n_loci):
+        rate = 1e-2 if rng.random() < 0.05 else 2e-4
+        alt = rng.binomial(depth, rate)
+        ref = depth - alt
+        ref_hist[0] += ref
+        patterns[(ref, alt)] = patterns.get((ref, alt), 0) + 1
+    rows = np.array(list(patterns.keys()), np.int64)
+    inst = np.array(list(patterns.values()), np.int64)
+    sp = ez.SnvPatterns(
+        qual_levels=quals,
+        ref_qual_hist=jnp.asarray(ref_hist, dtype=jnp.float64),
+        ref_count=jnp.asarray(rows[:, 0], dtype=jnp.float64),
+        alt_count=jnp.asarray(rows[:, 1:], dtype=jnp.float64),
+        inst=jnp.asarray(inst, dtype=jnp.float64))
+    indy = ez.fit_snv_indy(sp, lock_theta=True)
+    mix = ez.fit_snv_binom_mixture(sp, lock_theta=True)
+    assert mix["log_lhood"] >= indy["log_lhood"] - 1e-6
+
+
+def test_indel_model1_report():
+    rng = np.random.default_rng(25)
+    cc = _sim_single_type_counts(rng, 1e-3, n_loci=2000, depth=40)
+    rep = ez.indel_model1_report(cc, is_insert=True)
+    assert rep["rate"] == pytest.approx(1e-3, rel=0.4)
+    assert rep["rate_95pct_upper_bound"] > rep["rate"]
+    assert rep["used_loci"] <= rep["loci"]
+    # noisy loci (high alt fraction) are excluded from the rate
+    noisy = ContextCounts(
+        ref_obs=np.array([30, 10], np.int64),
+        alt_obs=np.array([[0, 0, 0, 0, 0, 0],
+                          [30, 0, 0, 0, 0, 0]], np.int64),
+        instance_count=np.array([100, 50], np.int64))
+    rep2 = ez.indel_model1_report(noisy, is_insert=True)
+    assert rep2["alt_reads"] == 0.0
+    assert rep2["used_loci"] == 100
