@@ -281,12 +281,22 @@ def call_region(
 
     samples = []
     eas, levels, kept, keep_indices = [], [], [], []
+    split_maps = []  # (parent_row, seg_no, pre-split kept batch) or None
     store = cand.IndelObservationStore(n_samples)
     for s, raw in enumerate(batches):
         keep, level = rd.filter_and_classify_reads(raw, opt.min_mapping_quality)
         keep_indices.append(np.nonzero(keep)[0])
         batch = raw.select(keep)
         level = level[keep]
+        # spliced (N-CIGAR) reads decompose into exon segments that
+        # buffer/realign/pile up independently (starling_read_segment)
+        sbatch, slevel, parent_row, seg_no = rd.split_spliced_reads(
+            batch, level)
+        if sbatch is not batch:
+            split_maps.append((parent_row, seg_no, batch))
+            batch, level = sbatch, slevel
+        else:
+            split_maps.append(None)
         ea = rd.expand_alignments(batch)
         kept.append(batch)
         eas.append(ea)
@@ -564,7 +574,12 @@ def call_region(
         snv_hap_ids=snv_hap_ids, indel_hap_ids=indel_hap_ids,
         phase_set_of_pos=phase_set_of_pos,
         ploidy=ploidy_arr,
-        realigned=([(keep_indices[s], kept[s]) for s in range(n_samples)]
+        realigned=([(keep_indices[s],
+                     kept[s] if split_maps[s] is None else
+                     rd.reassemble_spliced(kept[s], split_maps[s][0],
+                                           split_maps[s][1],
+                                           split_maps[s][2]))
+                    for s in range(n_samples)]
                    if collect_realigned else None),
     )
 

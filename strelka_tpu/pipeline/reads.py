@@ -353,3 +353,180 @@ def mismatch_density_filter(
     mm_filter = mcount > max_mismatch
     tier2 = mcount > tier2_max_mismatch if tier2_max_mismatch is not None else None
     return mm_filter, tier2
+
+
+def split_spliced_reads(batch: bamio.ReadBatch, level: np.ndarray):
+    """Split N-CIGAR (spliced RNA) reads into per-exon segment records.
+
+    Reference: starling_read_segment.{hh,cpp} + starling_read.cpp —
+    spliced reads are decomposed into exon segments that buffer,
+    discover candidates, realign and pile up INDEPENDENTLY; the
+    full-read alignment is only reassembled for realigned output
+    (see reassemble_spliced).
+
+    Each segment inherits the parent's name/flags/mapq/tier; its pos is
+    the exon's reference start and its seq/qual are the read slice the
+    exon consumes (soft clips stay with the first/last segment). Empty
+    segments (adjacent N ops, N at an alignment edge) are dropped.
+
+    Returns (seg_batch, seg_level, parent_row, seg_no) with seg_batch
+    sorted by pos (downstream windows binary-search batch.pos);
+    parent_row maps each output row to its input row, seg_no is the
+    segment ordinal within the parent (0 for unspliced reads).
+    """
+    nseg = np.diff(batch.cig_off)
+    seg_read = np.repeat(np.arange(batch.n), nseg)
+    has_n = np.zeros(batch.n, dtype=bool)
+    np.logical_or.at(has_n, seg_read[batch.cig_ops == cg.SKIP], True)
+    if not has_n.any():
+        return batch, level, np.arange(batch.n), np.zeros(batch.n, np.int32)
+
+    rows: list[tuple[int, int, int, int, int, np.ndarray, np.ndarray]] = []
+    # (parent_row, seg_no, pos, q0, q1, ops, lens)
+    for r in range(batch.n):
+        if not has_n[r]:
+            o, l = batch.get_cigar(r)
+            rows.append((r, 0, int(batch.pos[r]), 0, batch.read_len(r),
+                         o, l))
+            continue
+        o, l = batch.get_cigar(r)
+        ref = int(batch.pos[r])
+        q = 0
+        seg_ops: list[int] = []
+        seg_lens: list[int] = []
+        seg_pos = ref
+        seg_q0 = q
+        seg_no = 0
+        for op, ln in zip(o, l):
+            op = int(op)
+            ln = int(ln)
+            if op == cg.SKIP:
+                if seg_ops:
+                    rows.append((r, seg_no, seg_pos, seg_q0, q,
+                                 np.array(seg_ops, np.int8),
+                                 np.array(seg_lens, np.int32)))
+                    seg_no += 1
+                    seg_ops, seg_lens = [], []
+                ref += ln
+                seg_pos = ref
+                seg_q0 = q
+                continue
+            seg_ops.append(op)
+            seg_lens.append(ln)
+            if cg.ADVANCES_READ[op]:
+                q += ln
+            if cg.ADVANCES_REF[op]:
+                ref += ln
+        if seg_ops:
+            rows.append((r, seg_no, seg_pos, seg_q0, q,
+                         np.array(seg_ops, np.int8),
+                         np.array(seg_lens, np.int32)))
+
+    order = sorted(range(len(rows)), key=lambda i: rows[i][2])
+    out = bamio.ReadBatch()
+    out.n = len(rows)
+    parent_row = np.empty(out.n, np.int64)
+    seg_no_arr = np.empty(out.n, np.int32)
+    pos = np.empty(out.n, np.int64)
+    seq_parts, qual_parts, op_parts, len_parts = [], [], [], []
+    seq_off = [0]
+    cig_off = [0]
+    names = []
+    for oi, i in enumerate(order):
+        r, sno, p, q0, q1, o, l = rows[i]
+        parent_row[oi] = r
+        seg_no_arr[oi] = sno
+        pos[oi] = p
+        seq_parts.append(batch.get_seq(r)[q0:q1])
+        qual_parts.append(batch.get_qual(r)[q0:q1])
+        op_parts.append(o)
+        len_parts.append(l)
+        seq_off.append(seq_off[-1] + (q1 - q0))
+        cig_off.append(cig_off[-1] + len(o))
+        names.append(batch.names[r] if batch.names else "")
+    out.names = names
+    out.pos = pos
+    out.seq = np.concatenate(seq_parts) if seq_parts else np.empty(0, np.uint8)
+    out.qual = np.concatenate(qual_parts) if qual_parts else np.empty(0, np.uint8)
+    out.seq_off = np.asarray(seq_off, np.int64)
+    out.cig_ops = np.concatenate(op_parts).astype(np.int8) if op_parts \
+        else np.empty(0, np.int8)
+    out.cig_lens = np.concatenate(len_parts).astype(np.int32) if len_parts \
+        else np.empty(0, np.int32)
+    out.cig_off = np.asarray(cig_off, np.int64)
+    pr = parent_row
+    for fld in ("tid", "mapq", "flag", "mate_tid", "mate_pos", "tlen"):
+        setattr(out, fld, getattr(batch, fld)[pr])
+    return out, level[pr], pr, seg_no_arr
+
+
+def reassemble_spliced(seg_batch: bamio.ReadBatch, parent_row: np.ndarray,
+                       seg_no: np.ndarray, orig: bamio.ReadBatch):
+    """Rejoin realigned exon segments into whole-read (pos, cigar)
+    records over the pre-split batch `orig`, for realigned-BAM output.
+
+    N gap lengths are recomputed from the realigned segment positions
+    (a segment that moved shrinks/grows its adjacent intron). A parent
+    whose segments realigned out of order (next segment starts at or
+    before the previous segment's end) keeps its original alignment.
+    Returns a ReadBatch with orig's row order carrying the new
+    pos/cigar (other fields shared with orig).
+    """
+    by_parent: dict[int, list[int]] = {}
+    for i, r in enumerate(parent_row):
+        by_parent.setdefault(int(r), []).append(i)
+
+    pos = orig.pos.copy()
+    ops_out: list[np.ndarray] = []
+    lens_out: list[np.ndarray] = []
+    for r in range(orig.n):
+        segs = by_parent.get(r)
+        if not segs:
+            o, l = orig.get_cigar(r)
+            ops_out.append(np.asarray(o))
+            lens_out.append(np.asarray(l))
+            continue
+        segs = sorted(segs, key=lambda i: int(seg_no[i]))
+        if len(segs) == 1:
+            i = segs[0]
+            pos[r] = seg_batch.pos[i]
+            o, l = seg_batch.get_cigar(i)
+            ops_out.append(np.asarray(o))
+            lens_out.append(np.asarray(l))
+            continue
+        joined_ops: list[np.ndarray] = []
+        joined_lens: list[np.ndarray] = []
+        ok = True
+        prev_end = None
+        for i in segs:
+            o, l = seg_batch.get_cigar(i)
+            p = int(seg_batch.pos[i])
+            if prev_end is not None:
+                gap = p - prev_end
+                if gap <= 0:
+                    ok = False
+                    break
+                joined_ops.append(np.array([cg.SKIP], np.int8))
+                joined_lens.append(np.array([gap], np.int32))
+            joined_ops.append(np.asarray(o))
+            joined_lens.append(np.asarray(l))
+            prev_end = p + cg.ref_span(o, l)
+        if not ok:
+            o, l = orig.get_cigar(r)
+            ops_out.append(np.asarray(o))
+            lens_out.append(np.asarray(l))
+            continue
+        pos[r] = seg_batch.pos[segs[0]]
+        ops_out.append(np.concatenate(joined_ops))
+        lens_out.append(np.concatenate(joined_lens))
+
+    out = bamio.ReadBatch(
+        n=orig.n, names=orig.names, tid=orig.tid, pos=pos, mapq=orig.mapq,
+        flag=orig.flag, mate_tid=orig.mate_tid, mate_pos=orig.mate_pos,
+        tlen=orig.tlen, seq=orig.seq, qual=orig.qual,
+        seq_off=orig.seq_off,
+        cig_ops=np.concatenate(ops_out).astype(np.int8),
+        cig_lens=np.concatenate(lens_out).astype(np.int32),
+        cig_off=np.concatenate(
+            [[0], np.cumsum([len(o) for o in ops_out])]).astype(np.int64))
+    return out
