@@ -47,7 +47,10 @@ def _split3_kernel(order, codes_ref, delta_ref, lnmis_ref, win_ref,
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
 
         def dot(x):
-            return jnp.dot(x, w, preferred_element_type=jnp.float32)
+            # the engine sets jax_default_matmul_precision=highest
+            # globally; bf16 x bf16 must explicitly ask for one pass
+            return jnp.dot(x, w, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
 
         if order == "hml":
             s = (dot(hi) + dot(mid)) + dot(lo)

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 N_BASE = 4
 
 
-def _score_kernel(codes_ref, delta_ref, lnmis_ref, win_ref,
+def _score_kernel(split3, codes_ref, delta_ref, lnmis_ref, win_ref,
                   best_ref, bestoff_ref, a_scratch, w_scratch):
     """G locus tiles per grid step: reads [R, L] vs windows [W, L].
 
@@ -43,6 +43,17 @@ def _score_kernel(codes_ref, delta_ref, lnmis_ref, win_ref,
 
     Multiple tiles per grid step amortize the per-step grid/pipeline
     overhead (~25% step-time win at G=8 on v5e).
+
+    split3: the windows operand is a {0,1} one-hot (exactly
+    bf16-representable), so the f32-HIGHEST matmul's 6 MXU passes
+    carry only 3 passes of information. The split3 path decomposes
+    delta = hi + mid + lo (each bf16; exact — every residual has <=8
+    significant bits left) and runs 3 one-pass bf16 matmuls with f32
+    accumulation, ~2-3x faster. Each per-element product is exact, so
+    the result differs from HIGHEST only in sub-pass accumulation
+    order (observed <= 3.1e-5 absolute on realistic scores, ~1 ulp;
+    the somatic demo stays byte-identical — see
+    benchmarks/exp_split3*.py for the measurement harness).
     """
     G = codes_ref.shape[0]
     L = codes_ref.shape[2]
@@ -57,15 +68,32 @@ def _score_kernel(codes_ref, delta_ref, lnmis_ref, win_ref,
             a_scratch[:, b * L:(b + 1) * L] = a_slab
             w_slab = (win == b).astype(jnp.float32)
             w_scratch[b * L:(b + 1) * L, :] = w_slab.T
-        s = jnp.dot(a_scratch[:], w_scratch[:],
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # [R, W]
+        a = a_scratch[:]
+        if split3:
+            wb = w_scratch[:].astype(jnp.bfloat16)
+            hi = a.astype(jnp.bfloat16)
+            r1 = a - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def dot(x):
+                # the engine sets jax_default_matmul_precision=highest
+                # globally; bf16 x bf16 must ask for one pass
+                return jnp.dot(x, wb, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+
+            s = (dot(hi) + dot(mid)) + dot(lo)
+        else:
+            s = jnp.dot(a, w_scratch[:],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # [R, W]
         s = s + lnmis_ref[g]                               # broadcast [R,1]
         best_ref[g] = jnp.max(s, axis=1, keepdims=True)
         bestoff_ref[g] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
 
 
-def score_best_offsets(codes, delta, lnmis, win_codes, interpret: bool = False):
+def score_best_offsets(codes, delta, lnmis, win_codes, interpret: bool = False,
+                       split3: bool = True):
     """Batched best-offset scoring.
 
     codes     [B, R, L] int8/int32 read base codes
@@ -74,29 +102,40 @@ def score_best_offsets(codes, delta, lnmis, win_codes, interpret: bool = False):
     win_codes [B, W, L] int8/int32 per-offset haplotype windows
     returns (best [B, R] f32, best_off [B, R] i32)
 
+    split3=True (default) uses the 3-pass bf16-split matmul (see
+    _score_kernel); split3=False keeps the f32-HIGHEST reference
+    matmul.
+
     Mosaic rejects int64 index types, so the kernel is traced with x64
     disabled (the engine otherwise enables x64 for posterior math).
     """
     with jax.enable_x64(False):
-        return _score_best_offsets(codes, delta, lnmis, win_codes, interpret)
+        return _score_best_offsets(codes, delta, lnmis, win_codes, interpret,
+                                   split3)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _score_best_offsets(codes, delta, lnmis, win_codes, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "split3"))
+def _score_best_offsets(codes, delta, lnmis, win_codes,
+                        interpret: bool = False, split3: bool = True):
     B, R, L = codes.shape
     W = win_codes.shape[1]
     codes = codes.astype(jnp.int8)
     win_codes = win_codes.astype(jnp.int8)
     lnmis2 = lnmis[..., None]
 
-    # tiles per grid step: largest power of two <= 8 dividing B
-    G = 8
+    # tiles per grid step: amortizes per-step grid/pipeline overhead
+    # (~25% step-time win at G=8 on v5e for the HIGHEST path). The
+    # split3 body is ~3x more ops per tile and Mosaic compile time is
+    # superlinear in the unrolled body (G=8 split3 measured ~300-440s
+    # fresh vs ~100-150s at G=4; cached afterwards), so split3 caps at
+    # G=4.
+    G = 4 if split3 else 8
     while G > 1 and B % G:
         G //= 2
 
     grid = (B // G,)
     out = pl.pallas_call(
-        _score_kernel,
+        functools.partial(_score_kernel, split3),
         grid=grid,
         in_specs=[
             pl.BlockSpec((G, R, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
