@@ -8,9 +8,10 @@ scored against a full haplotype offset window at one locus.
 Measurement: the tunneled dev chip's block_until_ready returns before
 device completion (async metadata future), so naive dispatch loops
 overstate throughput by >10x. Instead, N kernel steps are chained
-inside ONE jitted fori_loop with a real data dependency (step k's
-output perturbs step k+1's lnmis input by 0.0), completion is forced
-by fetching one output element, and the per-step time is the
+EAGERLY with a real device-side data dependency (step k's output
+perturbs step k+1's lnmis input by 0.0; wrapping the chain in a jitted
+fori_loop compiles pathologically slowly over the tunnel), completion
+is forced by fetching one output element, and the per-step time is the
 difference between a long and a short chain — cancelling the tunnel
 RTT and dispatch overhead exactly.
 
@@ -47,7 +48,7 @@ def main() -> None:
     codes = jnp.asarray(rng.integers(0, 5, (B, R, L)), jnp.int8)
     delta = jnp.asarray(rng.uniform(2, 20, (B, R, L)).astype(np.float32))
     lnmis = jnp.asarray(rng.normal(-100, 10, (B, R)).astype(np.float32))
-    win = jnp.asarray(rng.integers(0, 5, (B, W, L)), jnp.int8)
+    win = jnp.asarray(rng.integers(0, 5, (B, L, W)), jnp.int8)
 
     if on_tpu:
         from strelka_tpu.ops.pallas_readlik import score_best_offsets as step

@@ -43,26 +43,26 @@ def _virtual_correctness() -> list[dict]:
     import jax.numpy as jnp
     import numpy as np
 
-    from strelka_tpu.ops.pallas_readlik import reference_best_offsets
+    from strelka_tpu.ops.pallas_readlik import exact_best_offsets
     from strelka_tpu.parallel import mesh as pm
 
     n_avail = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8) if n <= n_avail]
-    # fixed inputs for every mesh size; W/sp stays >= 32 (the CPU dot
-    # microkernel's documented exactness boundary, parallel/mesh.py)
+    # fixed inputs for every mesh size; the exact limb formulation is
+    # shard-width independent (bitwise) on every backend
     B, R, L, W = 16, 64, 128, 128
     rng = np.random.default_rng(0)
     codes = jnp.asarray(rng.integers(0, 5, (B, R, L)), jnp.int8)
     delta = jnp.asarray(rng.uniform(2, 20, (B, R, L)).astype(np.float32))
     lnmis = jnp.asarray(rng.normal(-100, 10, (B, R)).astype(np.float32))
-    win = jnp.asarray(rng.integers(0, 5, (B, W, L)), jnp.int8)
+    win = jnp.asarray(rng.integers(0, 5, (B, L, W)), jnp.int8)
 
     ref = [np.asarray(x) for x in
-           reference_best_offsets(codes, delta, lnmis, win)]
+           exact_best_offsets(codes, delta, lnmis, win)]
     results = []
     for n in sizes:
         m = pm.make_mesh(jax.devices()[:n])
-        fn = pm.sharded_best_offsets(reference_best_offsets, m)
+        fn = pm.sharded_best_offsets(exact_best_offsets, m)
         with m:
             out = jax.block_until_ready(fn(codes, delta, lnmis, win))
         ok = all(np.array_equal(a, np.asarray(b))
@@ -87,7 +87,7 @@ def _chip_dispatch_pipeline() -> dict:
     codes = jnp.asarray(rng.integers(0, 5, (B, R, L)), jnp.int8)
     delta = jnp.asarray(rng.uniform(2, 20, (B, R, L)).astype(np.float32))
     lnmis = jnp.asarray(rng.normal(-100, 10, (B, R)).astype(np.float32))
-    win = jnp.asarray(rng.integers(0, 5, (B, W, L)), jnp.int8)
+    win = jnp.asarray(rng.integers(0, 5, (B, L, W)), jnp.int8)
 
     def run_chain(n_steps):
         carry = lnmis

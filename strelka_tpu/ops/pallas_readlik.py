@@ -1,8 +1,8 @@
 """Pallas TPU kernel for read x haplotype likelihood scoring.
 
 The XLA einsum path (ops/readlik.py) streams f32 one-hot tensors from
-HBM and materializes the full [B, R, W] score tensor — HBM-bound at
-~14 TFLOP/s on v5e. This kernel:
+HBM and materializes the full [B, R, W] score tensor — HBM-bound on
+v5e. This kernel:
 
   - streams int8 base codes + f32 per-base deltas (5 bytes/base instead
     of 16 for f32 one-hot),
@@ -14,6 +14,36 @@ HBM and materializes the full [B, R, W] score tensor — HBM-bound at
 Replaces the reference's scalar scoring loop
 (starling_read_align_score.cpp:108-170) as the per-chip speed-of-light
 engine (SURVEY.md §2.5 'per-read likelihood hot loop').
+
+Bit-exactness (the engine's hard invariant — best offsets feed
+realignment placement and tie-breaks define output,
+starling_read_align.cpp:1353,1581-1593):
+
+The default "exact" mode is exact BY CONSTRUCTION, not by tolerance.
+Per-base deltas are globally quantized to integer multiples of
+2^-QUANT_BITS (ops/readlik.quantized_qscore_luts), so
+
+    d_int = delta * 2^QUANT_BITS            (exact int < 2^24)
+          = l2 * 2^16 + l1 * 2^8 + l0       (base-256 limbs, 0..255)
+
+Each limb is exactly representable in bf16 (8-bit mantissa) and the
+window one-hot is {0,1}, so every per-element product of the three
+one-pass bf16 matmuls is exact, and every partial sum is an integer
+< 2^24 — exact in a f32 accumulator REGARDLESS of accumulation order.
+The fixed-order combination
+
+    score = ((S2*65536 + S1*256) + S0) * 2^-QUANT_BITS + lnmis
+
+is elementwise IEEE f32 (identical on every backend). Result: the
+Pallas kernel, the XLA path (exact_best_offsets), and interpret mode
+produce bit-identical scores AND argmax offsets on TPU and CPU, at
+3 MXU passes instead of the 6 of a f32-HIGHEST matmul. (Round 2's
+`split3` bf16-decomposition path hit the same pass count but its f32
+accumulation order was backend-dependent — it tolerated 1% best-offset
+flips and was removed in favor of this formulation.)
+
+mode="highest" keeps the f32-HIGHEST matmul for A/B benchmarking; it
+is NOT bit-stable across backends.
 """
 from __future__ import annotations
 
@@ -21,70 +51,63 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-N_BASE = 4
+from .readlik import LIMBS, QUANT_INV, QUANT_SCALE
+from .readlik import N_BASE_CODES as N_BASE
 
 
-def _score_kernel(split3, codes_ref, delta_ref, lnmis_ref, win_ref,
+def _score_kernel(mode, codes_ref, delta_ref, lnmis_ref, win_ref,
                   best_ref, bestoff_ref, a_scratch, w_scratch):
-    """G locus tiles per grid step: reads [R, L] vs windows [W, L].
+    """G locus tiles per grid step: reads [R, L] vs windows [L, W].
 
     codes_ref  [G, R, L] int8   read base codes (>=4 -> no contribution)
-    delta_ref  [G, R, L] f32    ln(1-e)-ln(e/3) per base (0 at padding)
+    delta_ref  [G, R, L] f32    ln(1-e)-ln(e/3) per base (0 at padding),
+                                quantized to 2^-QUANT_BITS multiples
     lnmis_ref  [G, R, 1] f32    sum of ln(e/3) over valid bases
-    win_ref    [G, W, L] int8   haplotype window codes per offset
+    win_ref    [G, L, W] int8   haplotype window codes, transposed so
+                                offsets are the trailing (lane) dim —
+                                no in-kernel transpose needed
     best_ref   [G, R, 1] f32    output: max score over offsets
-    bestoff_ref[G, R, 1] i32    output: argmax offset
-    a_scratch  [R, 4L] f32
-    w_scratch  [4L, W] f32
+    bestoff_ref[G, R, 1] i32    output: argmax offset (first max)
+    a_scratch  [R, 4L]          bf16 (exact) / f32 (highest)
+    w_scratch  [4L, W]          bf16 (exact) / f32 (highest)
 
     Multiple tiles per grid step amortize the per-step grid/pipeline
-    overhead (~25% step-time win at G=8 on v5e).
-
-    split3: the windows operand is a {0,1} one-hot (exactly
-    bf16-representable), so the f32-HIGHEST matmul's 6 MXU passes
-    carry only 3 passes of information. The split3 path decomposes
-    delta = hi + mid + lo (each bf16; exact — every residual has <=8
-    significant bits left) and runs 3 one-pass bf16 matmuls with f32
-    accumulation, ~2-3x faster. Each per-element product is exact, so
-    the result differs from HIGHEST only in sub-pass accumulation
-    order (observed <= 3.1e-5 absolute on realistic scores, ~1 ulp;
-    the somatic demo stays byte-identical — see
-    benchmarks/exp_split3*.py for the measurement harness).
+    overhead.
     """
     G = codes_ref.shape[0]
     L = codes_ref.shape[2]
+    wdt = w_scratch.dtype
     for g in range(G):
         # int8 is the HBM/VMEM transfer type; Mosaic lacks packed-i8
         # vector compares, so widen on the VPU before the one-hot masks
         codes = codes_ref[g].astype(jnp.int32)
-        delta = delta_ref[g]
         win = win_ref[g].astype(jnp.int32)
         for b in range(N_BASE):
-            a_slab = jnp.where(codes == b, delta, 0.0)
-            a_scratch[:, b * L:(b + 1) * L] = a_slab
-            w_slab = (win == b).astype(jnp.float32)
-            w_scratch[b * L:(b + 1) * L, :] = w_slab.T
-        a = a_scratch[:]
-        if split3:
-            wb = w_scratch[:].astype(jnp.bfloat16)
-            hi = a.astype(jnp.bfloat16)
-            r1 = a - hi.astype(jnp.float32)
-            mid = r1.astype(jnp.bfloat16)
-            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-
-            def dot(x):
-                # the engine sets jax_default_matmul_precision=highest
-                # globally; bf16 x bf16 must ask for one pass
-                return jnp.dot(x, wb, preferred_element_type=jnp.float32,
+            w_scratch[b * L:(b + 1) * L, :] = (win == b).astype(wdt)
+        if mode == "exact":
+            d_int = (delta_ref[g] * QUANT_SCALE).astype(jnp.int32)
+            s = None
+            for shift, weight in LIMBS:
+                limb = ((d_int >> shift) & 255).astype(jnp.bfloat16)
+                for b in range(N_BASE):
+                    a_scratch[:, b * L:(b + 1) * L] = jnp.where(
+                        codes == b, limb, jnp.bfloat16(0))
+                # one MXU pass; exact (bf16 ints x {0,1}, f32 int sums)
+                part = jnp.dot(a_scratch[:], w_scratch[:],
+                               preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.DEFAULT)
-
-            s = (dot(hi) + dot(mid)) + dot(lo)
-        else:
-            s = jnp.dot(a, w_scratch[:],
+                part = part * weight
+                s = part if s is None else s + part
+            s = s * QUANT_INV
+        else:  # "highest": reference 6-pass f32 matmul
+            delta = delta_ref[g]
+            for b in range(N_BASE):
+                a_scratch[:, b * L:(b + 1) * L] = jnp.where(
+                    codes == b, delta, 0.0)
+            s = jnp.dot(a_scratch[:], w_scratch[:],
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)  # [R, W]
         s = s + lnmis_ref[g]                               # broadcast [R,1]
@@ -92,56 +115,65 @@ def _score_kernel(split3, codes_ref, delta_ref, lnmis_ref, win_ref,
         bestoff_ref[g] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
 
 
-def score_best_offsets(codes, delta, lnmis, win_codes, interpret: bool = False,
-                       split3: bool = True):
-    """Batched best-offset scoring.
+def score_best_offsets(codes, delta, lnmis, win_t, interpret: bool = False,
+                       mode: str = "exact"):
+    """Batched best-offset scoring (Pallas kernel).
 
-    codes     [B, R, L] int8/int32 read base codes
-    delta     [B, R, L] f32
-    lnmis     [B, R]    f32
-    win_codes [B, W, L] int8/int32 per-offset haplotype windows
+    codes  [B, R, L] int8/int32 read base codes
+    delta  [B, R, L] f32 (quantized; see module doc)
+    lnmis  [B, R]    f32
+    win_t  [B, L, W] int8/int32 per-offset haplotype windows, offset-
+                     major in the trailing dim (win_t[b, l, w] = base at
+                     window position l of offset w)
     returns (best [B, R] f32, best_off [B, R] i32)
 
-    split3=True (default) uses the 3-pass bf16-split matmul (see
-    _score_kernel); split3=False keeps the f32-HIGHEST reference
-    matmul.
+    mode="exact" (default) is bit-identical to exact_best_offsets on
+    every backend; mode="highest" keeps the f32-HIGHEST matmul.
 
     Mosaic rejects int64 index types, so the kernel is traced with x64
     disabled (the engine otherwise enables x64 for posterior math).
     """
     with jax.enable_x64(False):
-        return _score_best_offsets(codes, delta, lnmis, win_codes, interpret,
-                                   split3)
+        return _score_best_offsets(codes, delta, lnmis, win_t, interpret,
+                                   mode)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "split3"))
-def _score_best_offsets(codes, delta, lnmis, win_codes,
-                        interpret: bool = False, split3: bool = True):
-    B, R, L = codes.shape
-    W = win_codes.shape[1]
-    codes = codes.astype(jnp.int8)
-    win_codes = win_codes.astype(jnp.int8)
-    lnmis2 = lnmis[..., None]
+def _pick_g(B, R, L, W, mode):
+    """Tiles per grid step: amortizes grid overhead, bounded by Mosaic
+    compile time (superlinear in the unrolled body) and VMEM."""
+    elt = 2 if mode == "exact" else 4
+    slabs = (R * N_BASE * L + N_BASE * L * W) * elt
 
-    # tiles per grid step: amortizes per-step grid/pipeline overhead
-    # (~25% step-time win at G=8 on v5e for the HIGHEST path). The
-    # split3 body is ~3x more ops per tile and Mosaic compile time is
-    # superlinear in the unrolled body (G=8 split3 measured ~300-440s
-    # fresh vs ~100-150s at G=4; cached afterwards), so split3 caps at
-    # G=4.
-    G = 4 if split3 else 8
-    while G > 1 and B % G:
+    def est(g):
+        io = g * (R * L * 5 + R * 4 + L * W + R * 8) * 2  # double-buffered
+        return io + slabs
+
+    G = 4
+    while G > 1 and (B % G or est(G) > 10 * 2**20):
         G //= 2
+    return G
 
+
+@functools.partial(jax.jit, static_argnames=("interpret", "mode"))
+def _score_best_offsets(codes, delta, lnmis, win_t,
+                        interpret: bool = False, mode: str = "exact"):
+    B, R, L = codes.shape
+    W = win_t.shape[2]
+    codes = codes.astype(jnp.int8)
+    win_t = win_t.astype(jnp.int8)
+    lnmis2 = lnmis[..., None]
+    sdt = jnp.bfloat16 if mode == "exact" else jnp.float32
+
+    G = _pick_g(B, R, L, W, mode)
     grid = (B // G,)
     out = pl.pallas_call(
-        functools.partial(_score_kernel, split3),
+        functools.partial(_score_kernel, mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec((G, R, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, R, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, R, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, W, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, L, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((G, R, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -152,34 +184,58 @@ def _score_best_offsets(codes, delta, lnmis, win_codes,
             jax.ShapeDtypeStruct((B, R, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((R, N_BASE * L), jnp.float32),
-            pltpu.VMEM((N_BASE * L, W), jnp.float32),
+            pltpu.VMEM((R, N_BASE * L), sdt),
+            pltpu.VMEM((N_BASE * L, W), sdt),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * R * N_BASE * L * W,
-            bytes_accessed=B * (R * L * 5 + W * L + R * 8),
+            flops=2 * B * R * N_BASE * L * W * (3 if mode == "exact" else 1),
+            bytes_accessed=B * (R * L * 5 + L * W + R * 8),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(codes, delta, lnmis2, win_codes)
+    )(codes, delta, lnmis2, win_t)
     best, best_off = out
     return best[..., 0], best_off[..., 0]
 
 
-def _squeeze_kernel_blockspecs():  # pragma: no cover - doc helper
-    """Block shapes use a leading 1 for the batch dim; inside the
-    kernel refs arrive squeezed to [R, L] etc. when block dim is 1."""
+@jax.jit
+def exact_best_offsets(codes, delta, lnmis, win_t):
+    """XLA implementation of the exact limb formulation — the engine's
+    CPU-backend scoring path AND the oracle the Pallas kernel must
+    match bit-for-bit (scores and argmax offsets) on any backend.
+
+    Same layout as score_best_offsets: win_t is [B, L, W] offset-major.
+    Exactness argument in the module docstring; on TPU the f32-HIGHEST
+    einsum of bf16-representable integers is also exact, so this
+    function is backend-independent too.
+    """
+    codes = codes.astype(jnp.int32)
+    win = win_t.astype(jnp.int32)
+    d_int = (delta * QUANT_SCALE).astype(jnp.int32)
+    oh_r = codes[..., None] == jnp.arange(N_BASE, dtype=jnp.int32)  # [B,R,L,4]
+    oh_w = jax.nn.one_hot(win, N_BASE, dtype=jnp.float32)           # [B,L,W,4]
+    s = None
+    for shift, weight in LIMBS:
+        limb = ((d_int >> shift) & 255).astype(jnp.float32)
+        a = jnp.where(oh_r, limb[..., None], 0.0)
+        part = jnp.einsum("brlc,blwc->brw", a, oh_w,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        part = part * weight
+        s = part if s is None else s + part
+    s = s * QUANT_INV + lnmis[..., None]
+    return jnp.max(s, axis=-1), jnp.argmax(s, axis=-1).astype(jnp.int32)
 
 
 @jax.jit
-def reference_best_offsets(codes, delta, lnmis, win_codes):
-    """XLA reference implementation (for testing the kernel), and the
-    engine's CPU-backend scoring path — jitted so the per-launch cost
-    is one dispatch instead of six eager ops."""
+def reference_best_offsets(codes, delta, lnmis, win_t):
+    """f32-HIGHEST einsum oracle for the mode="highest" kernel path
+    (testing only — NOT bit-stable across backends; the engine runs
+    exact_best_offsets / mode="exact")."""
     onehot_r = jax.nn.one_hot(codes, N_BASE, dtype=jnp.float32)
     a = (onehot_r * delta[..., None])
-    onehot_w = jax.nn.one_hot(win_codes, N_BASE, dtype=jnp.float32)
-    s = jnp.einsum("brlc,bwlc->brw", a, onehot_w,
+    onehot_w = jax.nn.one_hot(win_t, N_BASE, dtype=jnp.float32)
+    s = jnp.einsum("brlc,blwc->brw", a, onehot_w,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
     s = s + lnmis[..., None]

@@ -21,6 +21,7 @@ superset of the reference's enumerated candidate alignments.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -28,6 +29,42 @@ import jax.numpy as jnp
 import numpy as np
 
 N_BASE_CODES = 4  # A, C, G, T; N padded as all-zero one-hot
+
+# Per-base match-vs-mismatch deltas are quantized to integer multiples
+# of 2^-QUANT_BITS so the scoring contraction can run as exact integer
+# arithmetic (base-256 limbs on one-pass bf16 MXU matmuls with f32
+# integer accumulation) — bit-identical on every backend regardless of
+# accumulation order. See ops/pallas_readlik.py module doc. Max delta
+# (q=127) is ~30.3, so d_int < 2^24 and three 8-bit limbs suffice.
+QUANT_BITS = 19
+QUANT_SCALE = np.float32(2.0 ** QUANT_BITS)
+QUANT_INV = np.float32(2.0 ** -QUANT_BITS)
+# (shift, weight) of the base-256 limb decomposition of d_int; every
+# exact scoring path MUST combine limbs in this order (the two rounded
+# f32 adds are the only backend-visible roundings and their order
+# defines the canonical result)
+LIMBS = ((16, 65536.0), (8, 256.0), (0, 1.0))
+
+
+@functools.lru_cache(maxsize=1)
+def quantized_qscore_luts() -> tuple[np.ndarray, np.ndarray]:
+    """(delta_lut[128], lnmis_lut[128]) f32 numpy.
+
+    delta_lut[q] = ln(1-e_q) - ln(e_q/3) rounded to a multiple of
+    2^-QUANT_BITS (the engine's canonical per-base score weights);
+    lnmis_lut[q] = ln(e_q/3). e floors at 0.75 (qual 0..2) so deltas
+    are non-negative (reference emission: scoreMatchSegment,
+    starling_read_align_score.cpp:120-168).
+    """
+    # f32 arithmetic matches the engine's historical LUT bit-for-bit;
+    # only the round-to-2^-19-multiple step is new
+    q = np.arange(128, dtype=np.float32)
+    e = np.clip(np.power(10.0, -q / 10.0), 1e-35, 0.75)
+    lm = np.log1p(-e)
+    lmis = np.log(e / 3.0).astype(np.float32)
+    raw = (lm - lmis).astype(np.float64)
+    delta = np.round(raw * 2.0 ** QUANT_BITS) * 2.0 ** -QUANT_BITS
+    return delta.astype(np.float32), lmis
 
 
 class ReadTile(NamedTuple):
@@ -44,12 +81,11 @@ def build_read_tile(seqs: np.ndarray, quals: np.ndarray, mask: np.ndarray) -> Re
     mask marks real (non-padding) bases; N bases (code 4) score as
     neither match nor mismatch (skipped, scoreMatchSegment's ANY check).
     """
-    e = np.power(10.0, -quals.astype(np.float32) / 10.0)
-    e = np.clip(e, 1e-35, 0.75)  # qual 0..2 floor, keeps logs finite
-    ln_match = np.log1p(-e).astype(np.float32)
-    ln_mis = (np.log(e / 3.0)).astype(np.float32)
+    delta_lut, lmis_lut = quantized_qscore_luts()
+    qi = np.clip(quals, 0, 127)
+    ln_mis = lmis_lut[qi]
     is_base = mask & (seqs < N_BASE_CODES)
-    delta_val = np.where(is_base, ln_match - ln_mis, 0.0).astype(np.float32)
+    delta_val = np.where(is_base, delta_lut[qi], 0.0).astype(np.float32)
     onehot = np.zeros(seqs.shape + (N_BASE_CODES,), dtype=np.float32)
     r, c = np.nonzero(is_base)
     onehot[r, c, seqs[r, c]] = 1.0
@@ -77,8 +113,13 @@ def score_all_offsets(delta: jnp.ndarray, lnmis_sum: jnp.ndarray,
                       hap_onehot: jnp.ndarray) -> jnp.ndarray:
     """Scores [R, H, W] for all haplotypes and offsets.
 
-    delta [R, L, 4], hap_onehot [H, Lh, 4]; W = Lh - L + 1 offsets.
-    Evaluated as one [R, L4] @ [L4, H*W] matmul via a window gather.
+    delta [R, L, 4] (one-hot premultiplied quantized deltas),
+    hap_onehot [H, Lh, 4]; W = Lh - L + 1 offsets.
+
+    Uses the same exact base-256-limb formulation (and the identical
+    fixed combination order) as pallas_readlik, so per-locus scores are
+    bit-identical to the batched kernel's for matching window geometry
+    on any backend.
     """
     R, L, _ = delta.shape
     H, Lh, _ = hap_onehot.shape
@@ -86,12 +127,20 @@ def score_all_offsets(delta: jnp.ndarray, lnmis_sum: jnp.ndarray,
     # windows[h, o, i, b] = hap_onehot[h, o+i, b]
     idx = jnp.arange(W)[:, None] + jnp.arange(L)[None, :]       # [W, L]
     windows = hap_onehot[:, idx, :]                              # [H, W, L, 4]
-    a = delta.reshape(R, L * N_BASE_CODES)
     b = windows.reshape(H * W, L * N_BASE_CODES)
-    s = jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(R, H, W)
+    d_int = (delta * QUANT_SCALE).astype(jnp.int32)
+    s = None
+    for shift, weight in LIMBS:
+        limb = ((d_int >> shift) & 255).astype(jnp.float32)
+        a = limb.reshape(R, L * N_BASE_CODES)
+        part = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(R, H, W)
+        part = part * weight
+        s = part if s is None else s + part
+    s = s * QUANT_INV
     return s + lnmis_sum[:, None, None]
 
 

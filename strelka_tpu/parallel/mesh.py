@@ -171,18 +171,18 @@ def chunk_sharder():
 
 
 def sharded_best_offsets(kernel, mesh: Mesh):
-    """Wrap a best-offsets kernel (codes, delta, lnmis, win) -> (best,
+    """Wrap a best-offsets kernel (codes, delta, lnmis, win_t) -> (best,
     off) to run sharded over `mesh`:
 
       dp — leading batch (locus-hap pair) axis; pairs are independent,
            no collectives.
-      sp — the offset-window axis of `win` (sequence parallelism over
-           the scoring wavefront): each sp shard scores a contiguous
-           slice of offsets, then the global best is an all_gather +
-           max over sp with argmax's first-occurrence tie-break
-           (padding windows can tie the best real offset, so the
-           combine must keep the LOWEST winning offset to match the
-           unsharded jnp.argmax byte-for-byte).
+      sp — the offset axis of `win_t` [B, L, W] (sequence parallelism
+           over the scoring wavefront): each sp shard scores a
+           contiguous slice of offsets, then the global best is an
+           all_gather + max over sp with argmax's first-occurrence
+           tie-break (padding windows can tie the best real offset, so
+           the combine must keep the LOWEST winning offset to match
+           the unsharded jnp.argmax byte-for-byte).
     """
     key = (kernel, id(mesh))
     fn = _SHARDED_KERNELS.get(key)
@@ -194,11 +194,11 @@ def sharded_best_offsets(kernel, mesh: Mesh):
             inner = kernel
             win_spec = b3
         else:
-            win_spec = P("dp", "sp", None)
+            win_spec = P("dp", None, "sp")
 
             def inner(codes, delta, lnmis, win):
                 best, off = kernel(codes, delta, lnmis, win)
-                w_local = win.shape[1]
+                w_local = win.shape[2]
                 off = off + jax.lax.axis_index("sp").astype(off.dtype) * w_local
                 bests = jax.lax.all_gather(best, "sp")   # [sp, B, R]
                 offs = jax.lax.all_gather(off, "sp")

@@ -300,12 +300,16 @@ def score_softclipped_input(batch: ReadBatch, r: int,
     if len(ref_seg) < (a1 - a0):
         return None
     s = seq[a0:a1]
-    q = qual[a0:a1].astype(np.float64)
-    e = np.clip(np.power(10.0, -q / 10.0), 1e-35, 0.75)
+    # same quantized per-base weights as the scoring kernels (this
+    # score is compared against kernel scores of the same read, so the
+    # two must share the canonical LUT): lnp = sum lmis + sum_match delta
+    from ..ops.readlik import quantized_qscore_luts
+    delta_lut, lmis_lut = quantized_qscore_luts()
+    qi = np.clip(qual[a0:a1], 0, 127)
     valid = s < 4
     match = valid & (s == ref_seg)
-    lnp = float(np.where(match, np.log1p(-e),
-                         np.log(e / 3.0))[valid].sum())
+    lnp = float(lmis_lut[qi][valid].astype(np.float64).sum()
+                + delta_lut[qi][match].astype(np.float64).sum())
     return lnp + LN_QUARTER * (cl + cr)
 
 

@@ -53,12 +53,11 @@ def _batch_base_cache(batch: ReadBatch):
         return cached
     global _Q_LUT_DELTA, _Q_LUT_LMIS
     if _Q_LUT_DELTA is None:
-        q = np.arange(128, dtype=np.float32)
-        e = np.clip(np.power(10.0, -q / 10.0), 1e-35, 0.75)
-        lm = np.log1p(-e)
-        lmis = np.log(e / 3.0)
-        _Q_LUT_DELTA = (lm - lmis).astype(np.float32)
-        _Q_LUT_LMIS = lmis.astype(np.float32)
+        # canonical quantized deltas (exact 2^-QUANT_BITS multiples) —
+        # the scoring kernels' exactness depends on every delta source
+        # sharing this LUT (ops/readlik.quantized_qscore_luts)
+        from ..ops.readlik import quantized_qscore_luts
+        _Q_LUT_DELTA, _Q_LUT_LMIS = quantized_qscore_luts()
     # one native pass builds all three outputs without the ~6 whole-
     # batch f32 temporaries the numpy route materializes (page-fault
     # tax); the f32 LUT entries are shared, and the per-read lnmis
@@ -234,7 +233,9 @@ def score_loci_batched(
 
     from ..ops import pallas_readlik as pk
     from ..parallel import mesh as pmesh
-    kernel = pk.score_best_offsets if use_pallas else pk.reference_best_offsets
+    # both paths compute the exact quantized-limb formulation and are
+    # bit-identical (scores AND argmax offsets) across backends
+    kernel = pk.score_best_offsets if use_pallas else pk.exact_best_offsets
     emesh = pmesh.engine_mesh()
     dp = emesh.shape["dp"] if emesh is not None else 1
     buf_b = -(-B_CHUNK // dp) * dp  # chunk buffer padded to a dp multiple
@@ -247,7 +248,10 @@ def score_loci_batched(
         codes_b = np.full((buf_b, Rb, Lb), 4, dtype=np.int8)
         delta_b = np.zeros((buf_b, Rb, Lb), dtype=np.float32)
         lnmis_b = np.zeros((buf_b, Rb), dtype=np.float32)
-        win_b = np.full((buf_b, Wb, Lb), 4, dtype=np.int8)
+        # offset-major window layout [Lb, Wb]: win_b[bi, l, w] = base at
+        # window position l of offset w — the kernels' MXU operand
+        # layout, so no transpose is needed on device
+        win_b = np.full((buf_b, Lb, Wb), 4, dtype=np.int8)
         pending: list[tuple[list[tuple[int, int]], int, object]] = []
         for cs in range(0, len(pairs), B_CHUNK):
             chunk = pairs[cs:cs + B_CHUNK]
@@ -266,12 +270,17 @@ def score_loci_batched(
                 hap = work[wi].haps[hi]
                 n_off = min(len(hap) - work[wi].read_len_max + 1, Wb)
                 n_off = max(n_off, 1)
-                # all offset windows in one strided copy (pad the hap
-                # tail so every window is full-length)
-                hp = hap if len(hap) >= n_off - 1 + Lb else np.concatenate(
-                    [hap, np.full(n_off - 1 + Lb - len(hap), 4, np.uint8)])
-                win_b[bi, :n_off] = np.lib.stride_tricks.sliding_window_view(
-                    hp, Lb)[:n_off]
+                # all offset windows in one strided copy: row l of the
+                # transposed layout is hp[l:l+Wb] (win_t[l, w] = hp[w+l])
+                need = Lb + Wb - 1
+                hp = hap if len(hap) >= need else np.concatenate(
+                    [hap, np.full(need - len(hap), 4, np.uint8)])
+                win_b[bi] = np.lib.stride_tricks.sliding_window_view(
+                    hp, Wb)[:Lb]
+                # offsets past the last full-read placement stay
+                # all-padding (scores = lnmis only, never the best) —
+                # same placement set as the pre-transpose layout
+                win_b[bi, :, n_off:] = 4
             kfn = kernel
             if emesh is not None:
                 # dp-shard the batch axis over the engine mesh

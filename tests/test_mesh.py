@@ -154,23 +154,22 @@ def test_sharded_best_offsets_sp_axis_exact(devices):
     delta = rng.uniform(0.5, 20, (B, R, L)).astype(np.float32)
     delta[codes >= 4] = 0.0
     lnmis = rng.normal(-50, 5, (B, R)).astype(np.float32)
-    win = rng.integers(0, 5, (B, W, L)).astype(np.int8)
-    win[:, W // 2:] = 4   # padding offsets -> guaranteed score ties
+    win = rng.integers(0, 5, (B, L, W)).astype(np.int8)
+    win[:, :, W // 2:] = 4  # padding offsets -> guaranteed score ties
     # make some reads all-N so every window ties at lnmis exactly
     codes[:, :2] = 4
     delta[:, :2] = 0.0
 
-    ref_best, ref_off = pk.reference_best_offsets(
+    ref_best, ref_off = pk.exact_best_offsets(
         jnp.asarray(codes), jnp.asarray(delta), jnp.asarray(lnmis),
         jnp.asarray(win))
 
-    # CPU XLA picks different dot microkernels below ~32-wide output
-    # tiles (ulp-level K-accumulation differences), so exactness is
-    # asserted for shard widths >= 32 — the supported sp configs; the
-    # TPU kernel's K pass order is W-independent (Mosaic fixed tiling)
-    for dp, sp, ndev in ((4, 2, 8), (2, 2, 4)):
+    # the exact limb formulation is accumulation-order independent, so
+    # sharded == unsharded holds bitwise at ANY shard width (the old
+    # f32-HIGHEST path was only stable for shards >= 32 on CPU XLA)
+    for dp, sp, ndev in ((4, 2, 8), (2, 2, 4), (1, 4, 4)):
         m = pm.make_mesh(devices[:ndev], dp=dp, sp=sp)
-        fn = pm.sharded_best_offsets(pk.reference_best_offsets, m)
+        fn = pm.sharded_best_offsets(pk.exact_best_offsets, m)
         best, off = fn(jnp.asarray(codes), jnp.asarray(delta),
                        jnp.asarray(lnmis), jnp.asarray(win))
         assert np.array_equal(np.asarray(best), np.asarray(ref_best)), (dp, sp)
