@@ -128,7 +128,7 @@ def build(variant, B, R, L, W, G):
         kern = _kernel_hoist
         scratch = [pltpu.VMEM((R, N_BASE * L), jnp.bfloat16)] * 3 + [
             pltpu.VMEM((N_BASE * L, W), jnp.bfloat16)]
-    elif variant in ("stack", "stackG8"):
+    elif variant.startswith("stack"):
         kern = _kernel_stack
         scratch = [pltpu.VMEM((3 * R, N_BASE * L), jnp.bfloat16),
                    pltpu.VMEM((N_BASE * L, W), jnp.bfloat16)]
@@ -190,7 +190,7 @@ def main():
         if name == "base":
             step = lambda c, d, m, w: pk.score_best_offsets(c, d, m, w)
         else:
-            G = 8 if name == "stackG8" else 4
+            G = {"stackG8": 8, "stackG2": 2, "stackG1": 1}.get(name, 4)
             step = build(name, B, R, L, W, G)
         try:
             ob, oo = step(codes, delta, lnmis, win)

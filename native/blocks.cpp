@@ -11,7 +11,10 @@
 // row tuples the Python side formats into text.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstring>
 
 namespace {
 
@@ -111,4 +114,56 @@ int64_t block_compress_run2(
     return n_rows;
 }
 
+
+// Serialize compressed block rows to gVCF lines (gvcf.py _block_line
+// exactly: gvcf_writer write_site_record(block) semantics). The FILTER
+// string for key&0xFF comes from a caller-built 256-entry table so the
+// filter-name order/merging logic stays in one place (gvcf._key_fstr).
+// Lines are '\n'-terminated; returns bytes written, or -1 if cap is
+// too small (caller re-tries with a bigger buffer).
+extern "C" int64_t block_format_lines(
+    const int64_t* rows, int64_t n, int64_t begin,
+    const uint8_t* ref_list, const char* chrom, const char* label,
+    const char* fstr_blob, const int32_t* fstr_off,
+    char* out, int64_t cap)
+{
+    static const char BASES[6] = "ACGTN";
+    static const char* GT[3] = {"0/0", "0", "."};
+    const size_t chrom_len = strlen(chrom);
+    char* o = out;
+    char* end = out + cap;
+    for (int64_t i = 0; i < n; ++i)
+    {
+        const int64_t* r = rows + i * 7;
+        const int64_t st = r[0], cnt = r[1], key = r[2], gqx_min = r[3];
+        const int64_t dp_sum = r[4], dpf_sum = r[5], dp_min = r[6];
+        if (end - o < 256 + (int64_t)chrom_len + fstr_off[256]) return -1;
+        memcpy(o, chrom, chrom_len); o += chrom_len;
+        o += sprintf(o, "\t%lld\t.\t%c\t.\t.\t",
+                     (long long)(begin + st + 1),
+                     BASES[ref_list[st] > 4 ? 4 : ref_list[st]]);
+        const int32_t k8 = (int32_t)(key & 0xff);
+        const int32_t f0 = fstr_off[k8], f1 = fstr_off[k8 + 1];
+        memcpy(o, fstr_blob + f0, f1 - f0); o += f1 - f0;
+        if (cnt == 1)
+            o += sprintf(o, "\t.\t");
+        else
+            o += sprintf(o, "\tEND=%lld;%s\t",
+                         (long long)(begin + st + cnt), label);
+        o += sprintf(o, "GT:GQX:DP:DPF:MIN_DP\t%s:",
+                     GT[(key >> 8) & 3]);
+        if (key & (1 << 14))
+            o += sprintf(o, "%lld:", (long long)gqx_min);
+        else
+            { *o++ = '.'; *o++ = ':'; }
+        // floor(x + 0.5) == gvcf._round_half (half away from zero for
+        // the non-negative means here)
+        const long long dpr = (long long)floor(dp_sum / (double)cnt + 0.5);
+        const long long dfr = (long long)floor(dpf_sum / (double)cnt + 0.5);
+        o += sprintf(o, "%lld:%lld:%lld\n", dpr, dfr, (long long)dp_min);
+    }
+    return o - out;
+}
+
 }  // extern "C"
+

@@ -658,6 +658,94 @@ def base_cache_native(seq, qual, seq_off, lut_delta, lut_lmis):
     return delta, lnmis, nvalid
 
 
+def exact_score_best_offsets_native(codes, delta, lnmis, win_t):
+    """Native CPU read x window scorer (native/exactscore.cpp) —
+    bit-identical to ops/pallas_readlik.exact_best_offsets (same
+    quantized-limb formulation and IEEE f32 combination order; see the
+    C++ header comment). Returns (best f32 [B,R], off i32 [B,R]) or
+    None when the library is unavailable or L > 512."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "exact_score_best_offsets"):
+        return None
+    B, R, L = codes.shape
+    W = win_t.shape[2]
+    if L > 512:
+        return None
+    if not getattr(lib, "_exsc_ready", False):
+        lib.exact_score_best_offsets.restype = ctypes.c_int32
+        lib.exact_score_best_offsets.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib._exsc_ready = True
+    c = np.ascontiguousarray(codes, dtype=np.int8)
+    d = np.ascontiguousarray(delta, dtype=np.float32)
+    m = np.ascontiguousarray(lnmis, dtype=np.float32)
+    w = np.ascontiguousarray(win_t, dtype=np.int8)
+    best = np.empty((B, R), np.float32)
+    off = np.empty((B, R), np.int32)
+    rc = lib.exact_score_best_offsets(
+        c.ctypes.data, d.ctypes.data, m.ctypes.data, w.ctypes.data,
+        B, R, L, W, best.ctypes.data, off.ctypes.data)
+    if rc != 0:
+        return None
+    return best, off
+
+
+def block_format_lines_native(rows, n_rows, begin, ref_codes, chrom_b,
+                              label_b, fstr_blob, fstr_off, out):
+    """Serialize compressed block rows into newline-terminated gVCF
+    lines (native/blocks.cpp block_format_lines, byte-identical to
+    gvcf._block_line). rows int64 [>=n_rows, 7]; ref_codes uint8;
+    chrom_b/label_b/fstr_blob bytes; fstr_off int32[257]; out uint8.
+    Returns bytes written, -1 when out is too small, or None when the
+    library lacks the symbol."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "block_format_lines"):
+        return None
+    if not getattr(lib, "_bfmt_ready", False):
+        lib.block_format_lines.restype = ctypes.c_int64
+        lib.block_format_lines.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
+        lib._bfmt_ready = True
+    return int(lib.block_format_lines(
+        rows.ctypes.data, n_rows, begin, ref_codes.ctypes.data,
+        chrom_b, label_b, fstr_blob, fstr_off.ctypes.data,
+        out.ctypes.data, len(out)))
+
+
+def snv_hist_native(base_id, qual, mask, qtab_size, out):
+    """(qscore, base) histogram over an SNV pileup tile slice
+    (native/snvhist.cpp) — replaces the XLA:CPU scatter in the germline
+    digt histogram-matmul path. base_id int8 [L, D], qual int16,
+    mask bool; out int8 [L, qtab_size*4] must arrive ZEROED (counts are
+    added). Returns False when the library is unavailable or D > 127
+    (int8 cell-overflow guard); callers fall back to a numpy scatter
+    that produces identical integer counts."""
+    lib = get_lib()
+    L, D = base_id.shape
+    if lib is None or D > 127:
+        return False
+    if not hasattr(lib, "_snvhist_bound"):
+        lib.snv_hist.restype = ctypes.c_int32
+        lib.snv_hist.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int8)]
+        lib._snvhist_bound = True
+    b = np.ascontiguousarray(base_id, dtype=np.int8)
+    q = np.ascontiguousarray(qual, dtype=np.int16)
+    m = np.ascontiguousarray(mask).view(np.uint8)
+    rc = lib.snv_hist(_p(b, ctypes.c_int8), _p(q, ctypes.c_int16),
+                      _p(m, ctypes.c_uint8), L, D, qtab_size,
+                      _p(out, ctypes.c_int8))
+    return rc == 0
+
+
 def align_affine_native(query, ref, s_match, s_mismatch, s_open,
                         s_extend):
     """Native affine-gap global aligner (native/activeregion.cpp
@@ -740,19 +828,16 @@ def block_compress_run2(key, gqx, dp, dpf, i0: int, i1: int,
     if lib is None or not hasattr(lib, "block_compress_run2"):
         return None  # stale .so without the symbol -> Python fallback
     if not getattr(lib, "_blocks2_ready", False):
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        i64p = ctypes.POINTER(ctypes.c_int64)
+        # void* argtypes: raw .ctypes.data ints skip the data_as/cast
+        # pointer-object construction (~12us/arg — this binding runs
+        # once per hom-ref run, thousands of times per region)
         lib.block_compress_run2.restype = ctypes.c_int64
         lib.block_compress_run2.argtypes = [
-            i64p, i32p, i32p, i32p,
-            ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_double, i64p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_void_p]
         lib._blocks2_ready = True
 
-    def p(a, t):
-        return a.ctypes.data_as(ctypes.POINTER(t))
-
     return int(lib.block_compress_run2(
-        p(key, ctypes.c_int64), p(gqx, ctypes.c_int32),
-        p(dp, ctypes.c_int32), p(dpf, ctypes.c_int32),
-        i0, i1, abs_tol, frac_tol, p(out, ctypes.c_int64)))
+        key.ctypes.data, gqx.ctypes.data, dp.ctypes.data,
+        dpf.ctypes.data, i0, i1, abs_tol, frac_tol, out.ctypes.data))

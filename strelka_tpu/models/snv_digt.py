@@ -362,6 +362,58 @@ def snv_strand_bias_tile(tile: SnvPileupTile, tgt, lt,
                         het_vf_extension, het_vf_increment)
 
 
+def _tile_tail(lhood, ref_gt, is_haploid, priors):
+    """Posterior tail shared by call_snv_tile and call_snv_hist_tile:
+    priors, genomic/polymorphic result sets, and PLs from the [L, 10]
+    genotype log-likelihoods (identical traced ops in both entries,
+    preserving bit-parity between the two paths)."""
+    gen_prior = jnp.asarray(priors["genome"])[ref_gt]
+    poly_prior = jnp.asarray(priors["poly"])[ref_gt]
+    if is_haploid is not None:
+        gen_prior = jnp.where(
+            is_haploid[:, None], jnp.asarray(priors["genome_haploid"])[ref_gt], gen_prior)
+        poly_prior = jnp.where(
+            is_haploid[:, None], jnp.asarray(priors["poly_haploid"])[ref_gt], poly_prior)
+
+    ref_clamped = jnp.minimum(ref_gt, digt.N_BASE - 1)
+    g_p, g_max, g_qref, g_qmax, g_lnref = _result_set(lhood, gen_prior, ref_clamped)
+    p_p, p_max, _p_qref, p_qmax, _p_lnref = _result_set(lhood, poly_prior, ref_clamped)
+
+    # PLs (position_snp_call_pprob_digt.cpp:498-511); haploid loci
+    # normalize against the hom-only max (gtcount=N_BASE, :501)
+    lmax = jnp.max(lhood, axis=-1, keepdims=True)
+    if is_haploid is not None:
+        hom_max = jnp.max(lhood[:, :digt.N_BASE], axis=-1, keepdims=True)
+        lmax = jnp.where(is_haploid[:, None], hom_max, lmax)
+    pl = jnp.clip(jnp.floor(-10.0 * (lhood - lmax) / np.log(10.0) + 0.5),
+                  0, 999).astype(jnp.int32)
+    return g_p, p_p, g_max, p_max, g_qref, g_qmax, p_qmax, pl, g_lnref
+
+
+@functools.partial(jax.jit, static_argnames=("theta",))
+def call_snv_hist_tile(hist, ref_gt, is_haploid=None,
+                       theta: float = 0.001) -> SnvCallResult:
+    """call_snv_tile's main pass from a precomputed (qscore, base)
+    histogram (hist int8/f32 [L, _SNV_QTAB_SIZE*4], host-counted by
+    native/snvhist.cpp). Bit-identical to
+    call_snv_tile(..., compute_sb=False) with het_vf_extension=0: the
+    counts are exact integers, so the [L, Q*4] @ qtab matmul and the
+    shared posterior tail see identical inputs."""
+    priors = make_ln_priors(theta)
+    ref_gt = ref_gt.astype(jnp.int32)
+    lhood = hist.astype(jnp.float32) @ jnp.asarray(_snv_qtab())
+    (g_p, p_p, g_max, p_max, g_qref, g_qmax, p_qmax, pl,
+     g_lnref) = _tile_tail(lhood, ref_gt, is_haploid, priors)
+    sb = jnp.zeros(lhood.shape[0], dtype=lhood.dtype)
+    return SnvCallResult(
+        lhood=lhood, genome_pprob=g_p, poly_pprob=p_p,
+        genome_max_gt=g_max, poly_max_gt=p_max,
+        snv_qphred=g_qref, genome_max_gt_qphred=g_qmax,
+        poly_max_gt_qphred=p_qmax, phred_loghood=pl, strand_bias=sb,
+        ln_ref_pprob=g_lnref,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("theta", "het_vf_extension",
                                              "het_vf_increment",
                                              "compute_sb"))
@@ -400,31 +452,14 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
         is_het = jnp.asarray(digt.IS_HET)
         lhood = jnp.where(is_het[None, :], het_lhood, lhood)
 
-    gen_prior = jnp.asarray(priors["genome"])[ref_gt]
-    poly_prior = jnp.asarray(priors["poly"])[ref_gt]
-    if is_haploid is not None:
-        gen_prior = jnp.where(
-            is_haploid[:, None], jnp.asarray(priors["genome_haploid"])[ref_gt], gen_prior)
-        poly_prior = jnp.where(
-            is_haploid[:, None], jnp.asarray(priors["poly_haploid"])[ref_gt], poly_prior)
-
-    ref_clamped = jnp.minimum(ref_gt, digt.N_BASE - 1)
-    g_p, g_max, g_qref, g_qmax, g_lnref = _result_set(lhood, gen_prior, ref_clamped)
-    p_p, p_max, _p_qref, p_qmax, _p_lnref = _result_set(lhood, poly_prior, ref_clamped)
-
-    # PLs (position_snp_call_pprob_digt.cpp:498-511); haploid loci
-    # normalize against the hom-only max (gtcount=N_BASE, :501)
-    lmax = jnp.max(lhood, axis=-1, keepdims=True)
-    if is_haploid is not None:
-        hom_max = jnp.max(lhood[:, :digt.N_BASE], axis=-1, keepdims=True)
-        lmax = jnp.where(is_haploid[:, None], hom_max, lmax)
-    pl = jnp.clip(jnp.floor(-10.0 * (lhood - lmax) / np.log(10.0) + 0.5),
-                  0, 999).astype(jnp.int32)
+    (g_p, p_p, g_max, p_max, g_qref, g_qmax, p_qmax, pl,
+     g_lnref) = _tile_tail(lhood, ref_gt, is_haploid, priors)
 
     # strand bias: forced-ref recomputation per strand (:520-534),
     # including the het-VF extension when enabled (:525-527)
     if compute_sb:
         tgt = g_max
+        ref_clamped = jnp.minimum(ref_gt, digt.N_BASE - 1)
         lt = jnp.take_along_axis(lhood, tgt[:, None], axis=-1)[:, 0]
         sb = _strand_bias(tile, vals, mask, ref_clamped, tgt, lt,
                           het_vf_extension, het_vf_increment)
@@ -438,6 +473,18 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
         poly_max_gt_qphred=p_qmax, phred_loghood=pl, strand_bias=sb,
         ln_ref_pprob=g_lnref,
     )
+
+
+def _np_snv_hist(base, qual, mask, out):
+    """numpy fallback for native snv_hist: identical integer counts
+    (out int8 [L, Q*4], zeroed; guarded by D <= 127 so cells cannot
+    overflow)."""
+    b = base.astype(np.int32)
+    q = np.clip(qual.astype(np.int32), 0, _SNV_QTAB_SIZE - 1)
+    valid = mask & (b >= 0) & (b < digt.N_BASE)
+    rows, cols = np.nonzero(valid)
+    np.add.at(out, (rows, q[rows, cols] * digt.N_BASE + b[rows, cols]),
+              np.int8(1))
 
 
 # fixed chunk shapes: XLA compile time grows superlinearly with the
@@ -535,6 +582,24 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                      and fwd.flags.c_contiguous
                      and mask.flags.c_contiguous)
 
+        # histogram fast path: the digt likelihood depends on the tile
+        # only through per-site (qscore, base) counts, so the [L, D]
+        # upload + XLA scatter (serial on CPU — the top host cost at
+        # scale) collapses to a native host count + [L, Q*4] int8
+        # zero-copy launch (call_snv_hist_tile; counts are exact
+        # integers, results bit-identical). RNA's het-VF extension
+        # needs per-call subsampling weights — full tiles stay on that
+        # path.
+        hist_ok = (het_vf_extension == 0.0 and D <= 127
+                   and base.flags.c_contiguous
+                   and qual.flags.c_contiguous
+                   and mask.flags.c_contiguous)
+        if hist_ok:
+            from ..io.native import snv_hist_native
+            hist_cols = _SNV_QTAB_SIZE * digt.N_BASE
+            hspecs = [((SNV_TILE_L, hist_cols), np.int8)]
+            hist_nbytes = _carve_size(hspecs)
+
         # engine mesh (--mesh): dp-shard the position axis of each
         # chunk over the local device mesh — positions are independent,
         # so XLA partitions the genotyping program with no collectives
@@ -544,6 +609,33 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
         for t0 in range(0, L, SNV_TILE_L):
             t1 = min(t0 + SNV_TILE_L, L)
             rows = t1 - t0
+            if hist_ok:
+                arena = _STAGE_POOL.acquire(hist_nbytes)
+                hbuf = _carve_zeroed(arena, hspecs)[0]
+                if not snv_hist_native(base[t0:t1], qual[t0:t1],
+                                       mask[t0:t1], _SNV_QTAB_SIZE,
+                                       hbuf[:rows]):
+                    _np_snv_hist(base[t0:t1], qual[t0:t1], mask[t0:t1],
+                                 hbuf[:rows])
+                if rows == SNV_TILE_L:
+                    rg = ref_gt[t0:t1]
+                    h = None if hap is None else hap[t0:t1]
+                else:
+                    rg = np.full(SNV_TILE_L, 4, dtype=ref_gt.dtype)
+                    rg[:rows] = ref_gt[t0:t1]
+                    h = None
+                    if hap is not None:
+                        h = np.zeros(SNV_TILE_L, dtype=bool)
+                        h[:rows] = hap[t0:t1]
+                sub_hap = None if h is None else _to_dev(h)
+                res = call_snv_hist_tile(_to_dev(hbuf), _to_dev(rg),
+                                         sub_hap, theta)
+                lt_dev = jnp.take_along_axis(
+                    res.lhood, res.genome_max_gt[:, None], axis=-1)[:, 0]
+                pending.append((res, lt_dev, rows, t0, (hbuf, rg, h)))
+                if len(pending) >= MAX_INFLIGHT:
+                    pull_one()
+                continue
             if direct_ok and rows == SNV_TILE_L:
                 vb = base[t0:t1]
                 vq = qual[t0:t1]

@@ -369,6 +369,29 @@ def _block_line(chrom, begin, ref_chars, ref_list, block_label, row):
             f"{dp_min}")
 
 
+@functools.lru_cache(maxsize=1)
+def _fstr_table():
+    """256-entry FILTER-string table indexed by key & 0xFF, passed to
+    the native block-line formatter (blob bytes + int32[257] offsets)
+    so the filter-name order/merge logic stays in _key_fstr."""
+    parts = [_key_fstr(k).encode() for k in range(256)]
+    off = np.zeros(257, np.int32)
+    off[1:] = np.cumsum([len(p) for p in parts])
+    return b"".join(parts), off
+
+
+_FMT_BUF = None
+
+
+def _fmt_buf(nbytes):
+    """Persistent line-format buffer (fresh allocations page-fault
+    slowly on this VM class; see CLAUDE.md)."""
+    global _FMT_BUF
+    if _FMT_BUF is None or len(_FMT_BUF) < nbytes:
+        _FMT_BUF = np.empty(max(nbytes, 1 << 20), np.uint8)
+    return _FMT_BUF
+
+
 def compute_alt_ranks(counts_list, dp_list, cp_list):
     """Vectorized first phase of getSiteAltAlleles
     (starling_pos_processor.cpp:516-556): per sample, the top-ploidy
@@ -867,6 +890,13 @@ def emit_region(
                               "block_compress_run2"))
     if use_native:
         nb_out = np.empty((L, 7), np.int64)
+        fmt_native = hasattr(natio.get_lib(), "block_format_lines")
+        if fmt_native:
+            fblob, foff = _fstr_table()
+            chrom_b = chrom.encode()
+            label_b = block_label.encode()
+            ref_u8 = np.ascontiguousarray(ref, dtype=np.uint8)
+            line_cap = 128 + len(chrom_b) + len(label_b)
     pyblocks = [_DiploidBlock() for _ in range(n_samples)]
 
     def compress_run(i, j):
@@ -879,6 +909,15 @@ def emit_region(
                 n_rows = natio.block_compress_run2(
                     key_arrs[s], gqx_arrs[s], dp_arrs[s], dpf_arrs[s],
                     i, j, abs_tol, frac_tol, nb_out)
+                if fmt_native and n_rows:
+                    buf = _fmt_buf(n_rows * line_cap)
+                    m = natio.block_format_lines_native(
+                        nb_out, n_rows, begin, ref_u8, chrom_b, label_b,
+                        fblob, foff, buf)
+                    if m is not None and m >= 0:
+                        gl.extend(
+                            buf[:m].tobytes().decode("ascii").splitlines())
+                        continue
                 for row in nb_out[:n_rows].tolist():
                     gl.append(_block_line(chrom, begin, ref_chars,
                                           ref_list, block_label, row))

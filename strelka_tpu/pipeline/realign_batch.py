@@ -238,6 +238,14 @@ def score_loci_batched(
     kernel = pk.score_best_offsets if use_pallas else pk.exact_best_offsets
     emesh = pmesh.engine_mesh()
     dp = emesh.shape["dp"] if emesh is not None else 1
+    # CPU backend without a device mesh: the native compare-accumulate
+    # scorer (native/exactscore.cpp) computes the identical canonical
+    # result synchronously with ~16x less memory traffic than the XLA
+    # one-hot einsums — the top host cost of indel-dense regions
+    native_cpu = None
+    if not use_pallas and emesh is None:
+        from ..io.native import exact_score_best_offsets_native
+        native_cpu = exact_score_best_offsets_native
     buf_b = -(-B_CHUNK // dp) * dp  # chunk buffer padded to a dp multiple
     for (Rb, Lb, Wb), pairs in buckets.items():
         # fixed-size batch chunks: the pair count varies per region, so a
@@ -281,6 +289,12 @@ def score_loci_batched(
                 # all-padding (scores = lnmis only, never the best) —
                 # same placement set as the pre-transpose layout
                 win_b[bi, :, n_off:] = 4
+            if native_cpu is not None:
+                res = native_cpu(codes_b[:Bp], delta_b[:Bp],
+                                 lnmis_b[:Bp], win_b[:Bp])
+                if res is not None:  # synchronous: buffers reusable
+                    pending.append((chunk, Bp, res))
+                    continue
             kfn = kernel
             if emesh is not None:
                 # dp-shard the batch axis over the engine mesh

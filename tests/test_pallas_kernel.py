@@ -177,3 +177,40 @@ def test_per_locus_path_bit_identical_to_batched():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_native_cpu_scorer_bit_identical(inputs):
+    """native/exactscore.cpp must reproduce exact_best_offsets bitwise
+    (scores and first-max argmax offsets) — it is the CPU production
+    path in realign_batch."""
+    from strelka_tpu.io.native import exact_score_best_offsets_native
+    codes, delta, lnmis, win_t = inputs
+    res = exact_score_best_offsets_native(
+        np.asarray(codes), np.asarray(delta), np.asarray(lnmis),
+        np.asarray(win_t))
+    assert res is not None
+    rb, ro = pk.exact_best_offsets(codes, delta, lnmis, win_t)
+    np.testing.assert_array_equal(res[0], np.asarray(rb))
+    np.testing.assert_array_equal(res[1], np.asarray(ro))
+
+
+def test_native_cpu_scorer_ties(inputs):
+    """Exact ties must resolve to the first offset, like jnp.argmax."""
+    from strelka_tpu.io.native import exact_score_best_offsets_native
+    rng = np.random.default_rng(5)
+    B, R, L, W = 2, 8, 64, 32
+    read = rng.integers(0, 4, (L,))
+    codes = np.broadcast_to(read, (B, R, L)).astype(np.int8).copy()
+    delta_lut, lmis_lut = rl.quantized_qscore_luts()
+    q = np.full((B, R, L), 30)
+    delta = delta_lut[q].astype(np.float32)
+    lnmis = lmis_lut[q].sum(axis=2).astype(np.float32)
+    hp = np.tile(read, 2)
+    win_t = np.stack([hp[l:l + W] for l in range(L)], 0)
+    win_t = np.broadcast_to(win_t, (B, L, W)).astype(np.int8).copy()
+    res = exact_score_best_offsets_native(codes, delta, lnmis, win_t)
+    rb, ro = pk.exact_best_offsets(
+        jnp.asarray(codes), jnp.asarray(delta), jnp.asarray(lnmis),
+        jnp.asarray(win_t))
+    np.testing.assert_array_equal(res[0], np.asarray(rb))
+    np.testing.assert_array_equal(res[1], np.asarray(ro))
