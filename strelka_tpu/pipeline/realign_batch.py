@@ -41,6 +41,11 @@ def _round_up(x, m):
 _Q_LUT_DELTA = None
 _Q_LUT_LMIS = None
 
+# when set to a dict, every device kernel launch tallies its padded
+# shape: {(Bp, Rb, Lb, Wb): count} — benchmarks/chip_occupancy.py uses
+# this to estimate end-to-end device occupancy on the real chip
+LAUNCH_STATS: dict | None = None
+
 
 def _batch_base_cache(batch: ReadBatch):
     """(delta_all [nbases] f32, lnmis_read [n] f32, nvalid_read [n] i32)
@@ -311,6 +316,9 @@ def score_loci_batched(
                 jnp.asarray(delta_b[:Bp].copy()),
                 jnp.asarray(lnmis_b[:Bp].copy()),
                 jnp.asarray(win_b[:Bp].copy()))
+            if LAUNCH_STATS is not None:
+                k = (Bp, Rb, Lb, Wb)
+                LAUNCH_STATS[k] = LAUNCH_STATS.get(k, 0) + 1
             pending.append((chunk, Bp, (best, off)))
         for chunk, Bp, (best, off) in pending:
             best = np.asarray(best, dtype=np.float64)
