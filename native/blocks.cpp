@@ -137,7 +137,9 @@ extern "C" int64_t block_format_lines(
         const int64_t* r = rows + i * 7;
         const int64_t st = r[0], cnt = r[1], key = r[2], gqx_min = r[3];
         const int64_t dp_sum = r[4], dpf_sum = r[5], dp_min = r[6];
-        if (end - o < 256 + (int64_t)chrom_len + fstr_off[256]) return -1;
+        const int32_t kf = (int32_t)(key & 0xff);
+        if (end - o < 128 + (int64_t)chrom_len + strlen(label)
+                      + (fstr_off[kf + 1] - fstr_off[kf])) return -1;
         memcpy(o, chrom, chrom_len); o += chrom_len;
         o += sprintf(o, "\t%lld\t.\t%c\t.\t.\t",
                      (long long)(begin + st + 1),

@@ -78,6 +78,12 @@ class IndelCall:
     # marks them all IndelConflict, VariantOverlapResolver.cpp:446-459;
     # we genotype the top-2 and mark the merged record)
     is_conflict: bool = False
+    # forced-GT allele that cannot be genotyped (complex/swap allele,
+    # IndelBuffer.cpp:115-129 doNotGenotype): the record is emitted
+    # with the NotGenotyped filter, 'MQ=.' and all-dot sample columns
+    # (variant_prefilter_stage.cpp:83-91, gvcf_writer.cpp:907-922,
+    # :1025-1054) and never genotyped
+    not_genotyped: bool = False
 
 
 @dataclass
@@ -352,6 +358,8 @@ def call_region(
             phase_set_of_pos[p] = region.begin + 1  # PS = 1-based start
 
     # external candidate indels (e.g. Manta VCF) + forced-GT alleles
+    ng_forced: list[cand.IndelKey] = []
+
     def _add_vcf_indels(paths, is_forced):
         from ..io.vcf import read_vcf
         for path in paths:
@@ -361,7 +369,14 @@ def call_region(
                         dlen = len(recvcf.ref) - 1
                         ins = alt[1:] if len(alt) > 1 else ""
                         if dlen > 0 and ins:
-                            continue  # swap; not promoted
+                            # complex (swap) allele: never genotyped
+                            # (IndelBuffer.cpp:115-129 doNotGenotype);
+                            # forced ones still produce a NotGenotyped
+                            # record
+                            if is_forced:
+                                ng_forced.append(
+                                    cand.IndelKey(recvcf.pos + 1, dlen, ins))
+                            continue
                         if max(dlen, len(ins)) <= opt.max_indel_size and (dlen or ins):
                             store.add_external(
                                 cand.IndelKey(recvcf.pos + 1, dlen, ins),
@@ -520,6 +535,29 @@ def call_region(
             if len(loci[gi]) > len(group):
                 call.is_conflict = True
             indel_calls.append(call)
+
+    # forced complex (swap) alleles: NotGenotyped records with all-dot
+    # sample columns; zero GTs keep them out of the site-modification
+    # and spanning-deletion ploidy machinery below
+    for key in ng_forced:
+        if not (begin <= key.pos <= end):
+            continue
+        zero = np.zeros(2, dtype=np.int32)  # A = 1 alt + ref
+        indel_calls.append(IndelCall(
+            pos=key.pos, keys=[key],
+            records=[cand.IndelRecord(key=key, samples=[],
+                                      is_external=True,
+                                      is_forced_output=True)],
+            sample_gt=[0] * n_samples, sample_gq=[0] * n_samples,
+            sample_gqx=[0] * n_samples,
+            sample_pl=[np.zeros(3, np.int64)] * n_samples,
+            sample_ad=[zero] * n_samples, sample_adf=[zero] * n_samples,
+            sample_adr=[zero] * n_samples, sample_dpi=[0] * n_samples,
+            sample_ploidy=[2] * n_samples,
+            sample_edge_dist=[0.0] * n_samples,
+            not_genotyped=True))
+    if ng_forced:
+        indel_calls.sort(key=lambda c: c.pos)
 
     # spanning-deletion ploidy modification: each deletion allele
     # occurrence in a sample's max GT decrements ploidy over

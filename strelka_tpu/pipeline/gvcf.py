@@ -481,11 +481,13 @@ def vcf_indel_strings(result: RegionCallResult, call: IndelCall):
         pre = decode_bases(ref[max(left - begin, 0):k.pos - begin])
         post = decode_bases(ref[k.right_pos - begin:right - begin])
         alts.append(pre + k.insert_seq + post)
+        # D before I (setIndelAlleleCigar, gvcfAlleleInfo.cpp:77-95);
+        # only swap (NotGenotyped forced) alleles carry both
         parts = [f"{len(pre)}M"]
-        if k.insert_length:
-            parts.append(f"{k.insert_length}I")
         if k.delete_length:
             parts.append(f"{k.delete_length}D")
+        if k.insert_length:
+            parts.append(f"{k.insert_length}I")
         if post:
             parts.append(f"{len(post)}M")
         cigars.append("".join(parts))
@@ -576,6 +578,13 @@ def _indel_filters(opt, result, call, n_samples, chrom_depth=None,
     Returns dict(locus_fset, sample_fsets, gqx_out, is_var_gt).
     """
     A = len(call.keys) + 1
+    if getattr(call, "not_genotyped", False):
+        # NotGenotyped loci take ONLY that filter — no depth filters,
+        # no classification (variant_prefilter_stage.cpp:83-91)
+        return {"locus_fset": set(),
+                "sample_fsets": [{"NotGenotyped"}] * n_samples,
+                "gqx_out": [0] * n_samples,
+                "is_var_gt": [False] * n_samples}
     locus_fset = {"IndelConflict"} if call.is_conflict else set()
     sample_fsets = []
     gqx_out = []
@@ -1294,8 +1303,17 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
     n_samples = len(sample_names)
     pos0, ref_str, alts, cigars = vcf_indel_strings(result, call)
     A = len(call.keys) + 1
+    not_genotyped = getattr(call, "not_genotyped", False)
     rus, refreps, idreps = [], [], []
     for rec in call.records:
+        if not_genotyped:
+            # repeat context is never computed for NotGenotyped loci
+            # (isRepeatUnit false -> '.', write_indel_record_instance
+            # :860-903)
+            rus.append(".")
+            refreps.append(".")
+            idreps.append(".")
+            continue
         ru = rec.repeat_unit if rec.repeat_unit and len(rec.repeat_unit) <= 20 else "."
         rus.append(ru)
         refreps.append(str(rec.ref_repeat_count))
@@ -1311,6 +1329,8 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
             mq_n += int(result.samples[s].pileup.mapq_n[dpi_idx])
             mq_ss += float(result.samples[s].pileup.mapq_sumsq[dpi_idx])
     mq = _round_half(float(np.sqrt(mq_ss / mq_n))) if mq_n > 0 else 0
+    if not_genotyped:
+        mq = "."  # gvcf_writer.cpp:919-922
     info = (f"CIGAR={','.join(cigars)};RU={','.join(rus)};"
             f"REFREP={','.join(refreps)};IDREP={','.join(idreps)};MQ={mq}")
     fmt = "GT:GQ:GQX:DPI:AD:ADF:ADR:FT:PL"
@@ -1318,7 +1338,12 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
     sample_filter_sets = meta["sample_fsets"]
     any_pass_variant = False
     evsf = ""
-    for s in range(n_samples):
+    if not_genotyped:
+        # all-dot sample block + FT + '.' PL (gvcf_writer.cpp:1025-1054)
+        for s in range(n_samples):
+            fstr = _filter_str(sample_filter_sets[s])
+            cols.append(f".:.:.:.:.:.:.:{fstr}:.")
+    for s in range(n_samples if not not_genotyped else 0):
         ploidy = (call.sample_ploidy[s] if call.sample_ploidy is not None
                   else 2)
         if ploidy == 0:
