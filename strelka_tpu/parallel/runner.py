@@ -307,18 +307,34 @@ def init_distributed() -> tuple[int, int]:
 
 def run_local_jobs(module: str, argv: list[str], jobs,
                    cluster_submit: str | None = None,
-                   call_mem_mb: int | None = None) -> int:
+                   call_mem_mb: int | None = None,
+                   cluster_status: str | None = None,
+                   retry_max: int = 1, retry_wait: float = 5.0,
+                   retry_window: float = 360.0) -> int:
     """pyflow local/sge-mode analog: spawn `jobs` worker processes of
     the same workflow CLI (each taking every jobs-th segment group via
     --process-index/--process-count), retry failures once, then run the
     ordered merge (reference: pyflow.py RunMode local/sge + per-task
     retry pyflow.py:939-967; merge strelkaSharedWorkflow.py:102-148).
 
-    cluster_submit: optional blocking submit command wrapping each
-    worker (the sge qsub driver analog, pyflow.py:1424-1435) — either a
-    prefix ("qsub -sync y -b y") or a template containing "{cmd}". The
-    submit command must block until the job exits and propagate its
-    exit status.
+    cluster_submit: optional submit command wrapping each worker (the
+    sge qsub driver analog, pyflow.py:1424-1435) — either a prefix
+    ("qsub -sync y -b y") or a template containing "{cmd}".
+
+    Without cluster_status the submit command must BLOCK until the job
+    exits and propagate its exit status. WITH cluster_status the submit
+    is NON-BLOCKING (prints a job id, last token of its first stdout
+    line, like qsub) and workers are monitored by polling
+    `cluster_status <job_id>` (the qstat analog,
+    pyflow.py:1480-1570): while it exits 0 printing 'running' or
+    'queued' the job is alive; any other exit/output means the job has
+    left the scheduler, and the worker's own exit code is read from a
+    per-task rc file its wrapper writes. A scheduler-lost worker (no
+    rc file) or a failed worker is re-queued up to retry_max times,
+    sleeping retry_wait between tries, while within retry_window
+    seconds of its first submission (RetryParam semantics,
+    pyflow.py:1195-1213); taskstate resume makes re-queued workers
+    skip finished segments.
     """
     import shlex
     import subprocess
@@ -338,10 +354,13 @@ def run_local_jobs(module: str, argv: list[str], jobs,
         if skip:
             skip = False
             continue
-        if a in ("--jobs", "--cluster-submit"):
+        if a in ("--jobs", "--cluster-submit", "--cluster-status",
+                 "--retry-max", "--retry-wait", "--retry-window"):
             skip = True
             continue
-        if a.startswith(("--jobs=", "--cluster-submit=")):
+        if a.startswith(("--jobs=", "--cluster-submit=",
+                         "--cluster-status=", "--retry-max=",
+                         "--retry-wait=", "--retry-window=")):
             continue
         child_argv.append(a)
 
@@ -387,22 +406,137 @@ def run_local_jobs(module: str, argv: list[str], jobs,
                 return subprocess.Popen(cmd, env=env, stdout=lf, stderr=lf)
         return subprocess.Popen(cmd, env=env)
 
-    procs = {i: spawn(i) for i in range(n)}
-    failed = []
-    for i, pr in procs.items():
-        if pr.wait() != 0:
-            failed.append(i)
-    for i in failed:  # one retry round; resume skips finished segments
-        if spawn(i).wait() != 0:
-            print(f"worker {i}/{n} failed twice; aborting merge",
-                  file=sys.stderr)
-            sp = stream_path(i)
-            if sp:
-                from ..utils.flowlog import tail
-                print(f"--- last lines of {sp} ---\n{tail(sp)}",
+    if cluster_submit and cluster_status:
+        rc = _run_cluster_async(
+            module, child_argv, n, env, cluster_submit, cluster_status,
+            log_dir, stream_path, retry_max, retry_wait, retry_window)
+        if rc != 0:
+            return rc
+    else:
+        procs = {i: spawn(i) for i in range(n)}
+        failed = []
+        for i, pr in procs.items():
+            if pr.wait() != 0:
+                failed.append(i)
+        for i in failed:  # one retry round; resume skips done segments
+            if spawn(i).wait() != 0:
+                print(f"worker {i}/{n} failed twice; aborting merge",
                       file=sys.stderr)
-            return 1
+                sp = stream_path(i)
+                if sp:
+                    from ..utils.flowlog import tail
+                    print(f"--- last lines of {sp} ---\n{tail(sp)}",
+                          file=sys.stderr)
+                return 1
     merge = subprocess.run(
         [sys.executable, "-m", module, *child_argv,
          "--merge-only", "--process-count", str(n)])
     return merge.returncode
+
+
+def _run_cluster_async(module, child_argv, n, env, cluster_submit,
+                       cluster_status, log_dir, stream_path,
+                       retry_max, retry_wait, retry_window) -> int:
+    """Non-blocking cluster scheduling: submit every worker, poll the
+    scheduler with exponential backoff (ExpWaiter analog,
+    pyflow.py:1536), and re-queue failed or scheduler-lost workers
+    within their retry window. See run_local_jobs docstring."""
+    import shlex
+    import subprocess
+    import sys
+    import tempfile
+    import time
+
+    rc_dir = log_dir or tempfile.mkdtemp(prefix="strelka_cluster_")
+
+    def rc_path(i):
+        return os.path.join(rc_dir, f"worker.p{i}.rc")
+
+    def submit(i):
+        worker = [sys.executable, "-m", module, *child_argv,
+                  "--process-index", str(i), "--process-count", str(n)]
+        sp = stream_path(i)
+        redir = f" >> {shlex.quote(sp)} 2>&1" if sp else ""
+        # the wrapper records the worker's exit status; a missing rc
+        # file after the scheduler forgets the job = lost worker
+        shell = (f"{shlex.join(worker)}{redir}; "
+                 f"echo $? > {shlex.quote(rc_path(i))}")
+        if os.path.exists(rc_path(i)):
+            os.unlink(rc_path(i))
+        if "{cmd}" in cluster_submit:
+            cmd = shlex.split(cluster_submit.replace("{cmd}", shell))
+        else:
+            cmd = shlex.split(cluster_submit) + [shell]
+        res = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        if res.returncode != 0 or not res.stdout.strip():
+            print(f"cluster submit failed for worker {i}: "
+                  f"{res.stderr.strip()[:500]}", file=sys.stderr)
+            return None
+        return res.stdout.strip().splitlines()[0].split()[-1]
+
+    def status_alive(job_id):
+        res = subprocess.run(shlex.split(cluster_status) + [job_id],
+                             env=env, capture_output=True, text=True)
+        if res.returncode != 0:
+            return False
+        tok = res.stdout.split()
+        return bool(tok) and tok[0] in ("running", "queued", "r", "qw")
+
+    poll0 = float(os.environ.get("STRELKA_TPU_CLUSTER_POLL_S", "1.0"))
+    jobs = {}
+    for i in range(n):
+        jid = submit(i)
+        if jid is None:
+            return 1
+        jobs[i] = {"id": jid, "retries": 0, "t0": time.time(),
+                   "poll": poll0, "next": time.time() + poll0}
+    done, hard_failed = set(), set()
+    while len(done) + len(hard_failed) < n:
+        now = time.time()
+        for i, j in jobs.items():
+            if i in done or i in hard_failed or now < j["next"]:
+                continue
+            if status_alive(j["id"]):
+                j["poll"] = min(j["poll"] * 1.7, 60.0)
+                j["next"] = now + j["poll"]
+                continue
+            # job left the scheduler: read its exit status
+            rc = None
+            if os.path.exists(rc_path(i)):
+                try:
+                    rc = int(open(rc_path(i)).read().strip() or "1")
+                except ValueError:
+                    rc = 1
+            if rc == 0:
+                done.add(i)
+                continue
+            kind = "failed" if rc is not None else "lost by scheduler"
+            elapsed = now - j["t0"]
+            if (j["retries"] < retry_max
+                    and (retry_window <= 0 or elapsed < retry_window)):
+                j["retries"] += 1
+                print(f"worker {i}/{n} {kind}; re-queueing "
+                      f"(retry {j['retries']}/{retry_max})",
+                      file=sys.stderr)
+                time.sleep(retry_wait)
+                jid = submit(i)
+                if jid is None:
+                    hard_failed.add(i)
+                    continue
+                j["id"] = jid
+                j["poll"] = poll0
+                j["next"] = time.time() + poll0
+            else:
+                print(f"worker {i}/{n} {kind}; retries exhausted",
+                      file=sys.stderr)
+                hard_failed.add(i)
+        time.sleep(min(0.05, poll0))
+    if hard_failed:
+        for i in sorted(hard_failed):
+            sp = stream_path(i)
+            if sp and os.path.exists(sp):
+                from ..utils.flowlog import tail
+                print(f"--- last lines of {sp} ---\n{tail(sp)}",
+                      file=sys.stderr)
+        return 1
+    return 0

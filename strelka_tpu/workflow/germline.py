@@ -119,9 +119,26 @@ def run_germline(argv=None) -> int:
                    help="per-worker memory budget for --jobs auto "
                         "sizing (reference --callMemMb)")
     p.add_argument("--cluster-submit", default=None,
-                   help="blocking submit command wrapping each --jobs "
-                        "worker (pyflow sge-mode analog), e.g. "
-                        "'qsub -sync y -b y' or a '{cmd}' template")
+                   help="submit command wrapping each --jobs worker "
+                        "(pyflow sge-mode analog), e.g. "
+                        "'qsub -sync y -b y' or a '{cmd}' template; "
+                        "blocking unless --cluster-status is given")
+    p.add_argument("--cluster-status", default=None,
+                   help="job status command (qstat analog): makes "
+                        "--cluster-submit non-blocking (it must print "
+                        "a job id); invoked as 'CMD <job_id>', prints "
+                        "running/queued while alive. Lost or failed "
+                        "workers are re-queued within the retry "
+                        "window.")
+    p.add_argument("--retry-max", type=int, default=1,
+                   help="per-worker re-queue attempts (pyflow "
+                        "retryMax)")
+    p.add_argument("--retry-wait", type=float, default=5.0,
+                   help="seconds between re-queues (pyflow retryWait)")
+    p.add_argument("--retry-window", type=float, default=360.0,
+                   help="seconds after first submission in which "
+                        "re-queues are allowed; <=0 disables the "
+                        "window (pyflow retryWindow)")
     p.add_argument("--mesh", default=None,
                    help="shard this process's kernel launches over a "
                         "local device mesh: 'auto' (all devices), N, "
@@ -151,7 +168,11 @@ def run_germline(argv=None) -> int:
         rc = run_local_jobs("strelka_tpu.workflow.germline",
                             list(argv) if argv is not None else sys.argv[1:],
                             args.jobs, args.cluster_submit,
-                            call_mem_mb=args.call_mem_mb)
+                            call_mem_mb=args.call_mem_mb,
+                            cluster_status=args.cluster_status,
+                            retry_max=args.retry_max,
+                            retry_wait=args.retry_wait,
+                            retry_window=args.retry_window)
         if rc >= 0:
             return rc
     if args.mesh:

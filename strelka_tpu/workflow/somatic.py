@@ -352,9 +352,26 @@ def run_somatic(argv=None) -> int:
                    help="per-worker memory budget for --jobs auto "
                         "sizing (reference --callMemMb)")
     p.add_argument("--cluster-submit", default=None,
-                   help="blocking submit command wrapping each --jobs "
-                        "worker (pyflow sge-mode analog), e.g. "
-                        "'qsub -sync y -b y' or a '{cmd}' template")
+                   help="submit command wrapping each --jobs worker "
+                        "(pyflow sge-mode analog), e.g. "
+                        "'qsub -sync y -b y' or a '{cmd}' template; "
+                        "blocking unless --cluster-status is given")
+    p.add_argument("--cluster-status", default=None,
+                   help="job status command (qstat analog): makes "
+                        "--cluster-submit non-blocking (it must print "
+                        "a job id); invoked as 'CMD <job_id>', prints "
+                        "running/queued while alive. Lost or failed "
+                        "workers are re-queued within the retry "
+                        "window.")
+    p.add_argument("--retry-max", type=int, default=1,
+                   help="per-worker re-queue attempts (pyflow "
+                        "retryMax)")
+    p.add_argument("--retry-wait", type=float, default=5.0,
+                   help="seconds between re-queues (pyflow retryWait)")
+    p.add_argument("--retry-window", type=float, default=360.0,
+                   help="seconds after first submission in which "
+                        "re-queues are allowed; <=0 disables the "
+                        "window (pyflow retryWindow)")
     p.add_argument("--mesh", default=None,
                    help="shard this process's kernel launches over a "
                         "local device mesh: 'auto' (all devices), N, "
@@ -408,7 +425,11 @@ def run_somatic(argv=None) -> int:
         rc = run_local_jobs("strelka_tpu.workflow.somatic",
                             list(argv) if argv is not None else sys.argv[1:],
                             args.jobs, args.cluster_submit,
-                            call_mem_mb=args.call_mem_mb)
+                            call_mem_mb=args.call_mem_mb,
+                            cluster_status=args.cluster_status,
+                            retry_max=args.retry_max,
+                            retry_wait=args.retry_wait,
+                            retry_window=args.retry_window)
         if rc >= 0:
             return rc
     if args.mesh:
@@ -504,17 +525,41 @@ def run_somatic(argv=None) -> int:
     indel_path = os.path.join(args.output_dir, "somatic.indels.vcf.gz")
     workspace = os.path.join(args.output_dir, "workspace")
 
-    # panel-of-normals site noise (NoiseBuffer/SiteNoise: PNOISE =
-    # fraction of panel samples with nonref noise at the site)
+    # panel-of-normals site noise (NoiseBuffer/SiteNoise): PNOISE =
+    # nfrac, PNOISE2 = n2frac. Reference-format panels carry per-sample
+    # DP:AD columns and the fractions are computed at consumption time
+    # exactly like set_noise_from_vcf (SiteNoise.cpp:29-78: every
+    # sample column counts toward total; a non-'.' column counts as
+    # noise; an AD alt count > 1 counts as noise2); repo-extension
+    # panels may carry precomputed PNOISE/PNOISE2 INFO instead.
     noise_at: dict[tuple[str, int], tuple[float, float]] = {}
     if args.noise_vcf:
         from ..io.vcf import read_vcf
         for path in args.noise_vcf:
             for v in read_vcf(path):
-                info = dict(kv.split("=") for kv in v.info.split(";")
-                            if "=" in kv)
-                noise_at[(v.chrom, v.pos)] = (
-                    float(info.get("PNOISE", 0)), float(info.get("PNOISE2", 0)))
+                pn = None
+                if v.samples:
+                    total = len(v.samples)
+                    noise = noise2 = 0
+                    for col in v.samples:
+                        if col.startswith("."):
+                            continue
+                        noise += 1
+                        parts = col.split(":")
+                        if len(parts) > 1 and "," in parts[1]:
+                            try:
+                                if int(parts[1].split(",")[1]) > 1:
+                                    noise2 += 1
+                            except ValueError:
+                                pass
+                    pn = (noise / total, noise2 / total)
+                elif "PNOISE" in v.info:
+                    info = dict(kv.split("=") for kv in v.info.split(";")
+                                if "=" in kv)
+                    pn = (float(info.get("PNOISE", 0)),
+                          float(info.get("PNOISE2", 0)))
+                if pn is not None:
+                    noise_at[(v.chrom, v.pos)] = pn
 
     runner = rn.SegmentRunner(workspace, process_index=proc_idx,
                               process_count=proc_cnt)
