@@ -107,7 +107,7 @@ void mmdf_read(const ReadView& rv, int64_t r,
                const int64_t* exempt_keys, int64_t n_exempt,
                int64_t rb, int64_t re,
                std::vector<int32_t>& delta, std::vector<uint8_t>& mmf,
-               std::vector<uint8_t>& t2f)
+               std::vector<uint8_t>& t2f, std::vector<uint8_t>& nbm)
 {
     const int64_t S = rv.seq_off[r + 1] - rv.seq_off[r];
     const int F = flank, F2 = 2 * flank;
@@ -115,6 +115,7 @@ void mmdf_read(const ReadView& rv, int64_t r,
     delta.assign(DL, 0);
     mmf.assign(S, 0);
     t2f.assign(S, 0);
+    nbm.assign(S, 0);  // doubles as the per-pos self-mismatch marker
 
     auto inc = [&](int64_t start, int64_t length)
     {
@@ -158,6 +159,7 @@ void mmdf_read(const ReadView& rv, int64_t r,
                             continue;
                     }
                     inc(rp, 1);
+                    nbm[rp] = 1;  // rmi[].is_mismatch
                 }
             }
         }
@@ -179,6 +181,10 @@ void mmdf_read(const ReadView& rv, int64_t r,
         const int32_t cnt = delta[samp];
         mmf[p] = cnt > max_mm;
         t2f[p] = (t2_max_mm >= 0) ? (cnt > t2_max_mm) : mmf[p];
+        // neighbor mismatch: windowed count excluding this position's
+        // own mismatch (mismatch_count_ns, starling_read_util.cpp:211;
+        // feeds adjust_joint_eprob's vexp_frac weighting)
+        nbm[p] = (cnt - (int32_t)nbm[p]) > 0;
     }
 }
 
@@ -250,7 +256,7 @@ int32_t fill_stripe(
     int32_t D, int32_t* slot,
     int8_t* t_base, int16_t* t_qual, int16_t* t_rawq, uint8_t* t_fwd,
     int32_t* t_ridx, int32_t* t_roff, uint8_t* t_valid, uint8_t* t_used,
-    uint8_t* t_t2used,
+    uint8_t* t_t2used, uint8_t* t_nbmm,
     int32_t* spandel, int32_t* submapped, int32_t* mapq_n,
     double* mapq_sumsq, int32_t* mapq_zero,
     int32_t* used_counts, int32_t* used_fwd_counts,
@@ -268,7 +274,7 @@ int32_t fill_stripe(
     const int32_t* cig_lens = rv.cig_lens;
     (void)region_end;  // column indexing is region_begin-relative
     std::vector<int32_t> delta;
-    std::vector<uint8_t> mmf, t2f;
+    std::vector<uint8_t> mmf, t2f, nbm;
 
     for (int64_t r = r_lo; r < r_hi; ++r)
     {
@@ -285,7 +291,7 @@ int32_t fill_stripe(
         if (use_mmdf)
             mmdf_read(rv, r, ref, ref_off, ref_len, mm_flank, mm_max,
                       t2_mm_max, exempt_keys, n_exempt, rb, re, delta,
-                      mmf, t2f);
+                      mmf, t2f, nbm);
 
         int64_t read_p = 0, ref_p = pos[r];
         const int64_t s0 = seq_off[r];
@@ -329,6 +335,7 @@ int32_t fill_stripe(
                     t_ridx[ti] = (int32_t)r;
                     t_roff[ti] = (int32_t)rp;
                     t_valid[ti] = 1;
+                    t_nbmm[ti] = use_mmdf ? nbm[rp] : 0;
                     bool filt = (b == 4) || (rawq < min_qscore);
                     bool t2filt = filt;
                     if (!filt && use_mmdf)
@@ -397,7 +404,7 @@ int32_t pileup_fill(
     // traffic at whole-region scale)
     int8_t* t_base, int16_t* t_qual, int16_t* t_rawq, uint8_t* t_fwd,
     int32_t* t_ridx, int32_t* t_roff, uint8_t* t_valid, uint8_t* t_used,
-    uint8_t* t_t2used,
+    uint8_t* t_t2used, uint8_t* t_nbmm,
     // per-position outputs [L] (+ [L,4] counts)
     int32_t* spandel, int32_t* submapped, int32_t* mapq_n,
     double* mapq_sumsq, int32_t* mapq_zero,
@@ -450,9 +457,10 @@ int32_t pileup_fill(
                          n_reads, min_qscore, mapq_adjust, mm_flank,
                          mm_max, t2_mm_max, exempt_keys, n_exempt, D,
                          slot, t_base, t_qual, t_rawq, t_fwd, t_ridx,
-                         t_roff, t_valid, t_used, t_t2used, spandel,
-                         submapped, mapq_n, mapq_sumsq, mapq_zero,
-                         used_counts, used_fwd_counts, edge_dist_sum);
+                         t_roff, t_valid, t_used, t_t2used, t_nbmm,
+                         spandel, submapped, mapq_n, mapq_sumsq,
+                         mapq_zero, used_counts, used_fwd_counts,
+                         edge_dist_sum);
     }
     else
     {
@@ -470,9 +478,9 @@ int32_t pileup_fill(
                     sb, se, lo, hi, min_qscore, mapq_adjust, mm_flank,
                     mm_max, t2_mm_max, exempt_keys, n_exempt, D, slot,
                     t_base, t_qual, t_rawq, t_fwd, t_ridx, t_roff,
-                    t_valid, t_used, t_t2used, spandel, submapped,
-                    mapq_n, mapq_sumsq, mapq_zero, used_counts,
-                    used_fwd_counts, edge_dist_sum);
+                    t_valid, t_used, t_t2used, t_nbmm, spandel,
+                    submapped, mapq_n, mapq_sumsq, mapq_zero,
+                    used_counts, used_fwd_counts, edge_dist_sum);
             });
         }
         for (auto& th : ths) th.join();

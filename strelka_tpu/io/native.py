@@ -361,7 +361,7 @@ def pileup_native(batch, level, ref_codes, ref_offset,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             i64p, ctypes.c_int64,
             ctypes.c_int32, i32p,
-            i8p, i16p, i16p, u8p, i32p, i32p, u8p, u8p, u8p,
+            i8p, i16p, i16p, u8p, i32p, i32p, u8p, u8p, u8p, u8p,
             i32p, i32p, i32p, f64p, i32p, i32p, i32p, i64p]
         lib._pileup_bound = True
 
@@ -399,10 +399,10 @@ def pileup_native(batch, level, ref_codes, ref_offset,
 
     tile_specs = [((L, D), dt) for dt in
                   (np.int8, np.int16, np.int16, np.uint8, np.int32,
-                   np.int32, np.uint8, np.uint8, np.uint8)]
+                   np.int32, np.uint8, np.uint8, np.uint8, np.uint8)]
     arena = _TILE_POOL.acquire(_carve_size(tile_specs))
     (t_base, t_qual, t_rawq, t_fwd, t_ridx, t_roff, t_valid, t_used,
-     t_t2used) = _carve_zeroed(arena, tile_specs)
+     t_t2used, t_nbmm) = _carve_zeroed(arena, tile_specs)
     spandel = np.zeros(L, np.int32)
     submapped = np.zeros(L, np.int32)
     mapq_n = np.zeros(L, np.int32)
@@ -425,7 +425,7 @@ def pileup_native(batch, level, ref_codes, ref_offset,
         _p(t_rawq, ctypes.c_int16), _p(t_fwd, ctypes.c_uint8),
         _p(t_ridx, ctypes.c_int32), _p(t_roff, ctypes.c_int32),
         _p(t_valid, ctypes.c_uint8), _p(t_used, ctypes.c_uint8),
-        _p(t_t2used, ctypes.c_uint8),
+        _p(t_t2used, ctypes.c_uint8), _p(t_nbmm, ctypes.c_uint8),
         _p(spandel, ctypes.c_int32), _p(submapped, ctypes.c_int32),
         _p(mapq_n, ctypes.c_int32), _p(mapq_sumsq, ctypes.c_double),
         _p(mapq_zero, ctypes.c_int32),
@@ -438,7 +438,8 @@ def pileup_native(batch, level, ref_codes, ref_offset,
         base_id=t_base, qual=t_qual, raw_qual=t_rawq,
         is_fwd=t_fwd.view(bool), read_idx=t_ridx, read_off=t_roff,
         valid=t_valid.view(bool), used=t_used.view(bool),
-        tier2_used=t_t2used.view(bool), spandel=spandel,
+        tier2_used=t_t2used.view(bool),
+        neighbor_mm=t_nbmm.view(bool), spandel=spandel,
         submapped=submapped, mapq_n=mapq_n, mapq_sumsq=mapq_sumsq,
         mapq_zero=mapq_zero, _used_counts=used_counts,
         edge_dist_sum=edge_sum,
@@ -656,6 +657,41 @@ def base_cache_native(seq, qual, seq_off, lut_delta, lut_lmis):
                    _p(delta, ctypes.c_float), _p(lnmis, ctypes.c_float),
                    _p(nvalid, ctypes.c_int32))
     return delta, lnmis, nvalid
+
+
+def dependent_eprob_delta_native(base_id, qual, used, fwd, nbmm,
+                                 ssd_no, ssd_one, want_plane=False):
+    """Dependent basecall-error adjustment deltas
+    (native/depeprob.cpp = blt_common/adjust_joint_eprob.cpp).
+    Returns (s_delta f32 [L,4], de_delta f32 [L,D] or None) or None
+    when the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "dependent_eprob_delta"):
+        return None
+    if not getattr(lib, "_depe_ready", False):
+        lib.dependent_eprob_delta.restype = ctypes.c_int32
+        lib.dependent_eprob_delta.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib._depe_ready = True
+    L, D = base_id.shape
+    b = np.ascontiguousarray(base_id, dtype=np.int8)
+    q = np.ascontiguousarray(qual, dtype=np.int16)
+    u = np.ascontiguousarray(used).view(np.uint8)
+    f = np.ascontiguousarray(fwd).view(np.uint8)
+    n = np.ascontiguousarray(nbmm).view(np.uint8)
+    s_delta = np.empty((L, 4), np.float32)
+    de_delta = np.empty((L, D), np.float32) if want_plane else None
+    rc = lib.dependent_eprob_delta(
+        b.ctypes.data, q.ctypes.data, u.ctypes.data, f.ctypes.data,
+        n.ctypes.data, L, D, float(ssd_no), float(ssd_one),
+        s_delta.ctypes.data,
+        de_delta.ctypes.data if de_delta is not None else None)
+    if rc != 0:
+        return None
+    return s_delta, de_delta
 
 
 def exact_score_best_offsets_native(codes, delta, lnmis, win_t):

@@ -195,6 +195,92 @@ def _snv_qtab():
     return tab
 
 
+@functools.lru_cache(maxsize=1)
+def _e0_tab():
+    """[4, 10] f32 indicator: expect2(g, b) == 0 (the mismatch cell).
+    s_mis[l, b] @ _e0_tab() adds the dependent-eprob mismatch-term
+    delta to every genotype that mismatches base b."""
+    exp2 = np.asarray(digt.EXPECT2)                    # [10, 4] by (g, b)
+    return (exp2 == 0).T.astype(np.float32)            # [4, 10]
+
+
+def dependent_eprob_deltas(base_id, qual, used, fwd, neighbor_mm,
+                           ssd_no: float, ssd_one: float):
+    """Dependent basecall-error adjustment deltas
+    (blt_common/adjust_joint_eprob.cpp; enabled by default in the
+    germline caller, starling_shared.hh:34-35). Returns
+    (s_delta f32 [L, 4], plane_fn) where s_delta[l, b] sums
+    ln(de)-ln(e) over used calls of base b at site l, and
+    plane_fn(rows) gathers the per-call [len(rows), D] delta plane for
+    a row subset (rows=None -> all rows). Most sites have no
+    multi-call (strand, base) group, so s_delta is overwhelmingly zero
+    and the unadjusted likelihoods stay bit-identical."""
+    L, D = base_id.shape
+    nb = neighbor_mm
+    if nb is None:
+        # reference default when not measured
+        # (starling_pos_processor_base.cpp:1242-1243)
+        nb = np.zeros((L, D), dtype=bool)
+
+    from ..io.native import dependent_eprob_delta_native
+
+    def compute(b, q, u, f, n):
+        res = dependent_eprob_delta_native(b, q, u, f, n, ssd_no,
+                                           ssd_one, want_plane=True)
+        if res is not None:
+            return res[0], res[1]
+        return _dependent_eprob_python(b, q, u, f, n, ssd_no, ssd_one)
+
+    s_delta, plane = compute(base_id, qual, used, fwd, nb)
+
+    def plane_fn(rows=None):
+        return plane if rows is None else plane[rows]
+
+    return s_delta, plane_fn
+
+
+def _dependent_eprob_python(base_id, qual, used, fwd, nbmm,
+                            ssd_no, ssd_one):
+    """Pure-python fallback (slow; the semantic twin of
+    native/depeprob.cpp)."""
+    import math
+    L, D = base_id.shape
+    s_delta = np.zeros((L, 4), np.float32)
+    plane = np.zeros((L, D), np.float32)
+    ln_ran = math.log(0.75)
+    elig = used & (base_id >= 0) & (base_id < 4) & (qual >= 3)
+    gid = np.where(elig, fwd.astype(np.int64) + 2 * base_id, -1)
+    counts = np.zeros((L, 8), np.int32)
+    li, di = np.nonzero(elig)
+    np.add.at(counts, (li, gid[li, di]), 1)
+    for l in np.nonzero((counts >= 2).any(axis=1))[0]:
+        for g in range(8):
+            if counts[l, g] < 2:
+                continue
+            mem = [d for d in range(D) if gid[l, d] == g]
+            num = den = 0.0
+            for d in mem:
+                e = 10.0 ** (-qual[l, d] / 10.0)
+                w = ln_ran - math.log(e)
+                den += w
+                if nbmm[l, d]:
+                    num += w
+            mfrac = num / den if den > 0 else 0.0
+            vexp_frac = (1 - mfrac) * ssd_no + mfrac * ssd_one
+            mem.sort(key=lambda d: -qual[l, d])
+            vexp = 1.0
+            for d in mem:
+                e = 10.0 ** (-qual[l, d] / 10.0)
+                val = e ** vexp
+                frac = (1 - val) / (1 - e)
+                de = max(e, frac * val + (1 - frac) * 0.75)
+                delta = np.float32(math.log(de) - math.log(e))
+                s_delta[l, g >> 1] += delta
+                plane[l, d] = delta
+                vexp *= 1 - vexp_frac
+    return s_delta, plane
+
+
 def _masked_lhood_hist(base_id, qual, mask):
     """lhood[l,g] as a (qscore, base) histogram matmul — the germline
     analog of the somatic het_ratio_cache formulation: contributions
@@ -277,7 +363,8 @@ def _result_set(lhood, ln_prior, ref_gt):
 
 
 def _het_vf_extension_lhoods(base_id, qual, mask, extension: float,
-                             increment: float, force_ref=None, ref_gt=None):
+                             increment: float, force_ref=None, ref_gt=None,
+                             dep_delta=None):
     """Het-ratio extension terms for RNA mode.
 
     Vectorized increment_het_ratio_lhood
@@ -305,6 +392,10 @@ def _het_vf_extension_lhoods(base_id, qual, mask, extension: float,
         r = 0.5 + (i + 1) * ratio_inc
         cr = 1.0 - r
         v0 = jnp.log(e) + LN_ONE_THIRD
+        if dep_delta is not None:
+            # dependent-eprob adjustment applies to the mismatch term
+            # only (increment_het_ratio_lhood:297 uses epi.de)
+            v0 = v0 + dep_delta
         v1 = jnp.log(ce * r + (1.0 - ce) / 3.0 * cr)
         v2 = jnp.log(ce * cr + (1.0 - ce) / 3.0 * r)
         v3 = jnp.log(ce)
@@ -322,7 +413,8 @@ def _het_vf_extension_lhoods(base_id, qual, mask, extension: float,
 
 
 def _strand_bias(tile: SnvPileupTile, vals, mask, ref_clamped, tgt, lt,
-                 het_vf_extension: float, het_vf_increment: float):
+                 het_vf_extension: float, het_vf_increment: float,
+                 dep_delta=None):
     """max(lhood_fwd[tgt], lhood_rev[tgt]) - lhood[tgt] per row
     (position_snp_call_pprob_digt.cpp:520-534)."""
     def strand_lhood(force_ref):
@@ -332,7 +424,8 @@ def _strand_bias(tile: SnvPileupTile, vals, mask, ref_clamped, tgt, lt,
             ext, n_sub = _het_vf_extension_lhoods(
                 tile.base_id.astype(jnp.int32), tile.qual, mask,
                 het_vf_extension, het_vf_increment,
-                force_ref=force_ref, ref_gt=ref_clamped)
+                force_ref=force_ref, ref_gt=ref_clamped,
+                dep_delta=dep_delta)
             het_lh = jax.scipy.special.logsumexp(
                 jnp.concatenate([lh[None], ext], axis=0), axis=0) \
                 - jnp.log(jnp.float32(n_sub))
@@ -348,6 +441,7 @@ def _strand_bias(tile: SnvPileupTile, vals, mask, ref_clamped, tgt, lt,
 @functools.partial(jax.jit, static_argnames=("het_vf_extension",
                                              "het_vf_increment"))
 def snv_strand_bias_tile(tile: SnvPileupTile, tgt, lt,
+                         dep_delta=None,
                          het_vf_extension: float = 0.0,
                          het_vf_increment: float = 0.0501):
     """Strand bias for a gathered subset of SNP rows.
@@ -355,11 +449,14 @@ def snv_strand_bias_tile(tile: SnvPileupTile, tgt, lt,
     tgt: [L] genome max genotype per row; lt: [L] base lhood at tgt.
     """
     vals = _call_vals(tile.qual)
+    if dep_delta is not None:
+        vals = vals.at[..., 0].add(dep_delta)
     ref_clamped = jnp.minimum(tile.ref_gt.astype(jnp.int32),
                               digt.N_BASE - 1)
     return _strand_bias(tile, vals, tile.mask, ref_clamped,
                         tgt.astype(jnp.int32), lt,
-                        het_vf_extension, het_vf_increment)
+                        het_vf_extension, het_vf_increment,
+                        dep_delta=dep_delta)
 
 
 def _tile_tail(lhood, ref_gt, is_haploid, priors):
@@ -392,7 +489,8 @@ def _tile_tail(lhood, ref_gt, is_haploid, priors):
 
 @functools.partial(jax.jit, static_argnames=("theta",))
 def call_snv_hist_tile(hist, ref_gt, is_haploid=None,
-                       theta: float = 0.001) -> SnvCallResult:
+                       theta: float = 0.001,
+                       s_mis=None) -> SnvCallResult:
     """call_snv_tile's main pass from a precomputed (qscore, base)
     histogram (hist int8/f32 [L, _SNV_QTAB_SIZE*4], host-counted by
     native/snvhist.cpp). Bit-identical to
@@ -402,6 +500,11 @@ def call_snv_hist_tile(hist, ref_gt, is_haploid=None,
     priors = make_ln_priors(theta)
     ref_gt = ref_gt.astype(jnp.int32)
     lhood = hist.astype(jnp.float32) @ jnp.asarray(_snv_qtab())
+    if s_mis is not None:
+        # dependent-eprob mismatch-term deltas (adjust_joint_eprob):
+        # s_mis[l, b] is zero at unadjusted sites, so those stay
+        # bit-identical
+        lhood = lhood + s_mis @ jnp.asarray(_e0_tab())
     (g_p, p_p, g_max, p_max, g_qref, g_qmax, p_qmax, pl,
      g_lnref) = _tile_tail(lhood, ref_gt, is_haploid, priors)
     sb = jnp.zeros(lhood.shape[0], dtype=lhood.dtype)
@@ -421,7 +524,8 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
                   is_haploid: jnp.ndarray | None = None,
                   het_vf_extension: float = 0.0,
                   het_vf_increment: float = 0.0501,
-                  compute_sb: bool = True) -> SnvCallResult:
+                  compute_sb: bool = True,
+                  dep_delta=None) -> SnvCallResult:
     """Batched equivalent of position_snp_call_pprob_digt over a tile.
 
     is_haploid: optional [L] bool selecting haploid priors per locus
@@ -441,11 +545,21 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
 
     lhood = _masked_lhood(tile.base_id.astype(jnp.int32), vals, mask,
                           qual=tile.qual)
+    if dep_delta is not None:
+        # dependent-eprob adjustment (adjust_joint_eprob): the per-call
+        # deltas fold into the mismatch term only; aggregate them per
+        # (site, base) and route through the expect2==0 indicator.
+        # vals gets the per-call fold for the strand-bias recompute.
+        b32 = tile.base_id.astype(jnp.int32)
+        oh = (b32[..., None] == jnp.arange(digt.N_BASE)) & mask[..., None]
+        s_mis = jnp.sum(jnp.where(oh, dep_delta[..., None], 0.0), axis=1)
+        lhood = lhood + s_mis @ jnp.asarray(_e0_tab())
+        vals = vals.at[..., 0].add(dep_delta)
 
     if het_vf_extension > 0:
         ext_terms, n_subgt = _het_vf_extension_lhoods(
             tile.base_id.astype(jnp.int32), tile.qual, mask,
-            het_vf_extension, het_vf_increment)
+            het_vf_extension, het_vf_increment, dep_delta=dep_delta)
         stacked = jnp.concatenate([lhood[None], ext_terms], axis=0)
         het_lhood = jax.scipy.special.logsumexp(stacked, axis=0) \
             - jnp.log(jnp.float32(n_subgt))
@@ -462,7 +576,8 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
         ref_clamped = jnp.minimum(ref_gt, digt.N_BASE - 1)
         lt = jnp.take_along_axis(lhood, tgt[:, None], axis=-1)[:, 0]
         sb = _strand_bias(tile, vals, mask, ref_clamped, tgt, lt,
-                          het_vf_extension, het_vf_increment)
+                          het_vf_extension, het_vf_increment,
+                          dep_delta=dep_delta)
     else:
         sb = jnp.zeros(lhood.shape[0], dtype=lhood.dtype)
 
@@ -499,12 +614,17 @@ SNV_SB_TILE = 512
 def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                           is_haploid=None,
                           het_vf_extension: float = 0.0,
-                          het_vf_increment: float = 0.0501) -> SnvCallResult:
+                          het_vf_increment: float = 0.0501,
+                          dep=None) -> SnvCallResult:
     """call_snv_tile over fixed [SNV_TILE_L, D-bucket] chunks.
 
     Inputs are numpy/jax [L, D] arrays of any extent; the result is a
     SnvCallResult of host numpy arrays trimmed back to L rows. One
     compile per depth bucket, reused across all chunks and segments.
+
+    dep: optional (s_delta [L, 4] f32, plane_fn(rows) -> [n, D] f32)
+    dependent-eprob deltas from dependent_eprob_deltas; None disables
+    the adjustment.
     """
     base = np.asarray(tile.base_id)
     L, D = base.shape
@@ -513,11 +633,14 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
     mask = np.asarray(tile.mask)
     ref_gt = np.asarray(tile.ref_gt)
     hap = None if is_haploid is None else np.asarray(is_haploid)
+    s_delta = dep[0] if dep is not None else None
+    plane_fn = dep[1] if dep is not None else None
 
     if L <= SNV_TILE_L:
+        dd = jnp.asarray(plane_fn()) if plane_fn is not None else None
         res = call_snv_tile(tile, theta, is_haploid,
                             het_vf_extension, het_vf_increment,
-                            compute_sb=False)
+                            compute_sb=False, dep_delta=dd)
         out = SnvCallResult(*[np.asarray(x) for x in res])
     else:
         Db = ((D + SNV_TILE_D_PAD - 1) // SNV_TILE_D_PAD) * SNV_TILE_D_PAD
@@ -628,8 +751,13 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                         h = np.zeros(SNV_TILE_L, dtype=bool)
                         h[:rows] = hap[t0:t1]
                 sub_hap = None if h is None else _to_dev(h)
+                sm = None
+                if s_delta is not None:
+                    sm = np.zeros((SNV_TILE_L, 4), np.float32)
+                    sm[:rows] = s_delta[t0:t1]
+                    sm = _to_dev(sm)
                 res = call_snv_hist_tile(_to_dev(hbuf), _to_dev(rg),
-                                         sub_hap, theta)
+                                         sub_hap, theta, s_mis=sm)
                 lt_dev = jnp.take_along_axis(
                     res.lhood, res.genome_max_gt[:, None], axis=-1)[:, 0]
                 pending.append((res, lt_dev, rows, t0, (hbuf, rg, h)))
@@ -658,9 +786,15 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                 mask=_to_dev(vm),
                 ref_gt=_to_dev(rg))
             sub_hap = None if h is None else _to_dev(h)
+            dd = None
+            if plane_fn is not None:
+                rows_idx = np.arange(t0, t1)
+                dpad = np.zeros((SNV_TILE_L, Db), np.float32)
+                dpad[:rows, :D] = plane_fn(rows_idx)
+                dd = _to_dev(dpad)
             res = call_snv_tile(sub, theta, sub_hap,
                                 het_vf_extension, het_vf_increment,
-                                compute_sb=False)
+                                compute_sb=False, dep_delta=dd)
             lt_dev = jnp.take_along_axis(
                 res.lhood, res.genome_max_gt[:, None], axis=-1)[:, 0]
             pending.append((res, lt_dev, rows, t0, (vb, vq, vf, vm)))
@@ -714,8 +848,13 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
             tgt_pad[:n] = np.asarray(out.genome_max_gt)[rows]
             lt_pad = np.zeros(SNV_SB_TILE, dtype=lt.dtype)
             lt_pad[:n] = lt[t0:t0 + n]
+            dd = None
+            if plane_fn is not None:
+                dpad = np.zeros((SNV_SB_TILE, Dsb), np.float32)
+                dpad[:n, :D] = plane_fn(rows)
+                dd = jnp.asarray(dpad)
             vals = snv_strand_bias_tile(
                 sub, jnp.asarray(tgt_pad), jnp.asarray(lt_pad),
-                het_vf_extension, het_vf_increment)
+                dd, het_vf_extension, het_vf_increment)
             sb[rows] = np.asarray(vals)[:n]
     return out._replace(strand_bias=sb)

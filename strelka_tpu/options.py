@@ -33,7 +33,9 @@ class BaseOptions:
     # variant records for offline EVS training (isReportEVSFeatures)
     is_report_evs_features: bool = False
     is_ignore_anom_proper_pair: bool = True
-    # dependent-error (off by default; bsnp_ssd_* = 0, blt_shared.hh:83-84)
+    # dependent basecall-error adjustment (adjust_joint_eprob); blt
+    # default off (blt_shared.hh:83-84), the germline caller turns it
+    # on (starling_shared.hh:34-35 / GermlineOptions below)
     bsnp_ssd_no_mismatch: float = 0.0
     bsnp_ssd_one_mismatch: float = 0.0
 
@@ -62,6 +64,10 @@ class StarlingBaseOptions(BaseOptions):
 class GermlineOptions(StarlingBaseOptions):
     """reference: applications/starling/starling_shared.hh +
     flags set by strelkaGermlineWorkflow.py:94-100."""
+    # dependent basecall-error adjustment is ON for germline calling
+    # (starling_shared.hh:34-35)
+    bsnp_ssd_no_mismatch: float = 0.35
+    bsnp_ssd_one_mismatch: float = 0.6
     gvcf_min_gqx: float = 15.0
     gvcf_min_homref_gqx: float = 15.0
     gvcf_max_snv_strand_bias: float = 10.0

@@ -175,13 +175,17 @@ def build_sample_pileup(
         if res is not None:
             pu, native_fwd = res
     if pu is None:
-        mmf, _t2 = rd.mismatch_density_filter(
-            batch, ea, ref_codes, ref_offset, opt.max_win_mismatch_flank_size,
-            opt.max_win_mismatch,
-            candidate_snv_mask=candidate_snv_mask) if batch.n else (None, None)
+        mmf = nbm = None
+        if batch.n:
+            mmf, _t2, nbm = rd.mismatch_density_filter(
+                batch, ea, ref_codes, ref_offset,
+                opt.max_win_mismatch_flank_size, opt.max_win_mismatch,
+                candidate_snv_mask=candidate_snv_mask,
+                with_neighbor=True)
         pu = pl.build_pileup(batch, ea, level, ref_codes, begin, end,
                              min_qscore=opt.min_qscore, mm_filter=mmf,
-                             depth_pad=snv_digt.SNV_TILE_D_PAD)
+                             depth_pad=snv_digt.SNV_TILE_D_PAD,
+                             neighbor_mm=nbm)
     rc = ref_codes[begin - ref_offset:end - ref_offset]
     # unused lanes keep their raw base/qual values: every consumer in
     # the SNV model masks on tile.mask, and one_hot of out-of-range
@@ -230,13 +234,24 @@ def build_sample_pileup(
 def genotype_sample_snvs(opt: GermlineOptions, sd: SampleSiteData,
                          haploid_mask: np.ndarray | None = None) -> None:
     """SNV genotyping over a built pileup; fills sd.snv in place."""
+    dep = None
+    if opt.bsnp_ssd_no_mismatch > 0 or opt.bsnp_ssd_one_mismatch > 0:
+        # dependent basecall-error adjustment (adjust_joint_eprob,
+        # default-on in the reference germline caller)
+        pu = sd.pileup
+        dep = snv_digt.dependent_eprob_deltas(
+            np.asarray(pu.base_id, dtype=np.int8)
+            if pu.base_id.dtype != np.int8 else pu.base_id,
+            pu.qual, pu.used, pu.is_fwd, pu.neighbor_mm,
+            opt.bsnp_ssd_no_mismatch, opt.bsnp_ssd_one_mismatch)
     snv = snv_digt.call_snv_tile_chunked(
         sd._tile, theta=opt.bsnp_diploid_theta,
         is_haploid=(jnp.asarray(haploid_mask)
                     if haploid_mask is not None and haploid_mask.any()
                     else None),
         het_vf_extension=opt.het_variant_frequency_extension,
-        het_vf_increment=opt.max_het_variant_frequency_increment)
+        het_vf_increment=opt.max_het_variant_frequency_increment,
+        dep=dep)
     sd.snv = snv
     del sd._tile
 

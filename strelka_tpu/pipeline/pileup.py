@@ -59,6 +59,10 @@ class PileupRegion:
     mapq_sumsq: np.ndarray   # [L] sum of squared mapq (for RMS)
     mapq_zero: np.ndarray    # [L] count of mapq==0
     _used_counts: np.ndarray | None = None  # cached [L, 4]
+    # [L, D] call has a windowed mismatch besides its own position
+    # (mismatch_count_ns > 0, starling_read_util.cpp:211; feeds the
+    # dependent-eprob adjustment). None when MMDF was not computed.
+    neighbor_mm: np.ndarray | None = None
     # [L] sum of min-distance-from-read-edge over used calls (filled
     # by the native pileup; None -> compute from tiles)
     edge_dist_sum: np.ndarray | None = None
@@ -138,6 +142,7 @@ def build_pileup(
     tier2_mm_filter: np.ndarray | None = None,
     mapq_adjust: bool = True,
     depth_pad: int = 8,
+    neighbor_mm: np.ndarray | None = None,
 ) -> PileupRegion:
     """One vectorized pass: scatter all aligned basecalls into a dense
     [L, D] tile plus per-position counters."""
@@ -188,6 +193,7 @@ def build_pileup(
         return np.zeros((L, D), dtype=dtype)  # calloc: cheaper than full
 
     base_t = tile(np.int32)
+    nbmm_t = tile(bool) if neighbor_mm is not None else None
     qual_t = tile(np.int32)
     rawq_t = tile(np.int32)
     fwd_t = tile(bool)
@@ -203,6 +209,8 @@ def build_pileup(
         rows, cols = p_s, slot
         src = order
         base_t[rows, cols] = base[src]
+        if nbmm_t is not None:
+            nbmm_t[rows, cols] = neighbor_mm[gidx][src]
         qual_t[rows, cols] = q[src]
         rawq_t[rows, cols] = rawq[src]
         fwd_t[rows, cols] = fwd[src]
@@ -243,7 +251,8 @@ def build_pileup(
         begin=region_begin, end=region_end, depth=depth,
         base_id=base_t, qual=qual_t, raw_qual=rawq_t, is_fwd=fwd_t,
         read_idx=ridx_t, read_off=roff_t, valid=valid_t, used=used_t,
-        tier2_used=t2used_t, spandel=spandel, submapped=submapped,
+        tier2_used=t2used_t, neighbor_mm=nbmm_t,
+        spandel=spandel, submapped=submapped,
         mapq_n=mapq_n, mapq_sumsq=mapq_sumsq, mapq_zero=mapq_zero,
         _used_counts=used_counts,
     )

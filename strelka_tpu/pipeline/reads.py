@@ -276,6 +276,7 @@ def mismatch_density_filter(
     max_mismatch: int,
     tier2_max_mismatch: int | None = None,
     candidate_snv_mask=None,
+    with_neighbor: bool = False,
 ):
     """Per-read-base mismatch-density filter flags.
 
@@ -289,11 +290,15 @@ def mismatch_density_filter(
     bool array of mismatches to exempt (active-region candidate SNVs).
 
     Returns (mismatch_filter[read_total_bases] bool aligned with read
-    base offsets via batch.seq_off, tier2_filter or None).
+    base offsets via batch.seq_off, tier2_filter or None); with
+    with_neighbor=True appends neighbor_mm[read_total_bases] — the
+    windowed count excluding the base's own mismatch is > 0
+    (mismatch_count_ns, starling_read_util.cpp:211).
     """
     if batch.n == 0:
         z = np.zeros(0, dtype=bool)
-        return z, (z if tier2_max_mismatch is not None else None)
+        out = (z, (z if tier2_max_mismatch is not None else None))
+        return out + (z,) if with_neighbor else out
     F = flank_size
     F2 = 2 * F
     read_sizes = np.diff(batch.seq_off).astype(np.int64)
@@ -352,7 +357,12 @@ def mismatch_density_filter(
 
     mm_filter = mcount > max_mismatch
     tier2 = mcount > tier2_max_mismatch if tier2_max_mismatch is not None else None
-    return mm_filter, tier2
+    if not with_neighbor:
+        return mm_filter, tier2
+    selfmm = np.zeros(total_bases, dtype=np.int32)
+    selfmm[batch.seq_off[ea.match_read[is_mm]]
+           + ea.match_readoff[is_mm]] = 1
+    return mm_filter, tier2, (mcount - selfmm) > 0
 
 
 def split_spliced_reads(batch: bamio.ReadBatch, level: np.ndarray):

@@ -209,7 +209,9 @@ def test_pl_clamped_at_999(tmp_path):
     def reads(refs):
         rl = 80
         out = []
-        for k in range(120):
+        # deep enough that PL(ref) passes 999 even with the dependent
+        # eprob adjustment saturating per-call mismatch penalties
+        for k in range(300):
             st = 140 + (k % 40)
             seq = list(refs[st:st + rl])
             p = 200 - st

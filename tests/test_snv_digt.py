@@ -149,3 +149,72 @@ def test_haploid_prior_blocks_het():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_dependent_eprob_oracle():
+    """Scalar transcription of blt_common/adjust_joint_eprob.cpp
+    (get_dependent_eprob :58-69 + adjust_icalls_eprob :96-186) vs the
+    native/vectorized dependent_eprob_deltas."""
+    import math
+
+    import numpy as np
+
+    from strelka_tpu.models import snv_digt
+
+    def oracle(base, qual, used, fwd, nbmm, ssd_no, ssd_one):
+        L, D = base.shape
+        plane = np.zeros((L, D))
+        for l in range(L):
+            for g in range(8):
+                gb, gf = g >> 1, g & 1
+                mem = [d for d in range(D)
+                       if used[l, d] and base[l, d] == gb
+                       and (1 if fwd[l, d] else 0) == gf
+                       and qual[l, d] >= 3]
+                if not mem:
+                    continue
+                lnran = math.log(0.75)
+                num = den = 0.0
+                for d in mem:
+                    e = 10.0 ** (-qual[l, d] / 10.0)
+                    w = lnran - math.log(e)
+                    den += w
+                    if nbmm[l, d]:
+                        num += w
+                mfrac = num / den if den > 0 else 0.0
+                vexp_frac = (1 - mfrac) * ssd_no + mfrac * ssd_one
+                mem.sort(key=lambda d: -qual[l, d])
+                vexp = 1.0
+                for d in mem:
+                    e = 10.0 ** (-qual[l, d] / 10.0)
+                    val = e ** vexp
+                    frac = (1 - val) / (1 - e)
+                    de = max(e, frac * val + (1 - frac) * 0.75)
+                    plane[l, d] = math.log(de) - math.log(e)
+                    vexp *= 1 - vexp_frac
+        return plane
+
+    rng = np.random.default_rng(9)
+    L, D = 40, 24
+    base = rng.integers(0, 5, (L, D)).astype(np.int8)
+    qual = rng.integers(0, 42, (L, D)).astype(np.int16)
+    used = rng.random((L, D)) < 0.8
+    fwd = rng.random((L, D)) < 0.5
+    nbmm = rng.random((L, D)) < 0.3
+    s_delta, plane_fn = snv_digt.dependent_eprob_deltas(
+        base, qual, used, fwd, nbmm, 0.35, 0.6)
+    want = oracle(base, qual, used, fwd, nbmm, 0.35, 0.6)
+    got = plane_fn()
+    # per-call planes match where quals are unique; at equal-q ties the
+    # multiset per group is what matters -> compare per-(site, base)
+    # group SUMS (the only aggregation the likelihood consumes)
+    for b in range(4):
+        wsum = np.where(used & (base == b), want, 0).sum(axis=1)
+        gsum = np.where(used & (base == b), got, 0).sum(axis=1)
+        np.testing.assert_allclose(gsum, wsum, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(s_delta[:, b], wsum, rtol=1e-5,
+                                   atol=1e-5)
+    # python fallback agrees with native
+    sd2, plane2 = snv_digt._dependent_eprob_python(
+        base, qual, used, fwd, nbmm, 0.35, 0.6)
+    np.testing.assert_allclose(sd2, s_delta, rtol=1e-5, atol=1e-5)
