@@ -40,6 +40,19 @@
 namespace {
 constexpr double kLnRan = -0.2876820724517809;  // ln(0.75)
 constexpr double kConverge = 0.75;
+
+// per-qscore LUTs: e, ln(e), and the mismatch-frac weight
+struct QTabs {
+    double e[256], ln_e[256], w[256];
+    QTabs() {
+        for (int q = 0; q < 256; ++q) {
+            e[q] = std::pow(10.0, -q / 10.0);
+            ln_e[q] = std::log(e[q]);
+            w[q] = kLnRan - ln_e[q];
+        }
+    }
+};
+const QTabs kQ;
 }
 
 extern "C" {
@@ -95,8 +108,7 @@ int32_t dependent_eprob_delta(
                 // weighted neighbor-mismatch fraction
                 double num = 0.0, den = 0.0;
                 for (int32_t d : grp) {
-                    const double e = std::pow(10.0, -cq[d] / 10.0);
-                    const double w = kLnRan - std::log(e);
+                    const double w = kQ.w[cq[d] & 255];
                     den += w;
                     if (cn[d]) num += w;
                 }
@@ -109,14 +121,22 @@ int32_t dependent_eprob_delta(
                               return cq[a] > cq[b2];
                           });
                 double vexp = 1.0;
+                bool first = true;
                 for (int32_t d : grp) {
-                    const double e = std::pow(10.0, -cq[d] / 10.0);
-                    const double val = std::pow(e, vexp);
+                    if (first) {
+                        // vexp == 1: de == e exactly, delta 0
+                        first = false;
+                        vexp *= (1.0 - vexp_frac);
+                        continue;
+                    }
+                    const int qi = cq[d] & 255;
+                    const double e = kQ.e[qi];
+                    const double lne = kQ.ln_e[qi];
+                    const double val = std::exp(vexp * lne);
                     const double frac = (1.0 - val) / (1.0 - e);
                     const double de = std::max(
                         e, frac * val + (1.0 - frac) * kConverge);
-                    const float delta =
-                        (float)(std::log(de) - std::log(e));
+                    const float delta = (float)(std::log(de) - lne);
                     sd[gb] += delta;
                     if (dd) dd[d] = delta;
                     vexp *= (1.0 - vexp_frac);

@@ -224,17 +224,29 @@ def dependent_eprob_deltas(base_id, qual, used, fwd, neighbor_mm,
 
     from ..io.native import dependent_eprob_delta_native
 
-    def compute(b, q, u, f, n):
+    def compute(b, q, u, f, n, want_plane):
         res = dependent_eprob_delta_native(b, q, u, f, n, ssd_no,
-                                           ssd_one, want_plane=True)
+                                           ssd_one,
+                                           want_plane=want_plane)
         if res is not None:
-            return res[0], res[1]
+            return res
         return _dependent_eprob_python(b, q, u, f, n, ssd_no, ssd_one)
 
-    s_delta, plane = compute(base_id, qual, used, fwd, nb)
+    # the [L, 4] sums are all the production hist path needs; the
+    # [*, D] per-call plane (strand-bias SNP subsets, RNA full tiles)
+    # is computed lazily per row subset — a fresh whole-region [L, D]
+    # f32 plane page-faults for ~1s/Mb on this VM class
+    s_delta, _ = compute(base_id, qual, used, fwd, nb, False)
 
     def plane_fn(rows=None):
-        return plane if rows is None else plane[rows]
+        if rows is None:
+            return compute(base_id, qual, used, fwd, nb, True)[1]
+        return compute(
+            np.ascontiguousarray(base_id[rows]),
+            np.ascontiguousarray(qual[rows]),
+            np.ascontiguousarray(used[rows]),
+            np.ascontiguousarray(fwd[rows]),
+            np.ascontiguousarray(nb[rows]), True)[1]
 
     return s_delta, plane_fn
 
@@ -525,7 +537,7 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
                   het_vf_extension: float = 0.0,
                   het_vf_increment: float = 0.0501,
                   compute_sb: bool = True,
-                  dep_delta=None) -> SnvCallResult:
+                  dep_delta=None, dep_smis=None) -> SnvCallResult:
     """Batched equivalent of position_snp_call_pprob_digt over a tile.
 
     is_haploid: optional [L] bool selecting haploid priors per locus
@@ -555,6 +567,10 @@ def call_snv_tile(tile: SnvPileupTile, theta: float = 0.001,
         s_mis = jnp.sum(jnp.where(oh, dep_delta[..., None], 0.0), axis=1)
         lhood = lhood + s_mis @ jnp.asarray(_e0_tab())
         vals = vals.at[..., 0].add(dep_delta)
+    elif dep_smis is not None:
+        # precomputed [L, 4] sums (the cheap form): valid when no path
+        # below needs per-call deltas
+        lhood = lhood + dep_smis @ jnp.asarray(_e0_tab())
 
     if het_vf_extension > 0:
         ext_terms, n_subgt = _het_vf_extension_lhoods(
@@ -637,10 +653,15 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
     plane_fn = dep[1] if dep is not None else None
 
     if L <= SNV_TILE_L:
-        dd = jnp.asarray(plane_fn()) if plane_fn is not None else None
+        dd = sm = None
+        if dep is not None:
+            if het_vf_extension > 0:
+                dd = jnp.asarray(plane_fn())  # RNA needs per-call deltas
+            else:
+                sm = jnp.asarray(s_delta)
         res = call_snv_tile(tile, theta, is_haploid,
                             het_vf_extension, het_vf_increment,
-                            compute_sb=False, dep_delta=dd)
+                            compute_sb=False, dep_delta=dd, dep_smis=sm)
         out = SnvCallResult(*[np.asarray(x) for x in res])
     else:
         Db = ((D + SNV_TILE_D_PAD - 1) // SNV_TILE_D_PAD) * SNV_TILE_D_PAD
