@@ -12,6 +12,15 @@ timing):
   stackG8 — stack with G=8 tiles per grid step
   int8    — int8 slabs + int8 MXU matmul (int32 accumulate), exact
             integers; 2x MXU rate + half the slab-store bytes
+            (CRASHES Mosaic on v5e — kept for when it lands)
+  hap2    — one tile scores R reads vs H=2 haps (A slabs amortized);
+            MEASURED SLOWER (62M pair-scores/s vs 178M for per-hap
+            stack at G=4): the [3R,4L]@[4L,2W] dot pipelines worse
+            than two narrow dots. Direction dropped.
+
+Round-3 results on the shared v5e (ms/step at B=512,R=128,L=W=128):
+  base(per-limb dots) 0.59 | hoist 0.40 | stack 0.37 (PROMOTED)
+  stackG2 0.39 | stackG1 0.41 | stackG8 0.66 | hap2(G2) 1.05
 
 Timing: chained data-dependent steps, long-minus-short difference
 (same methodology as bench.py; the tunnel's block_until_ready lies).
@@ -227,3 +236,123 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def build_hap2(B2, R, L, W, H, G):
+    """Hap-grouped variant: one tile scores R reads against H
+    haplotypes' windows (win [G, L, H*W]); the A slabs are built once
+    per locus instead of once per hap. Outputs [B2, R, H]."""
+    HW = H * W
+
+    def kern(codes_ref, delta_ref, lnmis_ref, win_ref,
+             best_ref, bestoff_ref, a_scratch, w_scratch):
+        for g in range(G):
+            codes = codes_ref[g].astype(jnp.int32)
+            win = win_ref[g].astype(jnp.int32)
+            d_int = (delta_ref[g] * QUANT_SCALE).astype(jnp.int32)
+            limbs = [((d_int >> s) & 255).astype(jnp.bfloat16)
+                     for s, _ in LIMBS]
+            for b in range(N_BASE):
+                m = codes == b
+                w_scratch[b * L:(b + 1) * L, :] = (win == b).astype(
+                    jnp.bfloat16)
+                for j in range(3):
+                    a_scratch[j * R:(j + 1) * R,
+                              b * L:(b + 1) * L] = jnp.where(
+                        m, limbs[j], jnp.bfloat16(0))
+            big = jnp.dot(a_scratch[:], w_scratch[:],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)  # [3R, HW]
+            s = (big[0:R] * LIMBS[0][1] + big[R:2 * R] * LIMBS[1][1]) \
+                + big[2 * R:3 * R] * LIMBS[2][1]
+            s = s * QUANT_INV + lnmis_ref[g]
+            s3 = s.reshape(R, H, W)
+            best_ref[g] = jnp.max(s3, axis=2)
+            bestoff_ref[g] = jnp.argmax(s3, axis=2).astype(jnp.int32)
+
+    @jax.jit
+    def fn(codes, delta, lnmis, win_t):
+        with jax.enable_x64(False):
+            out = pl.pallas_call(
+                kern,
+                grid=(B2 // G,),
+                in_specs=[
+                    pl.BlockSpec((G, R, L), lambda b: (b, 0, 0)),
+                    pl.BlockSpec((G, R, L), lambda b: (b, 0, 0)),
+                    pl.BlockSpec((G, R, 1), lambda b: (b, 0, 0)),
+                    pl.BlockSpec((G, L, HW), lambda b: (b, 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((G, R, H), lambda b: (b, 0, 0)),
+                    pl.BlockSpec((G, R, H), lambda b: (b, 0, 0)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((B2, R, H), jnp.float32),
+                    jax.ShapeDtypeStruct((B2, R, H), jnp.int32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((3 * R, N_BASE * L), jnp.bfloat16),
+                    pltpu.VMEM((N_BASE * L, HW), jnp.bfloat16),
+                ],
+            )(codes.astype(jnp.int8), delta, lnmis[..., None],
+              win_t.astype(jnp.int8))
+        return out
+
+    return fn
+
+
+def main_hap2():
+    from strelka_tpu.ops import pallas_readlik as pk
+    from strelka_tpu.ops.readlik import quantized_qscore_luts
+    B, R, L, W, H = 256, 128, 128, 128, 2   # 512 (locus, hap) pairs
+    rng = np.random.default_rng(0)
+    dl, ml = quantized_qscore_luts()
+    q = rng.integers(2, 42, (B, R, L))
+    codes_np = rng.integers(0, 5, (B, R, L)).astype(np.int8)
+    delta_np = np.where(codes_np < 4, dl[q], 0).astype(np.float32)
+    lnmis_np = np.where(codes_np < 4, ml[q], 0).sum(2).astype(np.float32)
+    win_np = rng.integers(0, 5, (B, L, H * W)).astype(np.int8)
+    codes, delta, lnmis, win = (jnp.asarray(codes_np),
+                                jnp.asarray(delta_np),
+                                jnp.asarray(lnmis_np),
+                                jnp.asarray(win_np))
+    step = build_hap2(B, R, L, W, H, 2)
+    # correctness vs exact_best_offsets per hap segment
+    eb0, eo0 = pk.exact_best_offsets(codes[:8], delta[:8], lnmis[:8],
+                                     win[:8, :, :W])
+    eb1, eo1 = pk.exact_best_offsets(codes[:8], delta[:8], lnmis[:8],
+                                     win[:8, :, W:])
+    ob, oo = step(codes, delta, lnmis, win)
+    ob, oo = np.asarray(ob), np.asarray(oo)
+    exact = (np.array_equal(ob[:8, :, 0], np.asarray(eb0))
+             and np.array_equal(ob[:8, :, 1], np.asarray(eb1))
+             and np.array_equal(oo[:8, :, 0], np.asarray(eo0))
+             and np.array_equal(oo[:8, :, 1], np.asarray(eo1)))
+
+    def chain(n):
+        carry = lnmis
+        for _ in range(n):
+            o = step(codes, delta, carry, win)
+            carry = carry + o[0][:, :, 0] * 0.0
+        return carry
+
+    def timed(n):
+        r = chain(n)
+        np.asarray(r[:1])
+        best = float("inf")
+        for _ in range(6):
+            t0 = time.perf_counter()
+            r = chain(n)
+            np.asarray(r[:1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    ts, tl = timed(1), timed(11)
+    dt = max(tl - ts, 1e-9) / 10
+    pairs = B * R * H
+    print(f"hap2: step={dt*1e3:.3f}ms pair-scores/s={pairs/dt/1e6:.1f}M "
+          f"exact={exact}")
+
+
+if __name__ == "__main__" and "hap2" in sys.argv:
+    main_hap2()

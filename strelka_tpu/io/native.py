@@ -830,9 +830,14 @@ def region_segments_native(match_refpos, match_readoff, row_lo, row_hi,
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.region_segments.restype = None
+        # void* argtypes: raw .ctypes.data ints skip pointer-object
+        # construction (this binding fires once per active region)
         lib.region_segments.argtypes = [
-            i32p, i32p, i64p, i64p, ctypes.c_int64, i64p, u8p, i64p,
-            ctypes.c_int64, ctypes.c_int64, i64p, i64p, u8p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib._rseg_bound = True
     n = len(read_idx)
     rl = np.ascontiguousarray(row_lo, dtype=np.int64)
@@ -842,12 +847,11 @@ def region_segments_native(match_refpos, match_readoff, row_lo, row_hi,
     o1 = np.empty(n, np.int64)
     valid = np.zeros(n, np.uint8)
     lib.region_segments(
-        _p(match_refpos, ctypes.c_int32), _p(match_readoff, ctypes.c_int32),
-        _p(rl, ctypes.c_int64), _p(rh, ctypes.c_int64), n,
-        _p(ri, ctypes.c_int64), _p(seq, ctypes.c_uint8),
-        _p(seq_off, ctypes.c_int64), begin, end,
-        _p(o0, ctypes.c_int64), _p(o1, ctypes.c_int64),
-        _p(valid, ctypes.c_uint8))
+        match_refpos.ctypes.data, match_readoff.ctypes.data,
+        rl.ctypes.data, rh.ctypes.data, n,
+        ri.ctypes.data, seq.ctypes.data,
+        seq_off.ctypes.data, begin, end,
+        o0.ctypes.data, o1.ctypes.data, valid.ctypes.data)
     return o0, o1, valid.view(bool)
 
 

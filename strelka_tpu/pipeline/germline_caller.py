@@ -718,14 +718,10 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
             p = np.exp(al)
             p /= p.sum(axis=1, keepdims=True)
             conf = p >= 0.51  # readConfidentSupportThreshold
-            ad = np.zeros(A, np.int32)
-            adf = np.zeros(A, np.int32)
-            adr = np.zeros(A, np.int32)
-            for a in range(A):
-                sel = conf[:, a]
-                ad[a] = int(sel.sum())
-                adf[a] = int((sel & scores.is_fwd).sum())
-                adr[a] = int((sel & ~scores.is_fwd).sum())
+            ad = conf.sum(axis=0).astype(np.int32)
+            adf = (conf & scores.is_fwd[:, None]).sum(axis=0) \
+                .astype(np.int32)
+            adr = ad - adf
 
         pg, max_g, q_ref_g, q_max_g = ig.genotype_posteriors(lh, tri_g)
         pp, max_p, q_ref_p, q_max_p = ig.genotype_posteriors(lh, tri_p)

@@ -247,3 +247,22 @@ def test_native_base_cache_matches_numpy():
     assert np.array_equal(d1, d2)
     assert np.array_equal(l1, l2)
     assert np.array_equal(v1, v2)
+
+
+def test_sanitizer_gate():
+    """ASan/UBSan smoke gate over every native compute entry point
+    (make -C native check; SURVEY §5 sanitizers — the reference wires
+    ASan build types and cppcheck-as-error into its build)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("no toolchain")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(["make", "-C", os.path.join(repo, "native"),
+                          "check"], capture_output=True, text=True,
+                         timeout=300)
+    if "unrecognized" in res.stderr or "cannot find" in res.stderr:
+        pytest.skip("toolchain lacks sanitizer runtime")
+    assert res.returncode == 0, res.stdout[-1500:] + res.stderr[-1500:]
+    assert "sancheck ok" in res.stdout
