@@ -234,7 +234,7 @@ def main():
               f"exact={exact} compile={t_compile:.0f}s")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "hap2" not in sys.argv:
     main()
 
 

@@ -11,6 +11,7 @@
 // callers must guarantee D <= 127 so no cell can overflow.
 
 #include <cstdint>
+#include <cstring>
 #include <thread>
 #include <vector>
 
@@ -26,19 +27,23 @@ int32_t snv_hist(const int8_t* base, const int16_t* qual,
         (int)std::min<int64_t>(std::max(1u, std::thread::hardware_concurrency()),
                                std::max<int64_t>(1, L / 4096));
     auto stripe = [&](int64_t l0, int64_t l1) {
+        // zero + count in one cache-warm pass (the caller previously
+        // memset whole 16MB buffers on one core)
         for (int64_t l = l0; l < l1; ++l) {
             const int8_t* b = base + l * D;
             const int16_t* q = qual + l * D;
             const uint8_t* m = mask + l * D;
             int8_t* h = hist + l * C;
+            std::memset(h, 0, (size_t)C);
             for (int64_t d = 0; d < D; ++d) {
-                if (!m[d]) continue;
-                const int32_t bi = b[d];
-                if (bi < 0 || bi >= 4) continue;
+                // branchless: invalid calls land in a scratch cell
+                const uint32_t bi = (uint32_t)(uint8_t)b[d];
                 int32_t qi = q[d];
-                if (qi < 0) qi = 0;
-                if (qi >= qtab_size) qi = qtab_size - 1;
-                ++h[qi * 4 + bi];
+                qi = qi < 0 ? 0 : (qi >= qtab_size ? qtab_size - 1 : qi);
+                const bool ok = m[d] && bi < 4;
+                int8_t scratch;
+                int8_t* cell = ok ? &h[qi * 4 + bi] : &scratch;
+                *cell = (int8_t)(*cell + 1);
             }
         }
     };

@@ -672,7 +672,8 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
         # views are kept alive in `pending` until its results are
         # pulled — the pool's refcount check then guarantees an arena
         # is never re-carved while a launch still reads it.
-        from ..io.native import _carve_zeroed, _carve_size, _STAGE_POOL
+        from ..io.native import (_carve, _carve_zeroed, _carve_size,
+                                 _STAGE_POOL)
         specs = [((SNV_TILE_L, Db), dt)
                  for dt in (base.dtype, qual.dtype, np.bool_, np.bool_)]
         arena_nbytes = _carve_size(specs)
@@ -755,10 +756,15 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
             rows = t1 - t0
             if hist_ok:
                 arena = _STAGE_POOL.acquire(hist_nbytes)
-                hbuf = _carve_zeroed(arena, hspecs)[0]
+                # native snv_hist zeroes its rows itself (threaded,
+                # cache-warm); only the padding tail needs clearing
+                hbuf = _carve(arena, hspecs)[0]
+                if rows < SNV_TILE_L:
+                    hbuf[rows:] = 0
                 if not snv_hist_native(base[t0:t1], qual[t0:t1],
                                        mask[t0:t1], _SNV_QTAB_SIZE,
                                        hbuf[:rows]):
+                    hbuf[:rows] = 0
                     _np_snv_hist(base[t0:t1], qual[t0:t1], mask[t0:t1],
                                  hbuf[:rows])
                 if rows == SNV_TILE_L:

@@ -37,10 +37,16 @@ The fixed-order combination
 is elementwise IEEE f32 (identical on every backend). Result: the
 Pallas kernel, the XLA path (exact_best_offsets), and interpret mode
 produce bit-identical scores AND argmax offsets on TPU and CPU, at
-3 MXU passes instead of the 6 of a f32-HIGHEST matmul. (Round 2's
-`split3` bf16-decomposition path hit the same pass count but its f32
-accumulation order was backend-dependent — it tolerated 1% best-offset
-flips and was removed in favor of this formulation.)
+3 MXU row-passes instead of the 6 precision-passes of a f32-HIGHEST
+matmul — run as ONE [3R, 4L] @ [4L, W] dot with the limb slabs stacked
+along M (1.6x vs dot-per-limb on v5e; A/B history in
+benchmarks/exp_exact_kernel.py). (Round 2's `split3` bf16-decomposition
+path had the same pass count but its f32 accumulation order was
+backend-dependent — it tolerated 1% best-offset flips and was removed
+in favor of this formulation.) The CPU engine path is
+native/exactscore.cpp — the same formulation as bit-parallel base
+matching + per-qual-group popcounts, bit-identical by the same
+argument.
 
 mode="highest" keeps the f32-HIGHEST matmul for A/B benchmarking; it
 is NOT bit-stable across backends.

@@ -861,6 +861,12 @@ def emit_region(
     hdep_v = (locus_exists_v & (pooled_depth_v > maxdep)
               if maxdep is not None else np.zeros(L, bool))
     min_dp = opt.gvcf_min_passed_call_depth
+    # python-fallback block lists are only materialized when the
+    # native compressor is unavailable (whole-region tolist costs
+    # ~0.1s/Mb)
+    from ..io import native as natio
+    _py_blocks = (FORCE_PYTHON_BLOCKS or natio.get_lib() is None
+                  or not hasattr(natio.get_lib(), "block_compress_run2"))
     key_l, gqx_l, dp_l, dpf_l = [], [], [], []
     key_arrs, gqx_arrs, dp_arrs, dpf_arrs = [], [], [], []
     for s in range(n_samples):
@@ -884,10 +890,11 @@ def emit_region(
         gqx_arrs.append(gqx_v.astype(np.int32))
         dp_arrs.append(p["dp"].astype(np.int32))
         dpf_arrs.append(p["dpf"].astype(np.int32))
-        key_l.append(key_v.tolist())
-        gqx_l.append(gqx_v.tolist())
-        dp_l.append(p["dp"].tolist())
-        dpf_l.append(p["dpf"].tolist())
+        if _py_blocks:
+            key_l.append(key_v.tolist())
+            gqx_l.append(gqx_v.tolist())
+            dp_l.append(p["dp"].tolist())
+            dpf_l.append(p["dpf"].tolist())
 
     abs_tol = opt.block_abs_tol
     frac_tol = opt.block_frac_tol
@@ -946,23 +953,24 @@ def emit_region(
                                           ref_list, block_label, row))
 
     # ---- scalar helpers for full site records ----
-    pgt_ll = [sv[s]["pgt"].tolist() for s in range(n_samples)]
-    ggt_ll = [sv[s]["ggt"].tolist() for s in range(n_samples)]
-    cp_ll = [pre[s]["cp"].tolist() for s in range(n_samples)]
-    rank_ll = rank_v.tolist()
-    ref_ok_l = ref_ok.tolist()
-    ALL_L = ALL.tolist()
+    # indexed lazily: only ~variant-density many sites print full
+    # records, so whole-region tolist conversions were pure overhead
+    pgt_a = [sv[s]["pgt"] for s in range(n_samples)]
+    ggt_a = [sv[s]["ggt"] for s in range(n_samples)]
+    cp_a = [pre[s]["cp"] for s in range(n_samples)]
+
+    ALL_L = ALL.tolist()  # tiny [10, 2] genotype-allele table
 
     def site_alt_order(i):
-        if not ref_ok_l[i]:
+        if not ref_ok[i]:
             return []
-        gt_entries = [(pgt_ll[s][i], ggt_ll[s][i],
-                       2 if cp_ll[s][i] == 2 else 1)
+        gt_entries = [(int(pgt_a[s][i]), int(ggt_a[s][i]),
+                       2 if int(cp_a[s][i]) == 2 else 1)
                       for s in range(n_samples)]
-        return nominate_site_alts(rank_ll[i], ref_list[i], gt_entries)
+        return nominate_site_alts(rank_v[i], ref_list[i], gt_entries)
 
-    qual_cap_l = site_qual_cap.tolist()
-    qual_l = qual_v.tolist()
+    qual_cap_l = site_qual_cap
+    qual_l = qual_v
     mapq_n_list = [result.samples[s].pileup.mapq_n for s in range(n_samples)]
     mapq_ss_list = [result.samples[s].pileup.mapq_sumsq
                     for s in range(n_samples)]
@@ -983,7 +991,7 @@ def emit_region(
         alt_str = ",".join(ref_chars[a] for a in alts) if isalt else "."
 
         # QUAL printed only for variant loci (isQual)
-        qual = min(qual_l[i], qual_cap_l[i]) if variant_locus else "."
+        qual = int(min(qual_l[i], qual_cap_l[i])) if variant_locus else "."
 
         hpol = snv_hpol(hpol_ref, i + hpol_off)
         mq_n = sum(int(m[i]) for m in mapq_n_list)
@@ -1009,17 +1017,17 @@ def emit_region(
             dp = int(p["dp"][i])
             dpf = int(p["dpf"][i])
             unknown = bool(p["unknown"][i])
-            cp = cp_ll[s][i]
+            cp = int(cp_a[s][i])
             is_var = bool(p["variant"][i])
             gq = int(p["gq"][i])
             gqx = int(p["gqx"][i])
             sb = float(sv[s]["sb"][i])
-            pgt = pgt_ll[s][i]
+            pgt = int(pgt_a[s][i])
 
             if s == 0 and is_var and isalt and opt.is_report_evs_features:
                 f0 = germline_snv_features(
                     snv_forest or _EVSF_SNV_DEFAULT, result.samples[0], i,
-                    hpol, qual_l[i], alts[0], sb)
+                    hpol, int(qual_l[i]), alts[0], sb)
                 evsf = ";EVSF=" + format_evsf(f0)
 
             # GT
@@ -1051,7 +1059,7 @@ def emit_region(
                     # :124-160 — no HighDepth for EVS-scored samples)
                     feats = germline_snv_features(
                         snv_forest, result.samples[s], i, hpol,
-                        qual_l[i], alts[0] if alts else 0, sb)
+                        int(qual_l[i]), alts[0] if alts else 0, sb)
                     evs = float(snv_forest.score_phred(feats[None])[0])
                     gqx = int(round(evs))
                     filters = set()
