@@ -21,6 +21,12 @@ timing):
 Round-3 results on the shared v5e (ms/step at B=512,R=128,L=W=128):
   base(per-limb dots) 0.59 | hoist 0.40 | stack 0.37 (PROMOTED)
   stackG2 0.39 | stackG1 0.41 | stackG8 0.66 | hap2(G2) 1.05
+  bfcmp: Mosaic CRASHES on packed bf16 vector compares
+  (vector<8x128x2xbf16> cmpf), same class as the packed-i8 compare
+  limitation — mask building is stuck on 4-wide i32 compares until
+  Mosaic grows packed compares or the i8 MXU dot lands. The remaining
+  step-time beyond the dot (~0.26ms of 0.37) is VPU slab construction
+  bounded by exactly that.
 
 Timing: chained data-dependent steps, long-minus-short difference
 (same methodology as bench.py; the tunnel's block_until_ready lies).
@@ -132,11 +138,46 @@ def _kernel_int8(G, codes_ref, delta_ref, lnmis_ref, win_ref,
         bestoff_ref[g] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
 
 
+def _kernel_bfcmp(G, codes_ref, delta_ref, lnmis_ref, win_ref,
+                  best_ref, bestoff_ref, a_scratch, w_scratch):
+    """stack variant with bf16 equality masks (i8->bf16 converts pack
+    2-wide vs the 4-wide i32 widen; small-int equality is exact)."""
+    L = codes_ref.shape[2]
+    R = codes_ref.shape[1]
+    for g in range(G):
+        codes = codes_ref[g].astype(jnp.bfloat16)
+        win = win_ref[g].astype(jnp.bfloat16)
+        d_int = (delta_ref[g] * QUANT_SCALE).astype(jnp.int32)
+        limbs = [((d_int >> s) & 255).astype(jnp.bfloat16)
+                 for s, _ in LIMBS]
+        for b in range(N_BASE):
+            fb = jnp.bfloat16(b)
+            m = codes == fb
+            w_scratch[b * L:(b + 1) * L, :] = (win == fb).astype(
+                jnp.bfloat16)
+            for j in range(3):
+                a_scratch[j * R:(j + 1) * R,
+                          b * L:(b + 1) * L] = jnp.where(
+                    m, limbs[j], jnp.bfloat16(0))
+        big = jnp.dot(a_scratch[:], w_scratch[:],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+        s = (big[0:R] * LIMBS[0][1] + big[R:2 * R] * LIMBS[1][1]) \
+            + big[2 * R:3 * R] * LIMBS[2][1]
+        s = s * QUANT_INV + lnmis_ref[g]
+        best_ref[g] = jnp.max(s, axis=1, keepdims=True)
+        bestoff_ref[g] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
+
+
 def build(variant, B, R, L, W, G):
     if variant == "hoist":
         kern = _kernel_hoist
         scratch = [pltpu.VMEM((R, N_BASE * L), jnp.bfloat16)] * 3 + [
             pltpu.VMEM((N_BASE * L, W), jnp.bfloat16)]
+    elif variant == "bfcmp":
+        kern = _kernel_bfcmp
+        scratch = [pltpu.VMEM((3 * R, N_BASE * L), jnp.bfloat16),
+                   pltpu.VMEM((N_BASE * L, W), jnp.bfloat16)]
     elif variant.startswith("stack"):
         kern = _kernel_stack
         scratch = [pltpu.VMEM((3 * R, N_BASE * L), jnp.bfloat16),
