@@ -81,3 +81,45 @@ def test_het_vf_helps_skewed_ratio():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_het_vf_with_dependent_eprob():
+    """RNA het-VF extension x dependent-eprob adjustment: the chunked
+    driver's plane path must match the direct call_snv_tile(dep_delta)
+    result, and the extension terms must consume the adjusted mismatch
+    term (increment_het_ratio_lhood:297 uses epi.de)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from strelka_tpu.models import snv_digt
+
+    rng = np.random.default_rng(2)
+    L, D = 96, 16
+    base = rng.integers(0, 4, (L, D)).astype(np.int8)
+    base[:, :5] = 1  # stacked same-base calls -> adjustment fires
+    qual = np.full((L, D), 32, np.int16)
+    fwd = np.zeros((L, D), bool)
+    fwd[:, ::2] = True
+    used = np.ones((L, D), bool)
+    nbmm = np.zeros((L, D), bool)
+    ref_gt = np.zeros(L, np.int32)
+    s_delta, plane_fn = snv_digt.dependent_eprob_deltas(
+        base, qual, used, fwd, nbmm, 0.35, 0.6)
+    assert s_delta.sum() > 0
+    tile = snv_digt.SnvPileupTile(
+        jnp.asarray(base), jnp.asarray(qual.astype(np.int32)),
+        jnp.asarray(fwd), jnp.asarray(used), jnp.asarray(ref_gt))
+    direct = snv_digt.call_snv_tile(
+        tile, het_vf_extension=0.45, compute_sb=False,
+        dep_delta=jnp.asarray(plane_fn()))
+    chunked = snv_digt.call_snv_tile_chunked(
+        tile, het_vf_extension=0.45, dep=(s_delta, plane_fn))
+    np.testing.assert_array_equal(np.asarray(direct.snv_qphred),
+                                  np.asarray(chunked.snv_qphred))
+    np.testing.assert_array_equal(np.asarray(direct.phred_loghood),
+                                  np.asarray(chunked.phred_loghood))
+    # the adjustment must actually move the het-extended lhoods
+    plain = snv_digt.call_snv_tile(tile, het_vf_extension=0.45,
+                                   compute_sb=False)
+    assert np.abs(np.asarray(direct.lhood)
+                  - np.asarray(plain.lhood)).max() > 1.0
