@@ -41,9 +41,24 @@ namespace {
 constexpr double kLnRan = -0.2876820724517809;  // ln(0.75)
 constexpr double kConverge = 0.75;
 
-// per-qscore LUTs: e, ln(e), and the mismatch-frac weight
+constexpr int kRankCap = 64;
+
+inline double dep_delta_exact(double e, double lne, double vexp)
+{
+    const double val = std::exp(vexp * lne);
+    const double frac = (1.0 - val) / (1.0 - e);
+    const double de = std::max(e, frac * val + (1.0 - frac) * kConverge);
+    return std::log(de) - lne;
+}
+
+// per-qscore LUTs: e, ln(e), the mismatch-frac weight, and — for the
+// dominant mfrac==0 case where vexp_frac is EXACTLY ssd_no — the
+// per-rank delta table (vexp = (1-ssd_no)^rank), so the inner loop is
+// a table read instead of exp+log per call
 struct QTabs {
     double e[256], ln_e[256], w[256];
+    float delta0[256][kRankCap];
+    double decay0 = 0.0;
     QTabs() {
         for (int q = 0; q < 256; ++q) {
             e[q] = std::pow(10.0, -q / 10.0);
@@ -51,8 +66,20 @@ struct QTabs {
             w[q] = kLnRan - ln_e[q];
         }
     }
+    void build_rank_table(double ssd_no) {
+        decay0 = 1.0 - ssd_no;
+        for (int q = 0; q < 256; ++q) {
+            double vexp = 1.0;
+            for (int r = 0; r < kRankCap; ++r) {
+                delta0[q][r] =
+                    r == 0 ? 0.0f
+                           : (float)dep_delta_exact(e[q], ln_e[q], vexp);
+                vexp *= decay0;
+            }
+        }
+    }
 };
-const QTabs kQ;
+QTabs kQ;
 }
 
 extern "C" {
@@ -71,6 +98,8 @@ int32_t dependent_eprob_delta(
     const int n_threads = (int)std::min<int64_t>(
         std::max(1u, std::thread::hardware_concurrency()),
         std::max<int64_t>(L / 4096, 1));
+    if (kQ.decay0 != 1.0 - (double)ssd_no)
+        kQ.build_rank_table(ssd_no);  // single-threaded caller per opts
 
     auto run = [&](int64_t l0, int64_t l1) {
         // group members: indices into the site's depth axis
@@ -120,26 +149,34 @@ int32_t dependent_eprob_delta(
                           [&](int32_t a, int32_t b2) {
                               return cq[a] > cq[b2];
                           });
-                double vexp = 1.0;
-                bool first = true;
-                for (int32_t d : grp) {
-                    if (first) {
-                        // vexp == 1: de == e exactly, delta 0
-                        first = false;
-                        vexp *= (1.0 - vexp_frac);
-                        continue;
+                const bool lut_ok =
+                    num == 0.0 && (int)grp.size() <= kRankCap;
+                if (lut_ok) {
+                    // mfrac == 0 exactly: per-rank deltas are in the
+                    // precomputed (q, rank) table
+                    int r = 0;
+                    for (int32_t d : grp) {
+                        const float delta = kQ.delta0[cq[d] & 255][r++];
+                        sd[gb] += delta;
+                        if (dd) dd[d] = delta;
                     }
-                    const int qi = cq[d] & 255;
-                    const double e = kQ.e[qi];
-                    const double lne = kQ.ln_e[qi];
-                    const double val = std::exp(vexp * lne);
-                    const double frac = (1.0 - val) / (1.0 - e);
-                    const double de = std::max(
-                        e, frac * val + (1.0 - frac) * kConverge);
-                    const float delta = (float)(std::log(de) - lne);
-                    sd[gb] += delta;
-                    if (dd) dd[d] = delta;
-                    vexp *= (1.0 - vexp_frac);
+                } else {
+                    double vexp = 1.0;
+                    bool first = true;
+                    for (int32_t d : grp) {
+                        if (first) {
+                            // vexp == 1: de == e exactly, delta 0
+                            first = false;
+                            vexp *= (1.0 - vexp_frac);
+                            continue;
+                        }
+                        const int qi = cq[d] & 255;
+                        const float delta = (float)dep_delta_exact(
+                            kQ.e[qi], kQ.ln_e[qi], vexp);
+                        sd[gb] += delta;
+                        if (dd) dd[d] = delta;
+                        vexp *= (1.0 - vexp_frac);
+                    }
                 }
             }
         }
