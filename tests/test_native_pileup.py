@@ -127,3 +127,73 @@ def test_native_pileup_unsorted_positions_striped(lib):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_neighbor_mm_native_matches_python():
+    """The native pileup's per-call neighbor-mismatch flags must match
+    the python MMDF path (mismatch_count_ns semantics,
+    starling_read_util.cpp:211)."""
+    import numpy as np
+
+    from strelka_tpu.io.native import pileup_native
+    from strelka_tpu.pipeline import pileup as pl
+    from strelka_tpu.pipeline import reads as rd
+    from tests.test_pileup import make_batch
+
+    rng = np.random.default_rng(8)
+    L = 400
+    ref_codes = rng.integers(0, 4, L).astype(np.uint8)
+    from strelka_tpu.io.fasta import decode_bases
+    refs = decode_bases(ref_codes)
+    reads = []
+    for k in range(40):
+        st = int(rng.integers(0, L - 90))
+        rl = 80
+        seq = list(refs[st:st + rl])
+        # plant clustered mismatches on some reads
+        for _ in range(int(rng.integers(0, 4))):
+            p = int(rng.integers(0, rl))
+            seq[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append((st, f"{rl}M", "".join(seq), [35] * rl, 0, 60))
+    reads.sort(key=lambda r: r[0])
+    batch = make_batch(reads)
+    level = np.full(batch.n, rd.MapLevel.TIER1, dtype=np.int8)
+    ea = rd.expand_alignments(batch)
+    res = pileup_native(batch, level, ref_codes, 0, 0, L, min_qscore=17,
+                        mm_flank=20, mm_max=2)
+    assert res is not None
+    pu_n, _ = res
+    mmf, _t2, nbm = rd.mismatch_density_filter(
+        batch, ea, ref_codes, 0, 20, 2, with_neighbor=True)
+    pu_p = pl.build_pileup(batch, ea, level, ref_codes, 0, L,
+                           min_qscore=17, mm_filter=mmf, neighbor_mm=nbm)
+    # compare per (position, slot) where both are valid
+    v = pu_p.valid & pu_n.valid
+    assert v.any()
+    D = min(pu_n.neighbor_mm.shape[1], pu_p.neighbor_mm.shape[1])
+    np.testing.assert_array_equal(
+        np.asarray(pu_n.neighbor_mm)[:, :D][v[:, :D]],
+        np.asarray(pu_p.neighbor_mm)[:, :D][v[:, :D]])
+
+
+def test_np_snv_hist_matches_native():
+    """_np_snv_hist (the no-library fallback) must produce identical
+    integer counts to native snv_hist."""
+    import numpy as np
+
+    from strelka_tpu.io.native import snv_hist_native
+    from strelka_tpu.models.snv_digt import _np_snv_hist, _SNV_QTAB_SIZE
+
+    rng = np.random.default_rng(4)
+    L, D = 300, 24
+    base = rng.integers(0, 6, (L, D)).astype(np.int8)
+    qual = rng.integers(-2, 70, (L, D)).astype(np.int16)
+    mask = rng.random((L, D)) < 0.8
+    h1 = np.zeros((L, _SNV_QTAB_SIZE * 4), np.int8)
+    ok = snv_hist_native(base, qual, mask, _SNV_QTAB_SIZE, h1)
+    if not ok:
+        import pytest
+        pytest.skip("native library unavailable")
+    h2 = np.zeros((L, _SNV_QTAB_SIZE * 4), np.int8)
+    _np_snv_hist(base, qual, mask, h2)
+    np.testing.assert_array_equal(h1, h2)
