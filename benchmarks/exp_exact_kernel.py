@@ -169,6 +169,75 @@ def _kernel_bfcmp(G, codes_ref, delta_ref, lnmis_ref, win_ref,
         bestoff_ref[g] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
 
 
+# 2-limb quantization candidate (VERDICT r3 #3a): at QUANT_BITS=11 the
+# max per-base delta (q=127 -> 30.34 ln units) quantizes to 62139 <
+# 2^16, so TWO base-256 limbs cover the full qual range. Exactness is
+# STRONGER than the 3-limb path: with L <= 256 nonzero terms the
+# combined S_hi*256 + S_lo stays < 2^24, i.e. the combination itself is
+# an exact integer in f32 (no rounded add at all; the 3-limb path has
+# two deterministic rounded adds). Slab build drops from 12 to 8
+# [R, L] masked stores and the dot shrinks [3R,4L] -> [2R,4L].
+Q2_BITS = 11
+Q2_SCALE = np.float32(2.0 ** Q2_BITS)
+Q2_INV = np.float32(2.0 ** -Q2_BITS)
+LIMBS2 = ((8, 256.0), (0, 1.0))
+
+
+def _quant2_luts():
+    q = np.arange(128, dtype=np.float32)
+    e = np.clip(np.power(10.0, -q / 10.0), 1e-35, 0.75)
+    lm = np.log1p(-e)
+    lmis = np.log(e / 3.0).astype(np.float32)
+    raw = (lm - lmis).astype(np.float64)
+    delta = np.round(raw * 2.0 ** Q2_BITS) * 2.0 ** -Q2_BITS
+    return delta.astype(np.float32), lmis
+
+
+def _kernel_limb2(G, codes_ref, delta_ref, lnmis_ref, win_ref,
+                  best_ref, bestoff_ref, a_scratch, w_scratch):
+    L = codes_ref.shape[2]
+    R = codes_ref.shape[1]
+    for g in range(G):
+        codes = codes_ref[g].astype(jnp.int32)
+        win = win_ref[g].astype(jnp.int32)
+        d_int = (delta_ref[g] * Q2_SCALE).astype(jnp.int32)
+        limbs = [((d_int >> s) & 255).astype(jnp.bfloat16)
+                 for s, _ in LIMBS2]
+        for b in range(N_BASE):
+            m = codes == b
+            w_scratch[b * L:(b + 1) * L, :] = (win == b).astype(jnp.bfloat16)
+            for j in range(2):
+                a_scratch[j * R:(j + 1) * R, b * L:(b + 1) * L] = jnp.where(
+                    m, limbs[j], jnp.bfloat16(0))
+        big = jnp.dot(a_scratch[:], w_scratch[:],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)   # [2R, W]
+        s = big[0:R] * LIMBS2[0][1] + big[R:2 * R] * LIMBS2[1][1]
+        s = s * Q2_INV + lnmis_ref[g]
+        best_ref[g] = jnp.max(s, axis=1, keepdims=True)
+        bestoff_ref[g] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
+
+
+def exact2_best_offsets(codes, delta, lnmis, win_t):
+    """XLA oracle for the 2-limb formulation."""
+    codes = codes.astype(jnp.int32)
+    win = win_t.astype(jnp.int32)
+    d_int = (delta * Q2_SCALE).astype(jnp.int32)
+    oh_r = codes[..., None] == jnp.arange(N_BASE, dtype=jnp.int32)
+    oh_w = jax.nn.one_hot(win, N_BASE, dtype=jnp.float32)
+    s = None
+    for shift, weight in LIMBS2:
+        limb = ((d_int >> shift) & 255).astype(jnp.float32)
+        a = jnp.where(oh_r, limb[..., None], 0.0)
+        part = jnp.einsum("brlc,blwc->brw", a, oh_w,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        part = part * weight
+        s = part if s is None else s + part
+    s = s * Q2_INV + lnmis[..., None]
+    return jnp.max(s, axis=-1), jnp.argmax(s, axis=-1).astype(jnp.int32)
+
+
 def build(variant, B, R, L, W, G):
     if variant == "hoist":
         kern = _kernel_hoist
@@ -181,6 +250,10 @@ def build(variant, B, R, L, W, G):
     elif variant.startswith("stack"):
         kern = _kernel_stack
         scratch = [pltpu.VMEM((3 * R, N_BASE * L), jnp.bfloat16),
+                   pltpu.VMEM((N_BASE * L, W), jnp.bfloat16)]
+    elif variant.startswith("limb2"):
+        kern = _kernel_limb2
+        scratch = [pltpu.VMEM((2 * R, N_BASE * L), jnp.bfloat16),
                    pltpu.VMEM((N_BASE * L, W), jnp.bfloat16)]
     elif variant == "int8":
         kern = _kernel_int8
@@ -225,36 +298,46 @@ def main():
     B, R, L, W = 512, 128, 128, 128
     rng = np.random.default_rng(0)
     dl, ml = quantized_qscore_luts()
+    dl2, _ = _quant2_luts()
     q = rng.integers(2, 42, (B, R, L))
     codes_np = rng.integers(0, 5, (B, R, L)).astype(np.int8)
     delta_np = np.where(codes_np < 4, dl[q], 0).astype(np.float32)
+    delta2_np = np.where(codes_np < 4, dl2[q], 0).astype(np.float32)
     lnmis_np = np.where(codes_np < 4, ml[q], 0).sum(2).astype(np.float32)
     win_np = rng.integers(0, 5, (B, L, W)).astype(np.int8)
     codes, delta, lnmis, win = (jnp.asarray(codes_np), jnp.asarray(delta_np),
                                 jnp.asarray(lnmis_np), jnp.asarray(win_np))
+    delta2 = jnp.asarray(delta2_np)
     sb, so = [np.asarray(x) for x in pk.exact_best_offsets(
         codes[:8], delta[:8], lnmis[:8], win[:8])]
+    sb2, so2 = [np.asarray(x) for x in jax.jit(exact2_best_offsets)(
+        codes[:8], delta2[:8], lnmis[:8], win[:8])]
 
     for name in variants:
         t0 = time.perf_counter()
+        is2 = name.startswith("limb2")
+        dvec = delta2 if is2 else delta
+        oracle = (sb2, so2) if is2 else (sb, so)
         if name == "base":
             step = lambda c, d, m, w: pk.score_best_offsets(c, d, m, w)
         else:
-            G = {"stackG8": 8, "stackG2": 2, "stackG1": 1}.get(name, 4)
+            G = {"stackG8": 8, "stackG2": 2, "stackG1": 1,
+                 "limb2G8": 8, "limb2G2": 2}.get(name, 4)
             step = build(name, B, R, L, W, G)
         try:
-            ob, oo = step(codes, delta, lnmis, win)
+            ob, oo = step(codes, dvec, lnmis, win)
             ob8, oo8 = np.asarray(ob)[:8], np.asarray(oo)[:8]
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {e}")
             continue
         t_compile = time.perf_counter() - t0
-        exact = (np.array_equal(ob8, sb) and np.array_equal(oo8, so))
+        exact = (np.array_equal(ob8, oracle[0])
+                 and np.array_equal(oo8, oracle[1]))
 
         def chain(n):
             carry = lnmis
             for _ in range(n):
-                o = step(codes, delta, carry, win)
+                o = step(codes, dvec, carry, win)
                 carry = carry + o[0] * 0.0
             return carry
 

@@ -410,7 +410,10 @@ def _het_vf_extension_lhoods(base_id, qual, mask, extension: float,
             v0 = v0 + dep_delta
         v1 = jnp.log(ce * r + (1.0 - ce) / 3.0 * cr)
         v2 = jnp.log(ce * cr + (1.0 - ce) / 3.0 * r)
-        v3 = jnp.log(ce)
+        # same eprob floor as _call_vals v2: without it, q=0 padding
+        # entries under strand-forced ref keys (key==3) hit ln(0) and
+        # -inf * mask-0 poisons the sum to nan (RNA-mode SB regression)
+        v3 = jnp.log(jnp.maximum(ce, 1e-35))
         vals4 = jnp.stack([v0, v1, v2, v3], axis=0)           # [4, L, D]
         low_remap = jnp.asarray([0, 2, 1, 3], dtype=jnp.int32)
         Ld, Dd = base_id.shape

@@ -191,14 +191,28 @@ def run_germline(argv=None) -> int:
         opt = GermlineOptions(min_mapping_quality=args.min_mapping_quality,
                               het_variant_frequency_extension=0.45,
                               retain_optimal_soft_clipping=True)
-        cfg = "/root/reference/src/config/empiricalVariantScoring/models/"
-        rna_model = args.snv_scoring_model_file or cfg + "RNASNVScoringModels.json"
-        rna_indel = (args.indel_scoring_model_file
-                     or cfg + "RNAIndelScoringModels.json")
-        from ..ops.rf import load_scoring_model
-        if os.path.exists(rna_model):
+        # model resolution: explicit flag > $STRELKA_TPU_MODEL_DIR
+        # (a dir holding RNA{SNV,Indel}ScoringModels.json, i.e. the
+        # reference's src/config/empiricalVariantScoring/models layout,
+        # configureStrelkaGermlineWorkflow.py:105-106). No baked-in
+        # path: RNA mode without models is an explicit error unless
+        # --disable-evs is passed.
+        cfg = os.environ.get("STRELKA_TPU_MODEL_DIR")
+        rna_model = args.snv_scoring_model_file or (
+            cfg and os.path.join(cfg, "RNASNVScoringModels.json"))
+        rna_indel = args.indel_scoring_model_file or (
+            cfg and os.path.join(cfg, "RNAIndelScoringModels.json"))
+        if not args.disable_evs:
+            for label, path in (("SNV", rna_model), ("indel", rna_indel)):
+                if not path or not os.path.exists(path):
+                    p.error(
+                        f"--rna requires an {label} EVS model: pass "
+                        "--snv-scoring-model-file/--indel-scoring-model-file,"
+                        " set $STRELKA_TPU_MODEL_DIR to a directory with "
+                        "RNA{SNV,Indel}ScoringModels.json, or pass "
+                        "--disable-evs")
+            from ..ops.rf import load_scoring_model
             snv_forest = load_scoring_model(rna_model, "SNV", "RNAseq")
-        if os.path.exists(rna_indel):
             indel_forest = load_scoring_model(rna_indel, "INDEL", "RNAseq")
     else:
         from ..ops.rf import load_scoring_model

@@ -218,3 +218,35 @@ def test_dependent_eprob_oracle():
     sd2, plane2 = snv_digt._dependent_eprob_python(
         base, qual, used, fwd, nbmm, 0.35, 0.6)
     np.testing.assert_allclose(sd2, s_delta, rtol=1e-5, atol=1e-5)
+
+
+def test_rna_strand_bias_finite_with_padding():
+    """RNA-mode strand bias must stay finite when the tile has masked
+    padding rows (qual 0): the het-VF extension's concordant-call term
+    ln(1-e) hits ln(0) there, and the strand-forced ref keys (key==3,
+    increment_het_ratio_lhood:305-311) select it, so an unfloored
+    -inf * mask-0 product poisons the sum to nan (found by the RNA EVS
+    e2e: SB=nan flipped demo sites 1271/1508 to LowGQX)."""
+    import jax.numpy as jnp
+
+    from strelka_tpu.models import snv_digt as sd
+
+    L, D = 8, 16
+    base = np.zeros((L, D), np.int8)
+    qual = np.zeros((L, D), np.int8)
+    fwd = np.zeros((L, D), bool)
+    mask = np.zeros((L, D), bool)
+    base[0, :10] = [0, 0, 0, 0, 0, 2, 2, 2, 2, 2]   # ref A, het A/G
+    qual[0, :10] = 30
+    fwd[0, :10] = [1, 0, 1, 0, 1, 0, 1, 0, 1, 0]
+    mask[0, :10] = True
+    tile = sd.SnvPileupTile(
+        base_id=jnp.asarray(base), qual=jnp.asarray(qual),
+        is_fwd=jnp.asarray(fwd), mask=jnp.asarray(mask),
+        ref_gt=jnp.asarray(np.zeros(L, np.int8)))
+    tgt = np.zeros(L, np.int32)
+    tgt[0] = 5   # A/G
+    sb = sd.snv_strand_bias_tile(
+        tile, jnp.asarray(tgt), jnp.zeros(L, jnp.float32), None,
+        0.45, 0.0501)
+    assert np.isfinite(np.asarray(sb)).all()
