@@ -238,6 +238,176 @@ def exact2_best_offsets(codes, delta, lnmis, win_t):
     return jnp.max(s, axis=-1), jnp.argmax(s, axis=-1).astype(jnp.int32)
 
 
+def _kernel_limb2k(G, codes_ref, delta_ref, lnmis_ref, win_ref,
+                   best_ref, bestoff_ref, a_scratch, w_scratch):
+    """2-limb with the limbs stacked along K: A [R, 8L] = [hi | lo]
+    slabs, W [8L, W] = [256*onehot ; onehot]. ONE dot emits
+    S_hi*256+S_lo directly (exact: products <= 255*256 and partial
+    sums < 2^24 for L <= 256), no row-slice combine, and max/argmax
+    runs over R rows instead of 2R."""
+    L = codes_ref.shape[2]
+    R = codes_ref.shape[1]
+    for g in range(G):
+        codes = codes_ref[g].astype(jnp.int32)
+        win = win_ref[g].astype(jnp.int32)
+        d_int = (delta_ref[g] * Q2_SCALE).astype(jnp.int32)
+        limbs = [((d_int >> s) & 255).astype(jnp.bfloat16)
+                 for s, _ in LIMBS2]
+        for b in range(N_BASE):
+            m = codes == b
+            wb = (win == b)
+            w_scratch[b * L:(b + 1) * L, :] = wb.astype(
+                jnp.bfloat16) * jnp.bfloat16(256.0)
+            w_scratch[(N_BASE + b) * L:(N_BASE + b + 1) * L, :] = wb.astype(
+                jnp.bfloat16)
+            for j in range(2):
+                a_scratch[:, (j * N_BASE + b) * L:
+                          (j * N_BASE + b + 1) * L] = jnp.where(
+                    m, limbs[j], jnp.bfloat16(0))
+        s = jnp.dot(a_scratch[:], w_scratch[:],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)   # [R, W]
+        s = s * Q2_INV + lnmis_ref[g]
+        best_ref[g] = jnp.max(s, axis=1, keepdims=True)
+        bestoff_ref[g] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
+
+
+def _kernel_limb2r(G, codes_ref, delta_ref, lnmis_ref, win_ref,
+                   best_ref, bestoff_ref, a_scratch, w_scratch):
+    """limb2 with a ROLLED fori_loop over the G tiles: large G (few
+    grid steps, amortizing the ~2us/step fixed cost) without the
+    unrolled-body blowup that made stackG8 slow."""
+    L = codes_ref.shape[2]
+    R = codes_ref.shape[1]
+
+    def body(g, _):
+        codes = codes_ref[g].astype(jnp.int32)
+        win = win_ref[g].astype(jnp.int32)
+        d_int = (delta_ref[g] * Q2_SCALE).astype(jnp.int32)
+        limbs = [((d_int >> s) & 255).astype(jnp.bfloat16)
+                 for s, _w in LIMBS2]
+        for b in range(N_BASE):
+            m = codes == b
+            w_scratch[b * L:(b + 1) * L, :] = (win == b).astype(jnp.bfloat16)
+            for j in range(2):
+                a_scratch[j * R:(j + 1) * R, b * L:(b + 1) * L] = jnp.where(
+                    m, limbs[j], jnp.bfloat16(0))
+        big = jnp.dot(a_scratch[:], w_scratch[:],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+        s = big[0:R] * LIMBS2[0][1] + big[R:2 * R] * LIMBS2[1][1]
+        s = s * Q2_INV + lnmis_ref[g]
+        best_ref[g] = jnp.max(s, axis=1, keepdims=True)
+        bestoff_ref[g] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
+        return 0
+
+    jax.lax.fori_loop(0, G, body, 0)
+
+
+# --- ablation variants (TIMING ONLY, wrong results): locate the cost
+# inside the limb2 kernel body. Each drops one stage of the body.
+
+def _kernel_limb2_noA(G, codes_ref, delta_ref, lnmis_ref, win_ref,
+                      best_ref, bestoff_ref, a_scratch, w_scratch):
+    """A slabs written WITHOUT per-base masking (broadcast limb)."""
+    L = codes_ref.shape[2]
+    R = codes_ref.shape[1]
+    for g in range(G):
+        win = win_ref[g].astype(jnp.int32)
+        d_int = (delta_ref[g] * Q2_SCALE).astype(jnp.int32)
+        limbs = [((d_int >> s) & 255).astype(jnp.bfloat16)
+                 for s, _ in LIMBS2]
+        for b in range(N_BASE):
+            w_scratch[b * L:(b + 1) * L, :] = (win == b).astype(jnp.bfloat16)
+            for j in range(2):
+                a_scratch[j * R:(j + 1) * R, b * L:(b + 1) * L] = limbs[j]
+        big = jnp.dot(a_scratch[:], w_scratch[:],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+        s = big[0:R] * LIMBS2[0][1] + big[R:2 * R] * LIMBS2[1][1]
+        s = s * Q2_INV + lnmis_ref[g]
+        best_ref[g] = jnp.max(s, axis=1, keepdims=True)
+        bestoff_ref[g] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
+
+
+def _kernel_limb2_noW(G, codes_ref, delta_ref, lnmis_ref, win_ref,
+                      best_ref, bestoff_ref, a_scratch, w_scratch):
+    """W slab written once from tile 0 only (skips per-tile W build)."""
+    L = codes_ref.shape[2]
+    R = codes_ref.shape[1]
+    win = win_ref[0].astype(jnp.int32)
+    for b in range(N_BASE):
+        w_scratch[b * L:(b + 1) * L, :] = (win == b).astype(jnp.bfloat16)
+    for g in range(G):
+        codes = codes_ref[g].astype(jnp.int32)
+        d_int = (delta_ref[g] * Q2_SCALE).astype(jnp.int32)
+        limbs = [((d_int >> s) & 255).astype(jnp.bfloat16)
+                 for s, _ in LIMBS2]
+        for b in range(N_BASE):
+            m = codes == b
+            for j in range(2):
+                a_scratch[j * R:(j + 1) * R, b * L:(b + 1) * L] = jnp.where(
+                    m, limbs[j], jnp.bfloat16(0))
+        big = jnp.dot(a_scratch[:], w_scratch[:],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+        s = big[0:R] * LIMBS2[0][1] + big[R:2 * R] * LIMBS2[1][1]
+        s = s * Q2_INV + lnmis_ref[g]
+        best_ref[g] = jnp.max(s, axis=1, keepdims=True)
+        bestoff_ref[g] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
+
+
+def _kernel_limb2_nomax(G, codes_ref, delta_ref, lnmis_ref, win_ref,
+                        best_ref, bestoff_ref, a_scratch, w_scratch):
+    """Drops the argmax (keeps max; offset output = constant)."""
+    L = codes_ref.shape[2]
+    R = codes_ref.shape[1]
+    for g in range(G):
+        codes = codes_ref[g].astype(jnp.int32)
+        win = win_ref[g].astype(jnp.int32)
+        d_int = (delta_ref[g] * Q2_SCALE).astype(jnp.int32)
+        limbs = [((d_int >> s) & 255).astype(jnp.bfloat16)
+                 for s, _ in LIMBS2]
+        for b in range(N_BASE):
+            m = codes == b
+            w_scratch[b * L:(b + 1) * L, :] = (win == b).astype(jnp.bfloat16)
+            for j in range(2):
+                a_scratch[j * R:(j + 1) * R, b * L:(b + 1) * L] = jnp.where(
+                    m, limbs[j], jnp.bfloat16(0))
+        big = jnp.dot(a_scratch[:], w_scratch[:],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+        s = big[0:R] * LIMBS2[0][1] + big[R:2 * R] * LIMBS2[1][1]
+        s = s * Q2_INV + lnmis_ref[g]
+        best_ref[g] = jnp.max(s, axis=1, keepdims=True)
+        bestoff_ref[g] = jnp.zeros((R, 1), jnp.int32)
+
+
+def _kernel_limb2_nodot(G, codes_ref, delta_ref, lnmis_ref, win_ref,
+                        best_ref, bestoff_ref, a_scratch, w_scratch):
+    """Full slab build, dot replaced by a slab row-slice (no MXU)."""
+    L = codes_ref.shape[2]
+    R = codes_ref.shape[1]
+    W = win_ref.shape[2]
+    for g in range(G):
+        codes = codes_ref[g].astype(jnp.int32)
+        win = win_ref[g].astype(jnp.int32)
+        d_int = (delta_ref[g] * Q2_SCALE).astype(jnp.int32)
+        limbs = [((d_int >> s) & 255).astype(jnp.bfloat16)
+                 for s, _ in LIMBS2]
+        for b in range(N_BASE):
+            m = codes == b
+            w_scratch[b * L:(b + 1) * L, :] = (win == b).astype(jnp.bfloat16)
+            for j in range(2):
+                a_scratch[j * R:(j + 1) * R, b * L:(b + 1) * L] = jnp.where(
+                    m, limbs[j], jnp.bfloat16(0))
+        s = (a_scratch[0:R, 0:W].astype(jnp.float32)
+             + w_scratch[0:R, :].astype(jnp.float32))
+        s = s * Q2_INV + lnmis_ref[g]
+        best_ref[g] = jnp.max(s, axis=1, keepdims=True)
+        bestoff_ref[g] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
+
+
 def build(variant, B, R, L, W, G):
     if variant == "hoist":
         kern = _kernel_hoist
@@ -251,8 +421,20 @@ def build(variant, B, R, L, W, G):
         kern = _kernel_stack
         scratch = [pltpu.VMEM((3 * R, N_BASE * L), jnp.bfloat16),
                    pltpu.VMEM((N_BASE * L, W), jnp.bfloat16)]
+    elif variant.startswith("limb2k"):
+        kern = _kernel_limb2k
+        scratch = [pltpu.VMEM((R, 2 * N_BASE * L), jnp.bfloat16),
+                   pltpu.VMEM((2 * N_BASE * L, W), jnp.bfloat16)]
+    elif variant.startswith("limb2r"):
+        kern = _kernel_limb2r
+        scratch = [pltpu.VMEM((2 * R, N_BASE * L), jnp.bfloat16),
+                   pltpu.VMEM((N_BASE * L, W), jnp.bfloat16)]
     elif variant.startswith("limb2"):
-        kern = _kernel_limb2
+        kern = {"limb2-noA": _kernel_limb2_noA,
+                "limb2-noW": _kernel_limb2_noW,
+                "limb2-nomax": _kernel_limb2_nomax,
+                "limb2-nodot": _kernel_limb2_nodot}.get(
+                    variant.split("@")[0], _kernel_limb2)
         scratch = [pltpu.VMEM((2 * R, N_BASE * L), jnp.bfloat16),
                    pltpu.VMEM((N_BASE * L, W), jnp.bfloat16)]
     elif variant == "int8":
@@ -296,6 +478,9 @@ def main():
 
     variants = sys.argv[1:] or ["base", "hoist", "stack", "stackG8", "int8"]
     B, R, L, W = 512, 128, 128, 128
+    # shape override (same total reads = B*R unless changed):
+    B = int(os.environ.get("EXP_B", B))
+    R = int(os.environ.get("EXP_R", R))
     rng = np.random.default_rng(0)
     dl, ml = quantized_qscore_luts()
     dl2, _ = _quant2_luts()
@@ -323,6 +508,8 @@ def main():
         else:
             G = {"stackG8": 8, "stackG2": 2, "stackG1": 1,
                  "limb2G8": 8, "limb2G2": 2}.get(name, 4)
+            if "@" in name:
+                G = int(name.split("@")[1])
             step = build(name, B, R, L, W, G)
         try:
             ob, oo = step(codes, dvec, lnmis, win)

@@ -633,6 +633,119 @@ def _indel_filters(opt, result, call, n_samples, chrom_depth=None,
             "gqx_out": gqx_out, "is_var_gt": is_var}
 
 
+def _build_region_phase_plan(result, pre, pgt_a, cp_a, ALL_L, ref_list,
+                             site_alt_order, any_variant_v,
+                             locus_exists_v, indels_at, begin, L,
+                             n_samples):
+    """Assemble the region's locus stream in emission order and run the
+    VariantPhaser port over it (pipeline/phaser.py).
+
+    Stream contents: every genotyped variant locus inside an active
+    region (sites keyed ("site", i), indels keyed ("indel", id(call))),
+    plus buffer-flush markers for gaps between active regions that
+    contain at least one emitted locus (any covered position emits a
+    site locus with ar_id -1, which flushes the reference phaser's
+    buffer, VariantPhaser.cpp:36-48; a zero-coverage gap emits nothing
+    and leaves the buffer open across adjacent regions)."""
+    from ..models.indel_genotype import genotype_alleles
+    from .phaser import PhaseLocus, SampleGt, build_phase_plan
+
+    psmap = result.phase_set_of_pos
+    events: list[tuple[int, int, PhaseLocus]] = []
+
+    for p, calls in indels_at.items():
+        ar = psmap.get(p, -1)
+        if ar < 0:
+            continue
+        for call in calls:
+            if getattr(call, "not_genotyped", False):
+                continue
+            A = len(call.keys) + 1
+            samples = []
+            anyv = False
+            for s in range(n_samples):
+                ploidy = (call.sample_ploidy[s]
+                          if call.sample_ploidy is not None else 2)
+                if ploidy == 0:
+                    samples.append(None)
+                    continue
+                cp = max(int(ploidy), 1)
+                ga = genotype_alleles(cp, A)
+                a0, a1 = (int(x) for x in ga[call.sample_gt[s]])
+                if a0 == 0 and a1 == 0:
+                    samples.append(None)
+                    continue
+
+                def ihap(ai):
+                    if ai == 0:
+                        return 0
+                    return result.indel_hap_ids.get(
+                        (s, call.keys[ai - 1]), 0)
+                samples.append(SampleGt(cp, a0, a1, ihap(a0), ihap(a1),
+                                        True))
+                anyv = True
+            if anyv:
+                # indel loci are emitted before the site at the same
+                # stream position; PS source = printed VCF POS = pos
+                events.append((p, 0, PhaseLocus(
+                    ("indel", id(call)), p, ar, samples)))
+
+    for i in np.nonzero(any_variant_v)[0].tolist():
+        p = begin + i
+        ar = psmap.get(p, -1)
+        if ar < 0:
+            continue
+        alts = site_alt_order(i)
+        amap = {ref_list[i]: 0}
+        for j, a in enumerate(alts):
+            amap[a] = j + 1
+        samples = []
+        anyv = False
+        for s in range(n_samples):
+            pr = pre[s]
+            if not pr["variant"][i] or pr["unknown"][i]:
+                samples.append(None)
+                continue
+            cp = 1 if int(cp_a[s][i]) == 1 else 2
+            pair = ALL_L[int(pgt_a[s][i])]
+            if cp == 1:
+                a0 = a1 = amap[pair[0]]
+            else:
+                a0, a1 = sorted(amap[a] for a in pair)
+
+            def shap(ai):
+                if ai == 0:
+                    return 0
+                return result.snv_hap_ids.get((s, p, alts[ai - 1]), 0)
+            samples.append(SampleGt(cp, a0, a1, shap(a0), shap(a1),
+                                    True))
+            anyv = True
+        if anyv:
+            events.append((p, 1, PhaseLocus(("site", i), p + 1, ar,
+                                            samples)))
+
+    # flush markers between active regions with an emitted locus in
+    # the gap (coverage at any gap position)
+    ar_positions = sorted(psmap)
+    intervals: list[tuple[int, int]] = []
+    for p in ar_positions:
+        if intervals and p == intervals[-1][1] \
+                and psmap[p] == psmap[intervals[-1][0]]:
+            intervals[-1] = (intervals[-1][0], p + 1)
+        else:
+            intervals.append((p, p + 1))
+    none_samples = [None] * n_samples
+    for (a_beg, a_end), (b_beg, _) in zip(intervals, intervals[1:]):
+        lo = max(a_end - begin, 0)
+        hi = min(b_beg - begin, L)
+        if lo < hi and bool(locus_exists_v[lo:hi].any()):
+            events.append((a_end, 2, PhaseLocus(
+                ("flush", a_end), 0, -1, none_samples)))
+
+    events.sort(key=lambda e: (e[0], e[1]))
+    return build_phase_plan([e[2] for e in events], n_samples)
+
+
 def emit_region(
     opt: GermlineOptions,
     result: RegionCallResult,
@@ -669,32 +782,6 @@ def emit_region(
     ref_ok = ref < 4
     refc = np.minimum(ref, 3).astype(np.int64)
     ar = np.arange(L)
-
-    # --- read-backed phasing bookkeeping (VariantPhaser.hh:37-60):
-    # count phase-informative het variants per (sample, phase set);
-    # phased GT is emitted only when a block links >= 2 variants
-    ps_counts: dict[tuple[int, int], int] = {}
-    for (s, pos, base), hap in result.snv_hap_ids.items():
-        ps = result.phase_set_of_pos.get(pos)
-        if ps is not None:
-            ps_counts[(s, ps)] = ps_counts.get((s, ps), 0) + 1
-    for (s, key), hap in result.indel_hap_ids.items():
-        ps = result.phase_set_of_pos.get(key.pos)
-        if ps is not None:
-            ps_counts[(s, ps)] = ps_counts.get((s, ps), 0) + 1
-
-    def snv_phase(s, pos, alt_base, gt_pair):
-        """(phased_gt_string, ps) or None for an 0/1 het site."""
-        if not opt.enable_read_backed_phasing:
-            return None
-        hap = result.snv_hap_ids.get((s, pos, alt_base))
-        ps = result.phase_set_of_pos.get(pos)
-        if hap is None or ps is None or ps_counts.get((s, ps), 0) < 2:
-            return None
-        a, b = gt_pair
-        if hap == 1:
-            return f"{b}|{a}", ps
-        return f"{a}|{b}", ps
 
     # ---- vectorized per-position, per-sample precompute ----
     ALL = np.asarray(digt.ALLELES, dtype=np.int64)  # [10, 2]
@@ -975,6 +1062,15 @@ def emit_region(
     mapq_ss_list = [result.samples[s].pileup.mapq_sumsq
                     for s in range(n_samples)]
 
+    # ---- read-backed phasing plan (VariantPhaser port; see
+    # pipeline/phaser.py and _build_region_phase_plan above) ----
+    phase_plan = {}
+    if opt.enable_read_backed_phasing and result.phase_set_of_pos:
+        phase_plan = _build_region_phase_plan(
+            result, pre, pgt_a, cp_a, ALL_L, ref_list, site_alt_order,
+            any_variant_v, locus_exists_v, indels_at, begin, L,
+            n_samples)
+
     def emit_site_record(i):
         """Full site record (write_site_record_instance, diploid
         branch) written to the variants VCF and every sample gVCF."""
@@ -1021,7 +1117,12 @@ def emit_region(
             is_var = bool(p["variant"][i])
             gq = int(p["gq"][i])
             gqx = int(p["gqx"][i])
-            sb = float(sv[s]["sb"][i])
+            # raw strand bias is bounded to +-maxAbsSampleVariantStrandBias
+            # (=99) before any use — output column, EVS features, and
+            # the HighSNVSB filter all see the clamped value
+            # (updateSiteSampleInfo, starling_pos_processor.cpp:231-233;
+            # starling_shared.hh:94)
+            sb = float(min(99.0, max(-99.0, sv[s]["sb"][i])))
             pgt = int(pgt_a[s][i])
 
             if s == 0 and is_var and isalt and opt.is_report_evs_features:
@@ -1043,11 +1144,12 @@ def emit_region(
                 else:
                     gt_idx = sorted(allele_map[a] for a in pair)
                     gt = f"{gt_idx[0]}/{gt_idx[1]}"
-                    if (is_var and gt_idx[0] != gt_idx[1]
-                            and len(alts) == 1):
-                        phase = snv_phase(s, pos, alts[0], tuple(gt_idx))
-                        if phase is not None:
-                            gt = phase[0]
+                    dec = phase_plan.get((("site", i), s))
+                    if dec is not None:
+                        a, b = ((gt_idx[1], gt_idx[0]) if dec.flip
+                                else (gt_idx[0], gt_idx[1]))
+                        gt = f"{a}|{b}" if dec.phased else f"{a}/{b}"
+                        phase = (gt, dec.ps)
             phases.append(phase)
 
             # per-sample filters
@@ -1154,7 +1256,7 @@ def emit_region(
             _emit_indel(opt, result, call, sample_names, gvcf_lines,
                         var_lines, indel_meta[id(call)],
                         indel_forest=indel_forest,
-                        chrom_depth=chrom_depth)
+                        chrom_depth=chrom_depth, phase_plan=phase_plan)
 
     fi = 0
     i = 0
@@ -1176,7 +1278,8 @@ def emit_region(
                 _emit_indel(opt, result, call, sample_names, gvcf_lines,
                             var_lines, indel_meta[id(call)],
                             indel_forest=indel_forest,
-                            chrom_depth=chrom_depth)
+                            chrom_depth=chrom_depth,
+                            phase_plan=phase_plan)
             fi += 1
         if ns == j:
             emit_site_record(j)
@@ -1191,7 +1294,7 @@ def emit_region(
             _emit_indel(opt, result, call, sample_names, gvcf_lines,
                         var_lines, indel_meta[id(call)],
                         indel_forest=indel_forest,
-                        chrom_depth=chrom_depth)
+                        chrom_depth=chrom_depth, phase_plan=phase_plan)
 
     return gvcf_lines, var_lines
 
@@ -1302,7 +1405,7 @@ def germline_indel_features(forest, result, call: IndelCall, s: int,
 
 def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
                 var_lines, meta, indel_forest=None,
-                chrom_depth: float | None = None):
+                chrom_depth: float | None = None, phase_plan=None):
     """Serialize one indel locus (gvcf_writer
     write_indel_record_instance :816-1010). `meta` is the
     precomputed _indel_filters() result for this call; blocks are
@@ -1342,6 +1445,13 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
     info = (f"CIGAR={','.join(cigars)};RU={','.join(rus)};"
             f"REFREP={','.join(refreps)};IDREP={','.join(idreps)};MQ={mq}")
     fmt = "GT:GQ:GQX:DPI:AD:ADF:ADR:FT:PL"
+    # phased indel loci append PS (gvcf_writer.cpp:948-965,1008-1022)
+    phase_decs = [
+        phase_plan.get((("indel", id(call)), s)) if phase_plan else None
+        for s in range(n_samples)]
+    any_phased = any(d is not None for d in phase_decs)
+    if any_phased:
+        fmt += ":PS"
     cols = []
     sample_filter_sets = meta["sample_fsets"]
     any_pass_variant = False
@@ -1354,8 +1464,16 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
     for s in range(n_samples if not not_genotyped else 0):
         ploidy = (call.sample_ploidy[s] if call.sample_ploidy is not None
                   else 2)
+        dec = phase_decs[s]
         if ploidy == 0:
             gt = "."
+        elif dec is not None:
+            from ..models.indel_genotype import genotype_alleles
+            ga = genotype_alleles(max(ploidy, 1), A)
+            a0, a1 = (int(x) for x in ga[call.sample_gt[s]])
+            if dec.flip:
+                a0, a1 = a1, a0
+            gt = f"{a0}|{a1}" if dec.phased else f"{a0}/{a1}"
         else:
             gt = _gt_string_indel(call.sample_gt[s], max(ploidy, 1), A)
         gqx = meta["gqx_out"][s]
@@ -1369,12 +1487,14 @@ def _emit_indel(opt, result, call: IndelCall, sample_names, gvcf_lines,
         fstr = _filter_str(filters)
         if is_var_gt and not filters:
             any_pass_variant = True
+        ps_col = ("" if not any_phased
+                  else (f":{dec.ps}" if dec is not None else ":."))
         cols.append(
             f"{gt}:{call.sample_gq[s]}:{gqx}:{call.sample_dpi[s]}:"
             f"{','.join(map(str, call.sample_ad[s]))}:"
             f"{','.join(map(str, call.sample_adf[s]))}:"
             f"{','.join(map(str, call.sample_adr[s]))}:{fstr}:"
-            f"{','.join(map(str, call.sample_pl[s]))}")
+            f"{','.join(map(str, call.sample_pl[s]))}{ps_col}")
     # FILTER merging (getExtendedLocusFilters): IndelConflict is a
     # locus-level filter; variants VCF adds the per-sample filter
     # intersection + NoPassedVariantGTs; per-sample gVCF adds that

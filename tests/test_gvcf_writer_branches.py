@@ -509,3 +509,110 @@ def test_call_regions_gate(tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_site_strand_bias_clamped_at_99(tmp_path):
+    """Raw strand bias is bounded to +-maxAbsSampleVariantStrandBias
+    (=99, starling_shared.hh:94) at updateSiteSampleInfo
+    (starling_pos_processor.cpp:231-233) before the SB column, EVS
+    features, and the HighSNVSB filter see it."""
+    def reads(refs):
+        rl = 80
+        out = []
+        # extreme strand artifact: ~200 fwd-only alt reads over ref-only
+        # reverse reads drives the strand-split lhood advantage past 99
+        for k in range(400):
+            st = 140 + (k % 40)
+            seq = list(refs[st:st + rl])
+            fwd = k % 2 == 0
+            if fwd:
+                seq[200 - st] = "A" if refs[200] != "A" else "C"
+            out.append((st, f"{rl}M", "".join(seq), [38] * rl,
+                        0 if fwd else 16, 60))
+        return out
+
+    opt, res = _simple_region(tmp_path, reads)
+    _g, v = gvcf.emit_region(opt, res, ["S"])
+    rec = [l for l in v if l.split("\t")[1] == "201"]
+    assert rec, v
+    f = rec[0].split("\t")
+    fmt = f[8].split(":")
+    assert "SB" in fmt
+    sb_raw = float(np.asarray(res.samples[0].snv.strand_bias)[200])
+    assert sb_raw > 99.0, sb_raw   # the scenario really exceeds the cap
+    sb = f[9].split(":")[fmt.index("SB")]
+    assert sb == "99.0", rec[0]
+    assert "HighSNVSB" in f[6]
+
+
+def test_phased_snvs_opposite_haps_flip(tmp_path):
+    """Two het SNVs on OPPOSITE haplotypes: the first prints 0|1 and
+    the second flips to 1|0 (orientation anchored to the first variant,
+    VariantPhaser.cpp:232-254), sharing PS = first variant's POS."""
+    def reads(refs):
+        rl = 80
+        p1, p2 = 200, 206
+        out = []
+        for k in range(30):
+            st = 150 + k
+            seq = list(refs[st:st + rl])
+            if k % 2 == 0:
+                seq[p1 - st] = "A" if refs[p1] != "A" else "C"
+            else:
+                seq[p2 - st] = "A" if refs[p2] != "A" else "C"
+            out.append((st, f"{rl}M", "".join(seq), [38] * rl, 0, 60))
+        return out
+
+    opt, res = _simple_region(tmp_path, reads)
+    _g, v = gvcf.emit_region(opt, res, ["S"])
+    phased = [l for l in v if "|" in l.split("\t")[9].split(":")[0]]
+    assert len(phased) == 2, v
+    gts = []
+    ps_vals = set()
+    first_pos = None
+    for l in phased:
+        f = l.split("\t")
+        if first_pos is None:
+            first_pos = f[1]
+        fmt = f[8].split(":")
+        cols = f[9].split(":")
+        gts.append(cols[fmt.index("GT")])
+        ps_vals.add(cols[fmt.index("PS")])
+    assert gts == ["0|1", "1|0"], gts
+    assert ps_vals == {first_pos}
+
+
+def test_phased_indel_emits_ps(tmp_path):
+    """Het indels participate in phase blocks: an insertion and an SNV
+    on the same haplotype both print phased GTs, and the indel record
+    carries PS (gvcf_writer.cpp:948-965,1008-1022)."""
+    def reads(refs):
+        rl = 80
+        p1, p2 = 200, 210
+        out = []
+        for k in range(30):
+            st = 150 + k
+            if k % 2 == 0:
+                seq = (refs[st:p1 + 1] + "ACTG"
+                       + refs[p1 + 1:st + rl - 4])
+                snv_off = p2 - st + 4
+                seq = list(seq)
+                seq[snv_off] = "A" if refs[p2] != "A" else "C"
+                cig = f"{p1 - st + 1}M4I{rl - (p1 - st + 1) - 4}M"
+                out.append((st, cig, "".join(seq), [38] * rl, 0, 60))
+            else:
+                out.append((st, f"{rl}M", refs[st:st + rl],
+                            [38] * rl, 0, 60))
+        return out
+
+    opt, res = _simple_region(tmp_path, reads)
+    _g, v = gvcf.emit_region(opt, res, ["S"])
+    indel_rec = [l for l in v
+                 if len(l.split("\t")[3]) != len(l.split("\t")[4])]
+    assert indel_rec, v
+    f = indel_rec[0].split("\t")
+    fmt = f[8].split(":")
+    assert "PS" in fmt, indel_rec[0]
+    cols = f[9].split(":")
+    assert "|" in cols[0], indel_rec[0]
+    assert cols[fmt.index("PS")] == f[1], indel_rec[0]
