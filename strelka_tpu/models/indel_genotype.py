@@ -127,24 +127,27 @@ def context_priors_for(pattern_size: int, repeat_count: int) -> ContextGenotypeP
 
 
 def ag_genotype_priors_to_triangular(priors6: np.ndarray, n_alleles: int,
-                                     ploidy: int) -> np.ndarray:
+                                     ploidy: int,
+                                     top: int = 0) -> np.ndarray:
     """Map [HOMREF,HOM0,HET0,HOM1,HET1,HET01] onto triangular genotype
-    indices for n_alleles in {1,2,3} (ref + up to 2 alts)."""
+    indices for n_alleles in {1,2,3} (ref + up to 2 alts).
+
+    `top` is the sample's top-ranked ALT index (0-based among alts):
+    the HOM0/HET0 priors attach to the top allele and HOM1/HET1 to the
+    other (getPriorIndex, starling_pos_processor.cpp:1250-1320, keyed
+    off topAlleleIndexInSample)."""
     ga = genotype_alleles(ploidy, n_alleles)
+    top_allele = top + 1
     out = np.zeros(len(ga))
     for g, (a0, a1) in enumerate(ga):
         if a0 == 0 and a1 == 0:
-            out[g] = priors6[0]
-        elif a0 == a1 == 1:
-            out[g] = priors6[1]
-        elif (a0, a1) == (0, 1):
-            out[g] = priors6[2]
-        elif a0 == a1 == 2:
-            out[g] = priors6[3]
-        elif (a0, a1) == (0, 2):
-            out[g] = priors6[4]
-        else:  # (1, 2) het-alt
-            out[g] = priors6[5]
+            out[g] = priors6[0]                      # HOMREF
+        elif a0 == a1:
+            out[g] = priors6[1 if a0 == top_allele else 3]  # HOM0/HOM1
+        elif a0 == 0:
+            out[g] = priors6[2 if a1 == top_allele else 4]  # HET0/HET1
+        else:  # het-alt
+            out[g] = priors6[5]                      # HET01
     return out
 
 

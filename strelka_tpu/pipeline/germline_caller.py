@@ -480,12 +480,27 @@ def call_region(
                  for s in range(n_samples)), k))[:2]
         groups_trimmed.append(sorted(group))
 
+    # forced-output alleles displaced by the top-2 trim still must be
+    # emitted: each becomes its own single-allele locus scored against
+    # the displacing alleles as a CONTRAST group whose read scores are
+    # maxed down into ref (forced-output pathway,
+    # starling_pos_processor.cpp:1826-1966, contrastGroup =
+    # topVariantAlleleGroup; AlleleGroupGenotype.cpp:236-247)
+    forced_groups: list[tuple[list[cand.IndelKey], int]] = []
+    for gi, group in enumerate(loci):
+        trimmed = groups_trimmed[gi]
+        for k in group:
+            if k not in trimmed and store.records[k].is_forced_output:
+                forced_groups.append(([k] + list(trimmed), len(trimmed)))
+
     # batched read x haplotype scoring across all loci per sample
-    # (fixed-shape buckets; one kernel launch per bucket)
+    # (fixed-shape buckets; one kernel launch per bucket); forced
+    # contrast groups ride the same batched launches
     from . import realign_batch as rb
+    scored_groups = groups_trimmed + [fk for fk, _ in forced_groups]
     sample_scores = [
         rb.score_loci_batched(kept[s], eas[s], levels[s], ref_codes,
-                              fetch_begin, groups_trimmed,
+                              fetch_begin, scored_groups,
                               selection="overlap",
                               min_bp_flank=opt.default_min_read_bp_flank)
         for s in range(n_samples)]
@@ -497,7 +512,7 @@ def call_region(
     n_realigned_total = 0
     for s in range(n_samples):
         new_batch, n_re = ra.apply_realignments(
-            kept[s], sample_scores[s], groups_trimmed,
+            kept[s], sample_scores[s], scored_groups,
             unroll_clips=not opt.retain_optimal_soft_clipping,
             ref_codes=ref_codes, ref_offset=fetch_begin)
         if n_re:
@@ -549,6 +564,23 @@ def call_region(
         if call is not None:
             if len(loci[gi]) > len(group):
                 call.is_conflict = True
+            indel_calls.append(call)
+
+    # displaced forced alleles: single-allele loci; the trailing
+    # contrast columns of their score matrices are maxed into ref
+    # inside genotype_indel_locus (n_contrast)
+    for fi, (fkeys, n_contrast) in enumerate(forced_groups):
+        gi = len(groups_trimmed) + fi
+        call = genotype_indel_locus(
+            opt, fkeys[:1], [store.records[fkeys[0]]], kept, eas, levels,
+            ref_codes, fetch_begin, samples, begin, n_samples,
+            sample_ploidy=[int(ploidy_arr[s, min(max(fkeys[0].pos - begin,
+                                                     0), L_report - 1)])
+                           for s in range(n_samples)],
+            precomputed_scores=[sample_scores[s].get(gi)
+                                for s in range(n_samples)],
+            n_contrast=n_contrast)
+        if call is not None:
             indel_calls.append(call)
 
     # forced complex (swap) alleles: NotGenotyped records with all-dot
@@ -658,18 +690,28 @@ def indel_edge_distances(lrp, rrp, rl):
 
 def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
                          ref_offset, samples, region_begin, n_samples,
-                         sample_ploidy=None, precomputed_scores=None):
-    """Genotype one multi-sample indel locus from read x hap scores."""
+                         sample_ploidy=None, precomputed_scores=None,
+                         n_contrast: int = 0):
+    """Genotype one multi-sample indel locus from read x hap scores.
+
+    n_contrast > 0: the score matrices carry that many trailing
+    contrast-allele columns beyond the locus alleles; their per-read
+    scores are maxed down into the ref column before genotyping
+    (AlleleGroupGenotype.cpp:236-247, the <*> reduction used by the
+    forced-output pathway)."""
     A = len(keys) + 1
     info = ig.AlleleInfo(
         insert_len=np.array([k.insert_length for k in keys]),
         delete_len=np.array([k.delete_length for k in keys]),
     )
-    # STR context of the top allele drives the prior
-    top = recs[0]
-    if not top.repeat_unit:
-        cand.set_repeat_info(top, ref_codes, ref_offset, decode_bases)
-    priors = ig.context_priors_for(top.repeat_unit_length, top.ref_repeat_count)
+    # STR context of the PER-SAMPLE top-ranked allele drives that
+    # sample's prior (repeatingPatternSize/patternRepeatCount from
+    # alleleGroup.data(topAlleleIndexInSample),
+    # starling_pos_processor.cpp:1408-1416); repeat info is computed
+    # up front for every allele so any of them can key the theta table
+    for rec in recs:
+        if not rec.repeat_unit:
+            cand.set_repeat_info(rec, ref_codes, ref_offset, decode_bases)
     default_ploidy = 1 if opt.is_haploid else 2
     if sample_ploidy is None:
         sample_ploidy = [default_ploidy] * n_samples
@@ -683,11 +725,6 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
     homref_lnp = 0.0  # sum over samples of ln P(hom-ref | genome prior)
     for s in range(n_samples):
         ploidy = max(sample_ploidy[s], 1)  # ploidy-0: emit as haploid no-call
-        tri_g = ig.ag_genotype_priors_to_triangular(
-            priors.diploid if ploidy == 2 else priors.haploid, A, ploidy)
-        tri_p = ig.ag_genotype_priors_to_triangular(
-            priors.diploid_poly if ploidy == 2 else priors.haploid_poly,
-            A, ploidy)
         if precomputed_scores is not None:
             scores = precomputed_scores[s]
         else:
@@ -697,6 +734,37 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
             # breakpoint-overlap gate: only sufficiently-overlapping
             # reads receive ReadPathScores for genotyping
             scores = realign.apply_genotyping_mask(scores)
+        if n_contrast and scores is not None and len(scores.allele_lhoods):
+            import dataclasses
+            al = scores.allele_lhoods
+            keep = al.shape[1] - n_contrast
+            red = al[:, :keep].copy()
+            red[:, 0] = np.maximum(red[:, 0], al[:, keep:].max(axis=1))
+            scores = dataclasses.replace(scores, allele_lhoods=red)
+        # per-sample top variant allele: summed naive per-read allele
+        # posteriors over the gated read set, top alt by support
+        # (rankOrthogonalAllelesInSample,
+        # OrthogonalVariantAlleleCandidateGroupUtil.cpp:210-258 — raw
+        # lhoods, no mapping-status integration; the reference's
+        # read_path_lnp maps hold only reads that passed the same
+        # overlap gate). Samples with no scored reads default to
+        # allele 0 (selectTopOrthogonalAllelesInAllSamples:380-390)
+        top_s = 0
+        if A > 2 and scores is not None and len(scores.allele_lhoods):
+            al = scores.allele_lhoods - scores.allele_lhoods.max(
+                axis=1, keepdims=True)
+            p = np.exp(al)
+            sup = (p / p.sum(axis=1, keepdims=True)).sum(axis=0)
+            top_s = int(np.argmax(sup[1:]))
+        prior_rec = recs[top_s]
+        priors = ig.context_priors_for(prior_rec.repeat_unit_length,
+                                       prior_rec.ref_repeat_count)
+        tri_g = ig.ag_genotype_priors_to_triangular(
+            priors.diploid if ploidy == 2 else priors.haploid, A, ploidy,
+            top=top_s)
+        tri_p = ig.ag_genotype_priors_to_triangular(
+            priors.diploid_poly if ploidy == 2 else priors.haploid_poly,
+            A, ploidy, top=top_s)
         edge_mean = 0.0
         if scores is None:
             lh = np.zeros(ig.genotype_count(ploidy, A))

@@ -616,3 +616,60 @@ def test_phased_indel_emits_ps(tmp_path):
     cols = f[9].split(":")
     assert "|" in cols[0], indel_rec[0]
     assert cols[fmt.index("PS")] == f[1], indel_rec[0]
+
+
+def test_forced_allele_displaced_by_trim_still_emitted(tmp_path):
+    """A forced-GT allele that loses the locus's top-2 allele selection
+    must still be reported as its own single-allele locus, genotyped
+    against the displacing alleles as a contrast group (forced-output
+    pathway, starling_pos_processor.cpp:1826-1966; contrast scores max
+    down into ref, AlleleGroupGenotype.cpp:236-247)."""
+    rng = np.random.default_rng(5)
+    L = 600
+    codes = rng.integers(0, 4, L).astype(np.uint8)
+    refs = decode_bases(codes)
+    fa = tmp_path / "t.fa"
+    _write_fasta(str(fa), codes)
+    ref = FastaReference(str(fa))
+
+    rl = 80
+    p = 300
+    out = []
+    for k in range(45):
+        st = 250 + (k % 40)
+        third = k % 3
+        if third == 0:       # 2bp deletion at p
+            seq = refs[st:p + 1] + refs[p + 3:st + rl + 2]
+            cig = f"{p - st + 1}M2D{rl - (p - st + 1)}M"
+        elif third == 1:     # 4bp deletion at p
+            seq = refs[st:p + 1] + refs[p + 5:st + rl + 4]
+            cig = f"{p - st + 1}M4D{rl - (p - st + 1)}M"
+        else:
+            seq = refs[st:st + rl]
+            cig = f"{rl}M"
+        out.append((st, cig, seq, [38] * rl, 0, 60))
+    out.sort(key=lambda r: r[0])
+    batch = make_batch(out)
+
+    fvcf = tmp_path / "forced.vcf"
+    # overlapping 1bp deletion with zero read support
+    fvcf.write_text("##fileformat=VCFv4.1\n"
+                    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                    f"t1\t{p + 1}\t.\t{refs[p]}{refs[p + 1]}\t{refs[p]}"
+                    "\t.\t.\t.\n")
+
+    opt = GermlineOptions()
+    res = gc.call_region(opt, ref, "t1", 0, L, [batch],
+                         forced_gt_vcfs=[str(fvcf)])
+    _g, v = gvcf.emit_region(opt, res, ["S"])
+    indel_recs = [l.split("\t") for l in v
+                  if len(l.split("\t")[3]) != len(l.split("\t")[4]
+                                                 .split(",")[0])]
+    # the genotyped locus reports the two supported deletions
+    multi = [r for r in indel_recs if "," in r[4]]
+    assert multi, v
+    # ... and the displaced forced 1bp deletion gets its own record
+    forced = [r for r in indel_recs
+              if len(r[3]) == 2 and "," not in r[4] and r[1] == str(p + 1)]
+    assert forced, indel_recs
+    assert forced[0][9].split(":")[0] in ("0/0", "0|0"), forced[0]
