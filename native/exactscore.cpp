@@ -2,10 +2,11 @@
 //
 // Computes EXACTLY the canonical quantized-limb score defined in
 // strelka_tpu/ops/pallas_readlik.py (see its module doc): per-base
-// deltas are integer multiples of 2^-QUANT_BITS; the per-offset score
+// deltas are integer multiples of 2^-QUANT_BITS (=2^-11: max delta
+// quantizes to 62139 < 2^16, two base-256 limbs); the per-offset score
 // is the fixed-order f32 limb combination
-//     s = ((S2*65536 + S1*256) + S0) * 2^-QUANT_BITS + lnmis
-// with S2/S1/S0 the exact integer limb sums over matching positions.
+//     s = (S1*256 + S0) * 2^-QUANT_BITS + lnmis
+// with S1/S0 the exact integer limb sums over matching positions.
 // All integer arithmetic here is exact, and the final float ops are
 // the same IEEE-754 f32 operations the XLA/Pallas paths run, so best
 // scores AND first-max argmax offsets are bit-identical to
@@ -26,8 +27,8 @@
 #include <vector>
 
 namespace {
-constexpr float kQuantScale = 524288.0f;    // 2^19 == ops/readlik QUANT_BITS
-constexpr float kQuantInv = 1.0f / 524288.0f;
+constexpr float kQuantScale = 2048.0f;      // 2^11 == ops/readlik QUANT_BITS
+constexpr float kQuantInv = 1.0f / 2048.0f;
 constexpr int64_t kMaxL = 512;
 constexpr int kMaxW64 = (int)(kMaxL / 64);
 }
@@ -36,7 +37,7 @@ extern "C" {
 
 int32_t exact_score_best_offsets(
     const int8_t* codes,   // [B, R, L]
-    const float* delta,    // [B, R, L] quantized multiples of 2^-19
+    const float* delta,    // [B, R, L] quantized multiples of 2^-11
     const float* lnmis,    // [B, R]
     const int8_t* win_t,   // [B, L, W] offset-major windows
     int64_t B, int64_t R, int64_t L, int64_t W,
@@ -110,20 +111,18 @@ int32_t exact_score_best_offsets(
                     uint64_t m[kMaxW64];
                     for (int k = 0; k < nw; ++k)
                         m[k] = ~(rp0[k] ^ w0[k]) & ~(rp1[k] ^ w1[k]) & wvv[k];
-                    int32_t s2 = 0, s1 = 0, s0 = 0;
+                    int32_t s1 = 0, s0 = 0;
                     for (int g = 0; g < G; ++g) {
                         const uint64_t* gm = &gmask[(size_t)g * nw];
                         int cnt = 0;
                         for (int k = 0; k < nw; ++k)
                             cnt += __builtin_popcountll(m[k] & gm[k]);
                         const int32_t d = gval[g];
-                        s2 += (d >> 16) * cnt;
                         s1 += ((d >> 8) & 255) * cnt;
                         s0 += (d & 255) * cnt;
                     }
                     // identical op order to the XLA/Pallas combination
-                    float s = ((float)s2 * 65536.0f + (float)s1 * 256.0f)
-                              + (float)s0 * 1.0f;
+                    float s = (float)s1 * 256.0f + (float)s0 * 1.0f;
                     s = s * kQuantInv + lm;
                     if (first || s > bs) { bs = s; bo = (int32_t)w; first = false; }
                 }

@@ -74,7 +74,7 @@ int main()
     std::vector<float> lnmis(B * R);
     std::vector<int8_t> win(B * SL * W);
     for (auto& c : codes) c = (int8_t)(rnd() % 5);
-    for (auto& d : delta) d = (float)((rnd() % (1 << 22)) / 524288.0);
+    for (auto& d : delta) d = (float)((rnd() % (1 << 16)) / 2048.0);
     for (auto& m : lnmis) m = -(float)(rnd() % 1000);
     for (auto& w : win) w = (int8_t)(rnd() % 5);
     std::vector<float> best(B * R);

@@ -21,32 +21,41 @@ starling_read_align.cpp:1353,1581-1593):
 
 The default "exact" mode is exact BY CONSTRUCTION, not by tolerance.
 Per-base deltas are globally quantized to integer multiples of
-2^-QUANT_BITS (ops/readlik.quantized_qscore_luts), so
+2^-QUANT_BITS (ops/readlik.quantized_qscore_luts; QUANT_BITS=11 since
+round 4 — the max delta quantizes to 62139 < 2^16, so two base-256
+limbs cover the full qual range), so
 
-    d_int = delta * 2^QUANT_BITS            (exact int < 2^24)
-          = l2 * 2^16 + l1 * 2^8 + l0       (base-256 limbs, 0..255)
+    d_int = delta * 2^QUANT_BITS            (exact int < 2^16)
+          = l1 * 2^8 + l0                   (base-256 limbs, 0..255)
 
 Each limb is exactly representable in bf16 (8-bit mantissa) and the
-window one-hot is {0,1}, so every per-element product of the three
+window one-hot is {0,1}, so every per-element product of the two
 one-pass bf16 matmuls is exact, and every partial sum is an integer
 < 2^24 — exact in a f32 accumulator REGARDLESS of accumulation order.
 The fixed-order combination
 
-    score = ((S2*65536 + S1*256) + S0) * 2^-QUANT_BITS + lnmis
+    score = (S1*256 + S0) * 2^-QUANT_BITS + lnmis
 
-is elementwise IEEE f32 (identical on every backend). Result: the
-Pallas kernel, the XLA path (exact_best_offsets), and interpret mode
-produce bit-identical scores AND argmax offsets on TPU and CPU, at
-3 MXU row-passes instead of the 6 precision-passes of a f32-HIGHEST
-matmul — run as ONE [3R, 4L] @ [4L, W] dot with the limb slabs stacked
-along M (1.6x vs dot-per-limb on v5e; A/B history in
-benchmarks/exp_exact_kernel.py). (Round 2's `split3` bf16-decomposition
-path had the same pass count but its f32 accumulation order was
-backend-dependent — it tolerated 1% best-offset flips and was removed
-in favor of this formulation.) The CPU engine path is
-native/exactscore.cpp — the same formulation as bit-parallel base
-matching + per-qual-group popcounts, bit-identical by the same
-argument.
+is elementwise IEEE f32 (identical on every backend); for reads of
+<= 256 scored bases even the add is exact (S1*256 <= 2^24 - 2^16), so
+the only rounding anywhere is the final + lnmis. Result: the Pallas
+kernel, the XLA path (exact_best_offsets), and interpret mode produce
+bit-identical scores AND argmax offsets on TPU and CPU, at 2 MXU
+row-passes instead of the 6 precision-passes of a f32-HIGHEST matmul
+— run as ONE [2R, 4L] @ [4L, W] dot with the limb slabs stacked along
+M (stacking measured 1.6x vs dot-per-limb on v5e in round 3; the
+2-limb switch cuts slab stores by 1/3 on top — A/B history in
+benchmarks/exp_exact_kernel.py). (Round 2's `split3` bf16-
+decomposition path had backend-dependent f32 accumulation order — it
+tolerated 1% best-offset flips and was removed in favor of this
+formulation.) The CPU engine path is native/exactscore.cpp — the same
+formulation as bit-parallel base matching + per-qual-group popcounts,
+bit-identical by the same argument.
+
+NOTE: the quantized LUT IS the scoring semantic — changing QUANT_BITS
+changes scores. The 19->11 switch was re-proven against the somatic
+demo golden (byte-identical, CPU and TPU), the mito golden, and the
+regenerated germline self-golden (see tests).
 
 mode="highest" keeps the f32-HIGHEST matmul for A/B benchmarking; it
 is NOT bit-stable across backends.
@@ -77,7 +86,7 @@ def _score_kernel(mode, codes_ref, delta_ref, lnmis_ref, win_ref,
                                 no in-kernel transpose needed
     best_ref   [G, R, 1] f32    output: max score over offsets
     bestoff_ref[G, R, 1] i32    output: argmax offset (first max)
-    a_scratch  [R, 4L]          bf16 (exact) / f32 (highest)
+    a_scratch  [2R, 4L]         bf16 (exact; limb-stacked) / f32 [R, 4L] (highest)
     w_scratch  [4L, W]          bf16 (exact) / f32 (highest)
 
     Multiple tiles per grid step amortize the per-step grid/pipeline
@@ -95,25 +104,28 @@ def _score_kernel(mode, codes_ref, delta_ref, lnmis_ref, win_ref,
         for b in range(N_BASE):
             w_scratch[b * L:(b + 1) * L, :] = (win == b).astype(wdt)
         if mode == "exact":
+            n_limb = len(LIMBS)
             d_int = (delta_ref[g] * QUANT_SCALE).astype(jnp.int32)
             limbs = [((d_int >> shift) & 255).astype(jnp.bfloat16)
                      for shift, _ in LIMBS]
-            # the three limb slabs stack along M into ONE [3R, 4L] dot
+            # the limb slabs stack along M into ONE [2R, 4L] dot
             # (measured 1.6x vs dot-per-limb on v5e: fewer MXU
             # invocations, and the per-base masks are computed once)
             for b in range(N_BASE):
                 m = codes == b
-                for j in range(3):
+                for j in range(n_limb):
                     a_scratch[j * R:(j + 1) * R,
                               b * L:(b + 1) * L] = jnp.where(
                         m, limbs[j], jnp.bfloat16(0))
             # one MXU pass; exact (bf16 ints x {0,1}, f32 int sums)
             big = jnp.dot(a_scratch[:], w_scratch[:],
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.DEFAULT)  # [3R, W]
+                          precision=jax.lax.Precision.DEFAULT)  # [2R, W]
             # fixed-order limb combination — matches exact_best_offsets
-            s = (big[0:R] * LIMBS[0][1] + big[R:2 * R] * LIMBS[1][1]) \
-                + big[2 * R:3 * R] * LIMBS[2][1]
+            s = None
+            for j, (_, weight) in enumerate(LIMBS):
+                part = big[j * R:(j + 1) * R] * weight
+                s = part if s is None else s + part
             s = s * QUANT_INV
         else:  # "highest": reference 6-pass f32 matmul
             delta = delta_ref[g]
@@ -155,14 +167,17 @@ def _pick_g(B, R, L, W, mode):
     """Tiles per grid step: amortizes grid overhead, bounded by Mosaic
     compile time (superlinear in the unrolled body) and VMEM."""
     elt = 2 if mode == "exact" else 4
-    a_rows = 3 * R if mode == "exact" else R
+    a_rows = len(LIMBS) * R if mode == "exact" else R
     slabs = (a_rows * N_BASE * L + N_BASE * L * W) * elt
 
     def est(g):
         io = g * (R * L * 5 + R * 4 + L * W + R * 8) * 2  # double-buffered
         return io + slabs
 
-    G = 4
+    # G=2 measured best for the 2-limb kernel across shared-chip
+    # sessions (r4 A/B: G2 <= G1 < G4 << G8 at R=128..256;
+    # benchmarks/exp_exact_kernel.py)
+    G = 2
     while G > 1 and (B % G or est(G) > 10 * 2**20):
         G //= 2
     return G
@@ -198,11 +213,13 @@ def _score_best_offsets(codes, delta, lnmis, win_t,
             jax.ShapeDtypeStruct((B, R, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3 * R if mode == "exact" else R, N_BASE * L), sdt),
+            pltpu.VMEM((len(LIMBS) * R if mode == "exact" else R,
+                        N_BASE * L), sdt),
             pltpu.VMEM((N_BASE * L, W), sdt),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * R * N_BASE * L * W * (3 if mode == "exact" else 1),
+            flops=2 * B * R * N_BASE * L * W
+            * (len(LIMBS) if mode == "exact" else 1),
             bytes_accessed=B * (R * L * 5 + L * W + R * 8),
             transcendentals=0,
         ),

@@ -35,15 +35,21 @@ N_BASE_CODES = 4  # A, C, G, T; N padded as all-zero one-hot
 # arithmetic (base-256 limbs on one-pass bf16 MXU matmuls with f32
 # integer accumulation) — bit-identical on every backend regardless of
 # accumulation order. See ops/pallas_readlik.py module doc. Max delta
-# (q=127) is ~30.3, so d_int < 2^24 and three 8-bit limbs suffice.
-QUANT_BITS = 19
+# (q=127) is ~30.34, which quantizes to 62139 < 2^16 at QUANT_BITS=11,
+# so TWO 8-bit limbs cover the full qual range (VERDICT r3 #3a: was
+# 2^-19/3 limbs in rounds 2-3 — one fewer limb slab + a [2R,4L] dot).
+# Exactness is STRONGER than the 3-limb scheme: with <= 256 scored
+# bases the combined S_hi*256 + S_lo stays < 2^24, i.e. the limb
+# combination itself is exact in f32 (the 3-limb path had two
+# deterministic-but-rounded adds).
+QUANT_BITS = 11
 QUANT_SCALE = np.float32(2.0 ** QUANT_BITS)
 QUANT_INV = np.float32(2.0 ** -QUANT_BITS)
 # (shift, weight) of the base-256 limb decomposition of d_int; every
-# exact scoring path MUST combine limbs in this order (the two rounded
-# f32 adds are the only backend-visible roundings and their order
-# defines the canonical result)
-LIMBS = ((16, 65536.0), (8, 256.0), (0, 1.0))
+# exact scoring path MUST combine limbs in this order (for reads
+# longer than 256 scored bases the single f32 add can round, and its
+# fixed order defines the canonical result)
+LIMBS = ((8, 256.0), (0, 1.0))
 
 
 @functools.lru_cache(maxsize=1)
@@ -57,7 +63,7 @@ def quantized_qscore_luts() -> tuple[np.ndarray, np.ndarray]:
     starling_read_align_score.cpp:120-168).
     """
     # f32 arithmetic matches the engine's historical LUT bit-for-bit;
-    # only the round-to-2^-19-multiple step is new
+    # only the round-to-2^-QUANT_BITS-multiple step is new
     q = np.arange(128, dtype=np.float32)
     e = np.clip(np.power(10.0, -q / 10.0), 1e-35, 0.75)
     lm = np.log1p(-e)
