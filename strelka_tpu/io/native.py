@@ -881,3 +881,67 @@ def block_compress_run2(key, gqx, dp, dpf, i0: int, i1: int,
     return int(lib.block_compress_run2(
         key.ctypes.data, gqx.ctypes.data, dp.ctypes.data,
         dpf.ctypes.data, i0, i1, abs_tol, frac_tol, out.ctypes.data))
+
+
+def snv_call_native(hist, ref_gt, s_mis, haploid, qtab, e0,
+                    gen_prior, poly_prior, gen_hap, poly_hap):
+    """Native germline SNV call tail (native/snvcall.cpp): genotype
+    log-lhoods from the (qscore, base) histogram + the full posterior
+    tail. Returns (lhood f32 [L,10], g_max, p_max, snv_q, g_qmax,
+    p_qmax i32 [L], pl i32 [L,10], ln_ref f64 [L]) or None when the
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_snvcall_bound"):
+        lib.snv_call_tail.restype = ctypes.c_int32
+        lib.snv_call_tail.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double)]
+        lib._snvcall_bound = True
+    L, K = hist.shape
+    hist = np.ascontiguousarray(hist, dtype=np.int8)
+    rg = np.ascontiguousarray(ref_gt, dtype=np.int8)
+    sm = (np.ascontiguousarray(s_mis, dtype=np.float32)
+          if s_mis is not None else None)
+    hp = (np.ascontiguousarray(haploid).view(np.uint8)
+          if haploid is not None else None)
+    qt = np.ascontiguousarray(qtab, dtype=np.float32)
+    e0c = np.ascontiguousarray(e0, dtype=np.float32)
+    gp = np.ascontiguousarray(gen_prior, dtype=np.float64)
+    pp = np.ascontiguousarray(poly_prior, dtype=np.float64)
+    gh = np.ascontiguousarray(gen_hap, dtype=np.float64)
+    ph = np.ascontiguousarray(poly_hap, dtype=np.float64)
+    lhood = np.empty((L, 10), np.float32)
+    g_max = np.empty(L, np.int32)
+    p_max = np.empty(L, np.int32)
+    snv_q = np.empty(L, np.int32)
+    g_qmax = np.empty(L, np.int32)
+    p_qmax = np.empty(L, np.int32)
+    pl = np.empty((L, 10), np.int32)
+    ln_ref = np.empty(L, np.float64)
+    rc = lib.snv_call_tail(
+        _p(hist, ctypes.c_int8), _p(rg, ctypes.c_int8),
+        sm.ctypes.data if sm is not None else None,
+        hp.ctypes.data if hp is not None else None,
+        _p(qt, ctypes.c_float), _p(e0c, ctypes.c_float),
+        _p(gp, ctypes.c_double), _p(pp, ctypes.c_double),
+        _p(gh, ctypes.c_double), _p(ph, ctypes.c_double),
+        L, K,
+        _p(lhood, ctypes.c_float),
+        _p(g_max, ctypes.c_int32), _p(p_max, ctypes.c_int32),
+        _p(snv_q, ctypes.c_int32), _p(g_qmax, ctypes.c_int32),
+        _p(p_qmax, ctypes.c_int32),
+        _p(pl, ctypes.c_int32), _p(ln_ref, ctypes.c_double))
+    if rc != 0:
+        return None
+    return lhood, g_max, p_max, snv_q, g_qmax, p_qmax, pl, ln_ref

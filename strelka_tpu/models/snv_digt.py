@@ -643,6 +643,34 @@ def _tally(kind, Lt, Dt):
         LAUNCH_STATS[k] = LAUNCH_STATS.get(k, 0) + 1
 
 
+def _call_snv_tile_native(base, qual, mask, ref_gt, theta, haploid,
+                          s_delta):
+    """Native whole-region SNV call (histogram + posterior tail) —
+    see native/snvcall.cpp for the canonical accumulation-order
+    definition. Returns an SnvCallResult of host arrays (strand_bias
+    zeros; the SNP-subset SB pass runs afterward as usual) or None
+    when the native library is unavailable."""
+    from ..io.native import snv_call_native, snv_hist_native
+    L, D = base.shape
+    hist = np.zeros((L, _SNV_QTAB_SIZE * digt.N_BASE), np.int8)
+    if not snv_hist_native(base, qual, mask, _SNV_QTAB_SIZE, hist):
+        _np_snv_hist(base, qual, mask, hist)
+    pr = make_ln_priors(theta)
+    res = snv_call_native(
+        hist, ref_gt, s_delta, haploid, _snv_qtab(),
+        np.asarray(_e0_tab()), pr["genome"], pr["poly"],
+        pr["genome_haploid"], pr["poly_haploid"])
+    if res is None:
+        return None
+    lhood, g_max, p_max, snv_q, g_qmax, p_qmax, pl, ln_ref = res
+    return SnvCallResult(
+        lhood=lhood, genome_pprob=None, poly_pprob=None,
+        genome_max_gt=g_max, poly_max_gt=p_max,
+        snv_qphred=snv_q, genome_max_gt_qphred=g_qmax,
+        poly_max_gt_qphred=p_qmax, phred_loghood=pl,
+        strand_bias=np.zeros(L, np.float64), ln_ref_pprob=ln_ref)
+
+
 def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                           is_haploid=None,
                           het_vf_extension: float = 0.0,
@@ -668,7 +696,24 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
     s_delta = dep[0] if dep is not None else None
     plane_fn = dep[1] if dep is not None else None
 
-    if L <= SNV_TILE_L:
+    # CPU-backend fast path: the histogram is sparse, so the native
+    # sequential gather-sum + posterior tail (native/snvcall.cpp)
+    # replaces the whole device chain — no tiling, no pulls. The XLA
+    # tile path stays canonical on device backends and under
+    # STRELKA_TPU_SNV_DEVICE=1 (the virtual-mesh dryrun forces it so
+    # sharded and unsharded runs share one accumulation order).
+    out = None
+    if (het_vf_extension == 0.0 and D <= 127
+            and __import__("os").environ.get("STRELKA_TPU_SNV_DEVICE")
+            != "1"
+            and jax.default_backend() == "cpu"):
+        from ..parallel import mesh as _pmesh
+        if _pmesh.engine_mesh() is None:
+            out = _call_snv_tile_native(base, qual, mask, ref_gt, theta,
+                                        hap, s_delta)
+    if out is not None:
+        pass
+    elif L <= SNV_TILE_L:
         dd = sm = None
         if dep is not None:
             if het_vf_extension > 0:
@@ -800,6 +845,7 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                     sm = np.zeros((SNV_TILE_L, 4), np.float32)
                     sm[:rows] = s_delta[t0:t1]
                     sm = _to_dev(sm)
+                _tally("tile", SNV_TILE_L, Db)
                 res = call_snv_hist_tile(_to_dev(hbuf), _to_dev(rg),
                                          sub_hap, theta, s_mis=sm)
                 lt_dev = jnp.take_along_axis(

@@ -413,7 +413,17 @@ def run_local_jobs(module: str, argv: list[str], jobs,
         if rc != 0:
             return rc
     else:
-        procs = {i: spawn(i) for i in range(n)}
+        # STRELKA_TPU_SPAWN_STAGGER=<sec>: offset worker starts. The
+        # tunneled TPU backend serializes remote compiles and can
+        # refuse simultaneous fresh-client dials under load; staggered
+        # spawns let worker 0 warm the shared compile cache first
+        stagger = float(os.environ.get("STRELKA_TPU_SPAWN_STAGGER", "0")
+                        or 0)
+        procs = {}
+        for i in range(n):
+            if i and stagger > 0:
+                time.sleep(stagger)
+            procs[i] = spawn(i)
         failed = []
         for i, pr in procs.items():
             if pr.wait() != 0:

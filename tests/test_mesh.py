@@ -127,12 +127,19 @@ def test_engine_mesh_chunked_snv_identical():
         is_fwd=(rng.random((L, D)) < 0.5),
         mask=(rng.random((L, D)) < 0.7),
         ref_gt=ref)
-    plain = sd.call_snv_tile_chunked(tile)
+    # force the device path for the unsharded run: this test proves
+    # mesh invariance of the DEVICE pipeline, and the CPU-backend
+    # native caller has its own accumulation order (ulp-level SB
+    # differences via lt; native/snvcall.cpp module doc)
+    import os
+    os.environ["STRELKA_TPU_SNV_DEVICE"] = "1"
     try:
+        plain = sd.call_snv_tile_chunked(tile)
         pm.set_engine_mesh(pm.engine_mesh_from_spec("4"))
         meshed = sd.call_snv_tile_chunked(tile)
     finally:
         pm.set_engine_mesh(None)
+        os.environ.pop("STRELKA_TPU_SNV_DEVICE", None)
     for f in ("genome_max_gt", "poly_max_gt", "snv_qphred",
               "genome_max_gt_qphred", "poly_max_gt_qphred",
               "phred_loghood", "strand_bias"):
