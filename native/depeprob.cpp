@@ -102,8 +102,11 @@ int32_t dependent_eprob_delta(
         kQ.build_rank_table(ssd_no);  // single-threaded caller per opts
 
     auto run = [&](int64_t l0, int64_t l1) {
-        // group members: indices into the site's depth axis
-        std::vector<int32_t> grp;
+        // group members: indices into the site's depth axis, collected
+        // for all 8 (strand, base) groups in ONE depth scan (the old
+        // per-group re-scan tripled the depth traffic at typical sites,
+        // where both ref-strand groups qualify)
+        std::vector<int32_t> mem[8];
         for (int64_t l = l0; l < l1; ++l) {
             const int8_t* cb = base + l * D;
             const int16_t* cq = qual + l * D;
@@ -114,35 +117,29 @@ int32_t dependent_eprob_delta(
             sd[0] = sd[1] = sd[2] = sd[3] = 0.0f;
             float* dd = de_delta ? de_delta + l * D : nullptr;
             if (dd) std::memset(dd, 0, sizeof(float) * D);
-            // count per group first; skip sites with no group >= 2
-            int cnt[8] = {0};
+            double num8[8], den8[8];
+            for (int g = 0; g < 8; ++g) {
+                mem[g].clear();
+                num8[g] = den8[g] = 0.0;
+            }
             for (int64_t d = 0; d < D; ++d) {
                 if (!cu[d]) continue;
                 const uint8_t b = (uint8_t)cb[d];
                 if (b >= 4 || cq[d] < 3) continue;
-                cnt[(cf[d] ? 1 : 0) + 2 * b]++;
+                const int g = (cf[d] ? 1 : 0) + 2 * b;
+                mem[g].push_back((int32_t)d);
+                const double w = kQ.w[cq[d] & 255];
+                den8[g] += w;
+                if (cn[d]) num8[g] += w;
             }
             for (int g = 0; g < 8; ++g) {
-                if (cnt[g] < 2) continue;  // singleton: de == e exactly
+                if ((int)mem[g].size() < 2)
+                    continue;  // singleton: de == e exactly
                 const uint8_t gb = (uint8_t)(g >> 1);
-                const uint8_t gf = (uint8_t)(g & 1);
-                grp.clear();
-                for (int64_t d = 0; d < D; ++d) {
-                    if (!cu[d]) continue;
-                    if ((uint8_t)cb[d] != gb || (cf[d] ? 1 : 0) != gf
-                        || cq[d] < 3)
-                        continue;
-                    grp.push_back((int32_t)d);
-                }
-                // weighted neighbor-mismatch fraction
-                double num = 0.0, den = 0.0;
-                for (int32_t d : grp) {
-                    const double w = kQ.w[cq[d] & 255];
-                    den += w;
-                    if (cn[d]) num += w;
-                }
+                std::vector<int32_t>& grp = mem[g];
+                const double num = num8[g], den = den8[g];
                 double mfrac = 0.0;
-                if (!grp.empty() && den > 0.0) mfrac = num / den;
+                if (den > 0.0) mfrac = num / den;
                 const double vexp_frac =
                     (1.0 - mfrac) * ssd_no + mfrac * ssd_one;
                 std::sort(grp.begin(), grp.end(),
