@@ -505,6 +505,47 @@ def call_region(
                               min_bp_flank=opt.default_min_read_bp_flank)
         for s in range(n_samples)]
 
+    # Reference ALT ordering for multi-alt loci
+    # (selectTopOrthogonalAllelesInAllSamples,
+    # OrthogonalVariantAlleleCandidateGroupUtil.cpp:286-391): rank each
+    # group's kept alleles by per-sample summed naive posteriors
+    # (ploidy-aware topSize, referenceRank adjustment), aggregate
+    # (ploidy - rank) votes across samples, and reorder — ALT column /
+    # genotype-index order then matches the reference instead of the
+    # read-count trim order. Score columns and the breakpoint gate are
+    # permuted/rekeyed to the new first allele.
+    for gi, group in enumerate(groups_trimmed):
+        if len(group) < 2:
+            continue
+        cps = []
+        lhood_list = []
+        for s in range(n_samples):
+            sc = sample_scores[s].get(gi)
+            lhood_list.append(None if sc is None or
+                              not len(sc.allele_lhoods)
+                              else sc.allele_lhoods)
+            pl_s = int(ploidy_arr[s, min(max(group[0].pos - begin, 0),
+                                         L_report - 1)])
+            cps.append(2 if pl_s == 0 else max(pl_s, 1))
+        new_order = rank_locus_alleles(lhood_list, cps, len(group))
+        if new_order == list(range(len(group))):
+            continue
+        groups_trimmed[gi] = [group[ai] for ai in new_order]
+        scored_groups[gi] = groups_trimmed[gi]
+        perm = np.array([0] + [1 + ai for ai in new_order])
+        import dataclasses
+        for s in range(n_samples):
+            sc = sample_scores[s].get(gi)
+            if sc is None:
+                continue
+            sc = dataclasses.replace(
+                sc, allele_lhoods=sc.allele_lhoods[:, perm],
+                best_offsets=(sc.best_offsets[:, perm]
+                              if sc.best_offsets is not None else None))
+            sample_scores[s][gi] = rb.recompute_bp_gate(
+                sc, groups_trimmed[gi][0],
+                opt.default_min_read_bp_flank)
+
     # apply realignments (finishRealignment semantics): reads that
     # confidently support an indel haplotype get the indel embedded in
     # their alignment; site calling then runs on the realigned pileup
@@ -686,6 +727,51 @@ def indel_edge_distances(lrp, rrp, rl):
     dist = np.where(d1 >= 0, np.minimum(dist, d1), dist)
     dist = np.where(d2 >= 0, np.minimum(dist, d2), dist)
     return np.minimum(dist, 20)
+
+
+def rank_locus_alleles(allele_lhoods_per_sample, caller_ploidies,
+                       n_alt) -> list[int]:
+    """Reference ALT ordering for a multi-alt locus
+    (selectTopOrthogonalAllelesInAllSamples,
+    OrthogonalVariantAlleleCandidateGroupUtil.cpp:286-391): per sample,
+    rank the FULL allele list (ref first) by summed naive per-read
+    posteriors; take alts in rank order with topSize = ploidy minus one
+    when the reference ranks inside the top-ploidy; aggregate
+    (ploidy - rank) votes over samples and sort descending (ties by
+    first-seen order). Single-sample loci keep the sample's own rank
+    order (the reference skips the aggregate re-rank there).
+
+    allele_lhoods_per_sample: [n_samples] of [R, 1+n_alt] f64 arrays
+    (None for uncovered samples). Returns the new alt index order."""
+    agg = np.zeros(n_alt)
+    first_seen = np.full(n_alt, 1 << 30)
+    seen_n = 0
+    sample0_order = None
+    n_samples = len(allele_lhoods_per_sample)
+    for s in range(n_samples):
+        al = allele_lhoods_per_sample[s]
+        if al is None or not len(al):
+            continue
+        cp = caller_ploidies[s]
+        al = np.asarray(al, np.float64)
+        alm = al - al.max(axis=1, keepdims=True)
+        p = np.exp(alm)
+        sup = (p / p.sum(axis=1, keepdims=True)).sum(axis=0)
+        order = np.argsort(-sup, kind="stable")
+        ref_rank = int(np.nonzero(order == 0)[0][0])
+        top_size = cp - (1 if ref_rank < cp else 0)
+        alts_ranked = [int(i) - 1 for i in order if i != 0]
+        if sample0_order is None:
+            sample0_order = alts_ranked
+        for idx, ai in enumerate(alts_ranked[:max(top_size, 0)]):
+            agg[ai] += cp - idx
+            if first_seen[ai] == 1 << 30:
+                first_seen[ai] = seen_n
+                seen_n += 1
+    if n_samples == 1 and sample0_order is not None:
+        return sample0_order
+    return sorted(range(n_alt),
+                  key=lambda ai: (-agg[ai], first_seen[ai], ai))
 
 
 def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,

@@ -416,3 +416,27 @@ def _score_loci_batched(
             suboverlap_mask=sub_mask,
         )
     return out
+
+
+def recompute_bp_gate(scores, key0, min_bp_flank):
+    """Rebuild the breakpoint-overlap genotyping gate for a new first
+    alt allele (same math as the min_bp_flank post-filter in
+    _score_loci_batched): used when a locus's alleles are reordered
+    after scoring (reference ALT ranking), so the gate keys off the
+    top-ranked allele's scored placement."""
+    import dataclasses
+    if scores.best_offsets is None:
+        return scores
+    p = key0.pos - scores.win_begin
+    rl = scores.read_len.astype(np.int64)
+    alt_off = scores.best_offsets[:, 1]
+    lrp = p - alt_off
+    rrp = lrp + key0.insert_length
+    lo = np.maximum(0, np.minimum(lrp, rl - lrp))
+    ro = np.maximum(0, np.minimum(rrp, rl - rrp))
+    bpo = np.maximum(lo, ro)
+    gmask = bpo >= min_bp_flank
+    sub = ~gmask & (bpo > 0)
+    return dataclasses.replace(
+        scores, genotyping_mask=gmask, suboverlap_mask=sub,
+        n_suboverlap=int(sub.sum()))

@@ -673,3 +673,80 @@ def test_forced_allele_displaced_by_trim_still_emitted(tmp_path):
               if len(r[3]) == 2 and "," not in r[4] and r[1] == str(p + 1)]
     assert forced, indel_recs
     assert forced[0][9].split(":")[0] in ("0/0", "0|0"), forced[0]
+
+
+def test_rank_locus_alleles_posterior_beats_read_count():
+    """rank_locus_alleles: an allele with MORE but individually
+    ambiguous supporting reads ranks after an allele with fewer
+    confident reads (posterior-sum ranking,
+    rankOrthogonalAllelesInSample), and the ploidy-aware vote
+    aggregation across samples follows
+    selectTopOrthogonalAllelesInAllSamples."""
+    # single sample: 14 reads weakly favoring alt0 (posterior ~0.52)
+    # vs 10 reads decisively favoring alt1
+    weak = np.array([[0.0, 0.08, -30.0]] * 14)     # ref, alt0, alt1
+    strong = np.array([[0.0, -30.0, 9.0]] * 10)
+    al = np.concatenate([weak, strong])
+    order = gc.rank_locus_alleles([al], [2], 2)
+    assert order == [1, 0]
+    # two samples voting for different alleles: ploidy votes aggregate
+    s0 = np.array([[0.0, 9.0, -30.0]] * 6)         # top allele 0
+    s1 = np.array([[0.0, -30.0, 9.0]] * 3)         # top allele 1
+    order = gc.rank_locus_alleles([s0, s1], [2, 2], 2)
+    # equal votes (2 each from rank-0 positions); tie broken by
+    # first-seen order -> allele 0 stays first
+    assert order == [0, 1]
+    # sample 2 haploid: its vote is 1, sample 1 diploid vote 2
+    order = gc.rank_locus_alleles([s1, s0], [2, 2], 2)
+    assert order == [1, 0]
+
+
+def test_multiallelic_alt_order_by_posterior_support(tmp_path):
+    """e2e wiring: a 2-alt locus orders its ALT column by the
+    posterior-support ranking (here support and counts agree; the
+    disagreement case is pinned by the unit test above)."""
+    rng = np.random.default_rng(11)
+    L = 600
+    codes = rng.integers(0, 4, L).astype(np.uint8)
+    refs = decode_bases(codes)
+    fa = tmp_path / "t.fa"
+    _write_fasta(str(fa), codes)
+    ref = FastaReference(str(fa))
+
+    rl = 80
+    p = 300
+    out = []
+    k = 0
+    # 14 reads supporting a 2bp deletion with q=5 basecalls (weak
+    # per-read posteriors), 10 reads supporting a 4bp deletion at q=40,
+    # 12 clean ref reads at q=40
+    for n, kind, q in ((14, "del2", 5), (10, "del4", 40),
+                      (4, "ref", 40)):
+        for _ in range(n):
+            st = 250 + (k % 40)
+            k += 1
+            if kind == "del2":
+                seq = refs[st:p + 1] + refs[p + 3:st + rl + 2]
+                cig = f"{p - st + 1}M2D{rl - (p - st + 1)}M"
+            elif kind == "del4":
+                seq = refs[st:p + 1] + refs[p + 5:st + rl + 4]
+                cig = f"{p - st + 1}M4D{rl - (p - st + 1)}M"
+            else:
+                seq = refs[st:st + rl]
+                cig = f"{rl}M"
+            out.append((st, cig, seq, [q] * rl, 0, 60))
+    out.sort(key=lambda r: r[0])
+    batch = make_batch(out)
+    opt = GermlineOptions()
+    res = gc.call_region(opt, ref, "t1", 0, L, [batch])
+    _g, v = gvcf.emit_region(opt, res, ["S"])
+    multi = [l.split("\t") for l in v if "," in l.split("\t")[4]]
+    assert multi, v
+    alts = multi[0][4].split(",")
+    # the 14-read q5 deletion still wins posterior support here (each
+    # read's haplotype is decisively matched); ALT0 = the 2bp deletion
+    # (longer ALT string), ALT1 = the 4bp deletion
+    assert len(alts[0]) > len(alts[1]), multi[0][:5]
+    # and both samples genotype against the ranked order
+    assert multi[0][9].split(":")[0].replace("|", "/") in (
+        "1/2", "2/1", "1/1", "0/1", "0/2"), multi[0]
