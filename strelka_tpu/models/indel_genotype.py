@@ -259,3 +259,88 @@ def genotype_posteriors(genotype_lhood: np.ndarray, ln_priors: np.ndarray):
     comp = max(p.sum() - p[max_gt], 0.0)
     q_max = int(min(999, np.floor(-10 * np.log10(max(comp, tiny)) + 0.5)))
     return p, max_gt, q_ref, q_max
+
+
+def batch_genotype_lhoods(entries, ploidy: int, A: int, min_flank: int):
+    """Batched per-locus genotype math for loci sharing (caller
+    ploidy, allele count): genotype log-lhoods, confident-read flags
+    (updateSupportingReadStats), and summed naive allele posteriors
+    (the per-sample top-allele support). One vectorized pass replaces
+    thousands of small per-locus ufunc dispatches.
+
+    entries: list of (allele_lhoods [R, A] f64 — gated read set, col 0
+    = ref; read_len [R]; n_nonambig [R]; ins_len [A-1]; del_len [A-1]).
+
+    Returns [(lh [G] f64, conf [R, A] bool, sup [A] f64)] — BITWISE
+    identical to the per-locus formulations (genotype_log_lhoods, the
+    caller's confident-count block, and the top-allele support sums):
+    padded rows contribute exact +0.0 to every row-sum, numpy's axis-1
+    reduction of a C-contiguous [B, R, G] accumulates rows sequentially
+    exactly like the per-locus axis-0 sum, and every other op is
+    elementwise (tests/test_indel_batch_gt.py pins this bit-for-bit).
+    """
+    B = len(entries)
+    Rs = [len(e[0]) for e in entries]
+    Rpad = max(Rs) if Rs else 1
+    al = np.zeros((B, Rpad, A))
+    rl = np.zeros((B, Rpad))
+    nna = np.zeros((B, Rpad))
+    mask = np.zeros((B, Rpad), bool)
+    ins = np.zeros((B, A - 1), np.int64)
+    dels = np.zeros((B, A - 1), np.int64)
+    for i, (a, r, n, ii, dd) in enumerate(entries):
+        R = len(a)
+        al[i, :R] = np.asarray(a, np.float64)
+        rl[i, :R] = r
+        nna[i, :R] = n
+        mask[i, :R] = True
+        ins[i] = ii
+        dels[i] = dd
+
+    ga = genotype_alleles(ploidy, A)
+    log_ref_p = np.zeros((B, Rpad, A - 1))
+    log_alt_p = np.zeros((B, Rpad, A - 1))
+    for j in range(A - 1):
+        lr, la = het_allele_ratio_log_priors(
+            rl, min_flank, ins[:, j:j + 1], dels[:, j:j + 1])
+        log_ref_p[:, :, j] = lr
+        log_alt_p[:, :, j] = la
+
+    raws = []
+    for a0, a1 in ga:
+        a0, a1 = int(a0), int(a1)
+        if a0 == a1:
+            raw = al[:, :, a0]
+        elif a0 == 0:
+            raw = np.logaddexp(al[:, :, 0] + log_ref_p[:, :, a1 - 1],
+                               al[:, :, a1] + log_alt_p[:, :, a1 - 1])
+        else:
+            p1 = log_alt_p[:, :, a1 - 1]
+            p0 = log_alt_p[:, :, a0 - 1]
+            norm = np.logaddexp(p0, p1)
+            raw = np.logaddexp(al[:, :, a0] + (p0 - norm),
+                               al[:, :, a1] + (p1 - norm))
+        raws.append(raw)
+    raw_g = np.stack(raws, axis=2)                       # [B, Rpad, G]
+    integ = integrate_out_mapping(raw_g, nna[:, :, None])
+    integ = np.where(mask[:, :, None], integ, 0.0)
+    lh = integ.sum(axis=1)                               # [B, G]
+
+    # confident supporting reads (posterior >= 0.51 after mapping
+    # integration — same ops as the per-locus block)
+    i2 = al + CORRECT_MAPPING_LOG_PRIOR
+    rb = nna[:, :, None] * LN_RANDOM_BASE_MATCH
+    a2 = np.logaddexp(i2, rb)
+    a2 = a2 - a2.max(axis=2, keepdims=True)
+    p2 = np.exp(a2)
+    p2 /= p2.sum(axis=2, keepdims=True)
+    conf = (p2 >= 0.51) & mask[:, :, None]
+
+    # summed naive allele posteriors (rankOrthogonalAllelesInSample)
+    b3 = al - al.max(axis=2, keepdims=True)
+    q = np.exp(b3)
+    q /= q.sum(axis=2, keepdims=True)
+    q *= mask[:, :, None]
+    sup = q.sum(axis=1)                                  # [B, A]
+
+    return [(lh[i], conf[i, :Rs[i]], sup[i]) for i in range(B)]

@@ -592,6 +592,42 @@ def call_region(
     # alleles reduce the site-genotyping ploidy over their span
     # (updateDiploidIndelLocusWithSampleInfo ->
     # pos_basecall_buffer::decrementSpanningIndelPloidy)
+    # batched genotype pre-pass: apply the breakpoint gate, then run
+    # the per-locus lhood/confidence/support math for ALL (sample,
+    # locus) pairs sharing (ploidy, allele count) in one vectorized
+    # call (ig.batch_genotype_lhoods — bitwise identical to the
+    # in-loop formulation, tests/test_indel_batch_gt.py)
+    pre_gt_map: dict[tuple[int, int], object] = {}
+    _buckets: dict[tuple[int, int], list] = {}
+    for gi, group in enumerate(groups_trimmed):
+        A_loc = len(group) + 1
+        for s in range(n_samples):
+            sc = sample_scores[s].get(gi)
+            if sc is None:
+                continue
+            gated = realign.apply_genotyping_mask(sc)
+            if gated is None:
+                pre_gt_map[(s, gi)] = "EMPTY"
+                continue
+            pl_s = int(ploidy_arr[s, min(max(group[0].pos - begin, 0),
+                                         L_report - 1)])
+            cp = max(pl_s, 1)
+            # power-of-two read-count sub-buckets bound padding waste
+            # (one deep locus must not inflate Rpad for every locus)
+            rb_key = 1 << max(int(len(gated.allele_lhoods)) - 1, 0)                 .bit_length()
+            _buckets.setdefault((cp, A_loc, rb_key), []).append(
+                (s, gi, gated))
+    for (cp, A_loc, _rb), items in _buckets.items():
+        entries = [(np.asarray(sc.allele_lhoods, np.float64),
+                    sc.read_len, sc.n_nonambig,
+                    [k.insert_length for k in groups_trimmed[gi]],
+                    [k.delete_length for k in groups_trimmed[gi]])
+                   for s, gi, sc in items]
+        res = ig.batch_genotype_lhoods(entries, cp, A_loc,
+                                       opt.default_min_read_bp_flank)
+        for (s, gi, sc), (lh_b, conf_b, sup_b) in zip(items, res):
+            pre_gt_map[(s, gi)] = (sc, lh_b, conf_b, sup_b)
+
     indel_calls: list[IndelCall] = []
     for gi, group in enumerate(groups_trimmed):
         call = genotype_indel_locus(
@@ -601,7 +637,8 @@ def call_region(
                                                  L_report - 1)])
                            for s in range(n_samples)],
             precomputed_scores=[sample_scores[s].get(gi)
-                                for s in range(n_samples)])
+                                for s in range(n_samples)],
+            pre_gt=[pre_gt_map.get((s, gi)) for s in range(n_samples)])
         if call is not None:
             if len(loci[gi]) > len(group):
                 call.is_conflict = True
@@ -777,14 +814,21 @@ def rank_locus_alleles(allele_lhoods_per_sample, caller_ploidies,
 def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
                          ref_offset, samples, region_begin, n_samples,
                          sample_ploidy=None, precomputed_scores=None,
-                         n_contrast: int = 0):
+                         n_contrast: int = 0, pre_gt=None):
     """Genotype one multi-sample indel locus from read x hap scores.
 
     n_contrast > 0: the score matrices carry that many trailing
     contrast-allele columns beyond the locus alleles; their per-read
     scores are maxed down into the ref column before genotyping
     (AlleleGroupGenotype.cpp:236-247, the <*> reduction used by the
-    forced-output pathway)."""
+    forced-output pathway).
+
+    pre_gt: optional per-sample list from the batched pre-pass
+    (ig.batch_genotype_lhoods via call_region): each entry is None
+    (compute here), the sentinel "EMPTY" (reads gated to nothing), or
+    (gated_scores, lh, conf, sup) — bitwise identical to the in-here
+    computation (tests/test_indel_batch_gt.py), just hoisted out of
+    the per-locus loop."""
     A = len(keys) + 1
     info = ig.AlleleInfo(
         insert_len=np.array([k.insert_length for k in keys]),
@@ -811,12 +855,18 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
     homref_lnp = 0.0  # sum over samples of ln P(hom-ref | genome prior)
     for s in range(n_samples):
         ploidy = max(sample_ploidy[s], 1)  # ploidy-0: emit as haploid no-call
-        if precomputed_scores is not None:
+        pre = pre_gt[s] if pre_gt is not None else None
+        lh_pre = conf_pre = sup_pre = None
+        if pre == "EMPTY":
+            scores = None
+        elif pre is not None:
+            scores, lh_pre, conf_pre, sup_pre = pre
+        elif precomputed_scores is not None:
             scores = precomputed_scores[s]
         else:
             scores = realign.score_locus(kept[s], eas[s], levels[s],
                                          ref_codes, ref_offset, list(keys))
-        if scores is not None:
+        if pre is None and scores is not None:
             # breakpoint-overlap gate: only sufficiently-overlapping
             # reads receive ReadPathScores for genotyping
             scores = realign.apply_genotyping_mask(scores)
@@ -837,10 +887,13 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
         # allele 0 (selectTopOrthogonalAllelesInAllSamples:380-390)
         top_s = 0
         if A > 2 and scores is not None and len(scores.allele_lhoods):
-            al = scores.allele_lhoods - scores.allele_lhoods.max(
-                axis=1, keepdims=True)
-            p = np.exp(al)
-            sup = (p / p.sum(axis=1, keepdims=True)).sum(axis=0)
+            if sup_pre is not None:
+                sup = sup_pre
+            else:
+                al = scores.allele_lhoods - scores.allele_lhoods.max(
+                    axis=1, keepdims=True)
+                p = np.exp(al)
+                sup = (p / p.sum(axis=1, keepdims=True)).sum(axis=0)
             top_s = int(np.argmax(sup[1:]))
         prior_rec = recs[top_s]
         priors = ig.context_priors_for(prior_rec.repeat_unit_length,
@@ -857,6 +910,13 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
             ad = np.zeros(A, np.int32)
             adf = np.zeros(A, np.int32)
             adr = np.zeros(A, np.int32)
+        elif lh_pre is not None:
+            lh = lh_pre
+            conf = conf_pre
+            ad = conf.sum(axis=0).astype(np.int32)
+            adf = (conf & scores.is_fwd[:, None]).sum(axis=0) \
+                .astype(np.int32)
+            adr = ad - adf
         else:
             glh = ig.genotype_log_lhoods(
                 scores.allele_lhoods,
