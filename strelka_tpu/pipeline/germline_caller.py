@@ -73,10 +73,10 @@ class IndelCall:
     # (AlleleReportInfoUtil.cpp:354-359; RNA EVS feature)
     sample_edge_dist: list = None
     qual: int = 0
-    # more orthogonal alleles overlapped this locus than could be
-    # jointly genotyped (the reference emits such loci separately and
-    # marks them all IndelConflict, VariantOverlapResolver.cpp:446-459;
-    # we genotype the top-2 and mark the merged record)
+    # this variant locus overlaps-or-touches another variant indel
+    # locus in the emission stream: the overlap resolver buffers them
+    # together and a multi-locus flush marks every member IndelConflict
+    # (VariantOverlapResolver.cpp:84-116,446-459)
     is_conflict: bool = False
     # forced-GT allele that cannot be genotyped (complex/swap allele,
     # IndelBuffer.cpp:115-129 doNotGenotype): the record is emitted
@@ -461,90 +461,203 @@ def call_region(
     cand_keys = sorted(k for k, ok in candidacy.items() if ok
                        and begin <= k.pos - 1 < end)
 
-    # group overlapping candidate indels into loci (orthogonal allele
-    # groups, OrthogonalVariantAlleleCandidateGroupUtil simplified:
-    # alleles whose ref spans intersect form one locus, capped at 2 alts)
-    loci: list[list[cand.IndelKey]] = []
-    for k in cand_keys:
-        if loci and k.pos <= max(x.right_pos for x in loci[-1]) + 1 \
-                and k.pos - min(x.pos for x in loci[-1]) < 50:
-            loci[-1].append(k)
-        else:
-            loci.append([k])
-
-    # trim each locus group to its top-2 supported alleles
-    groups_trimmed = []
-    for group in loci:
-        group = sorted(group, key=lambda k: (
-            -max(len(store.records[k].samples[s].tier1_reads)
-                 for s in range(n_samples)), k))[:2]
-        groups_trimmed.append(sorted(group))
-
-    # forced-output alleles displaced by the top-2 trim still must be
-    # emitted: each becomes its own single-allele locus scored against
-    # the displacing alleles as a CONTRAST group whose read scores are
-    # maxed down into ref (forced-output pathway,
-    # starling_pos_processor.cpp:1826-1966, contrastGroup =
-    # topVariantAlleleGroup; AlleleGroupGenotype.cpp:236-247)
-    forced_groups: list[tuple[list[cand.IndelKey], int]] = []
-    for gi, group in enumerate(loci):
-        trimmed = groups_trimmed[gi]
-        for k in group:
-            if k not in trimmed and store.records[k].is_forced_output:
-                forced_groups.append(([k] + list(trimmed), len(trimmed)))
-
-    # batched read x haplotype scoring across all loci per sample
-    # (fixed-shape buckets; one kernel launch per bucket); forced
-    # contrast groups ride the same batched launches
+    # === reference per-position locus formation ===
+    # (process_pos_indel_digt, starling_pos_processor.cpp:1609-1798 +
+    # OrthogonalVariantAlleleCandidateGroupUtil.cpp; ranking/selection
+    # helpers in pipeline/allele_select.py). Positions over the whole
+    # fetch window are processed so _variantLocusAlreadyOutputToPos
+    # stays in sync across segment boundaries (the reference runs the
+    # position loop ahead of the report range for the same reason,
+    # :1800-1810); only loci whose VCF anchor lands in [begin, end)
+    # are emitted.
+    from . import allele_select as asel
     from . import realign_batch as rb
-    scored_groups = groups_trimmed + [fk for fk, _ in forced_groups]
-    sample_scores = [
+    import dataclasses
+
+    all_cand = sorted(k for k, ok in candidacy.items() if ok)
+    pos_alleles: dict[int, list[cand.IndelKey]] = {}
+    for k in all_cand:
+        pos_alleles.setdefault(k.pos, []).append(k)
+    positions = sorted(pos_alleles)
+    ng_at: dict[int, list[cand.IndelKey]] = {}
+    for k in ng_forced:
+        ng_at.setdefault(k.pos, []).append(k)
+
+    def _pl(s, p):
+        return int(ploidy_arr[s, min(max(p - begin, 0), L_report - 1)])
+
+    # groupLocusPloidy = max ploidy over the position group's reference
+    # range (doNotGenotype alleles included, :1675-1690); callerPloidy
+    # maps the ploidy-0 special case to 2 (:1692-1700)
+    group_pl: dict[int, tuple[list[int], list[int]]] = {}
+    for p in positions:
+        ks = pos_alleles[p] + ng_at.get(p, [])
+        re_ = max(k.right_pos for k in ks)
+        gp = [max(_pl(s, p), _pl(s, re_)) for s in range(n_samples)]
+        group_pl[p] = (gp, [2 if x == 0 else x for x in gp])
+
+    # --- round A scoring: positions whose selection needs in-sample
+    # ranking (more than one alt, or a non-diploid callerPloidy — a
+    # single alt under callerPloidy 2 always survives since the ref
+    # consumes one of the two slots, topSize = 2 - 1 = 1)
+    need_rank = [p for p in positions
+                 if len(pos_alleles[p]) > 1
+                 or any(c != 2 for c in group_pl[p][1])]
+    rankA_idx = {p: i for i, p in enumerate(need_rank)}
+    rankA_groups = [pos_alleles[p] for p in need_rank]
+    scoresA = [
         rb.score_loci_batched(kept[s], eas[s], levels[s], ref_codes,
-                              fetch_begin, scored_groups,
+                              fetch_begin, rankA_groups,
                               selection="overlap",
                               min_bp_flank=opt.default_min_read_bp_flank)
+        if rankA_groups else {}
         for s in range(n_samples)]
 
-    # Reference ALT ordering for multi-alt loci
-    # (selectTopOrthogonalAllelesInAllSamples,
-    # OrthogonalVariantAlleleCandidateGroupUtil.cpp:286-391): rank each
-    # group's kept alleles by per-sample summed naive posteriors
-    # (ploidy-aware topSize, referenceRank adjustment), aggregate
-    # (ploidy - rank) votes across samples, and reorder — ALT column /
-    # genotype-index order then matches the reference instead of the
-    # read-count trim order. Score columns and the breakpoint gate are
-    # permuted/rekeyed to the new first allele.
-    for gi, group in enumerate(groups_trimmed):
-        if len(group) < 2:
+    # per-position ploidy-aware selection over the position clique
+    # (selectTopOrthogonalAllelesInAllSamples)
+    selected: dict[int, list[cand.IndelKey]] = {}
+    sel_tops: dict[int, list[int]] = {}
+    for p in positions:
+        alts = pos_alleles[p]
+        gi = rankA_idx.get(p)
+        if gi is None:
+            selected[p] = list(alts)
+            sel_tops[p] = [0] * n_samples
             continue
-        cps = []
-        lhood_list = []
+        lh = []
         for s in range(n_samples):
-            sc = sample_scores[s].get(gi)
-            lhood_list.append(None if sc is None or
-                              not len(sc.allele_lhoods)
-                              else sc.allele_lhoods)
-            pl_s = int(ploidy_arr[s, min(max(group[0].pos - begin, 0),
-                                         L_report - 1)])
-            cps.append(2 if pl_s == 0 else max(pl_s, 1))
-        new_order = rank_locus_alleles(lhood_list, cps, len(group))
-        if new_order == list(range(len(group))):
+            sc = scoresA[s].get(gi)
+            lh.append(None if sc is None else sc.allele_lhoods)
+        kept_idx, tops = asel.select_top_in_all_samples(
+            lh, group_pl[p][1], len(alts))
+        selected[p] = [alts[i] for i in kept_idx]
+        sel_tops[p] = tops
+
+    # --- round B scoring: merged groups for cross-position extension
+    # (addAllelesAtOtherPositions) + plain groups round A didn't score
+    ext_news: dict[int, list[cand.IndelKey]] = {}
+    for p in positions:
+        top = selected[p]
+        if not top:
             continue
-        groups_trimmed[gi] = [group[ai] for ai in new_order]
-        scored_groups[gi] = groups_trimmed[gi]
-        perm = np.array([0] + [1 + ai for ai in new_order])
-        import dataclasses
+        news, _ = asel.extension_candidates(top, all_cand, p)
+        if news:
+            ext_news[p] = news
+    B_groups: list[list[cand.IndelKey]] = []
+    B_idx: dict[int, int] = {}
+    for p in positions:
+        top = selected[p]
+        if not top:
+            continue
+        if p in ext_news:
+            B_idx[p] = len(B_groups)
+            B_groups.append(top + ext_news[p])
+        elif p not in rankA_idx:
+            B_idx[p] = len(B_groups)
+            B_groups.append(top)
+    scoresB = [
+        rb.score_loci_batched(kept[s], eas[s], levels[s], ref_codes,
+                              fetch_begin, B_groups,
+                              selection="overlap",
+                              min_bp_flank=opt.default_min_read_bp_flank)
+        if B_groups else {}
+        for s in range(n_samples)]
+
+    # --- per-position resolution: extension rank + greedy clique +
+    # final re-selection; final score matrices are column subsets of
+    # the round A/B matrices with the breakpoint gate rekeyed to the
+    # final first allele
+    final_group: dict[int, list[cand.IndelKey]] = {}
+    top_of: dict[int, list[int]] = {}
+    final_scores: list[dict[int, object]] = [dict() for _ in range(n_samples)]
+    for p in positions:
+        top = selected[p]
+        if not top:
+            final_group[p] = []
+            top_of[p] = [0] * n_samples
+            continue
+        if p in B_idx:
+            src_gi, src_keys, src_scores = B_idx[p], B_groups[B_idx[p]], scoresB
+        else:
+            src_gi, src_keys, src_scores = (rankA_idx[p], pos_alleles[p],
+                                            scoresA)
+        colmap = {k: i for i, k in enumerate(src_keys)}
+
+        def _sub_lh(cols, _src_scores=src_scores, _gi=src_gi):
+            out = []
+            perm = [0] + [1 + c for c in cols]
+            for s in range(n_samples):
+                sc = _src_scores[s].get(_gi)
+                out.append(None if sc is None
+                           else sc.allele_lhoods[:, perm])
+            return out
+
+        group = top
+        tops = sel_tops[p]
+        if p in ext_news:
+            news = ext_news[p]
+            n_top = len(top)
+            if len(news) > 1:
+                # rank new alts wrt the new-alt set alone
+                # (addAllelesAtOtherPositions:554-612), then keep the
+                # top-ranked subset that preserves the conflict clique
+                order = asel.rank_new_alt_alleles(
+                    _sub_lh(list(range(n_top, n_top + len(news)))),
+                    len(news))
+                clique = asel.greedy_orthogonal_clique(
+                    [news[j] for j in order])
+            else:
+                clique = news
+            extended = top + clique
+            ext_cols = [colmap[k] for k in extended]
+            kept_idx, tops = asel.select_top_in_all_samples(
+                _sub_lh(ext_cols), group_pl[p][1], len(extended))
+            group = [extended[i] for i in kept_idx]
+            # repeat-ALT filtration (two alleles resolving to the same
+            # REF/ALT string, :659-681): drop repeats and re-select
+            if len(group) > 1:
+                reps = asel.allele_group_alt_repeats(
+                    group, ref_codes, fetch_begin, decode_bases)
+                if any(reps):
+                    filtered = [k for k, r in zip(group, reps) if not r]
+                    f_cols = [colmap[k] for k in filtered]
+                    kept_idx, tops = asel.select_top_in_all_samples(
+                        _sub_lh(f_cols), group_pl[p][1], len(filtered))
+                    group = [filtered[i] for i in kept_idx]
+        final_group[p] = group
+        top_of[p] = tops
+        cols = [colmap[k] for k in group]
+        identity = cols == list(range(len(src_keys)))
+        perm = np.array([0] + [1 + c for c in cols])
         for s in range(n_samples):
-            sc = sample_scores[s].get(gi)
+            sc = src_scores[s].get(src_gi)
             if sc is None:
                 continue
-            sc = dataclasses.replace(
-                sc, allele_lhoods=sc.allele_lhoods[:, perm],
-                best_offsets=(sc.best_offsets[:, perm]
-                              if sc.best_offsets is not None else None))
-            sample_scores[s][gi] = rb.recompute_bp_gate(
-                sc, groups_trimmed[gi][0],
-                opt.default_min_read_bp_flank)
+            if not identity:
+                sc = dataclasses.replace(
+                    sc, allele_lhoods=sc.allele_lhoods[:, perm],
+                    best_offsets=(sc.best_offsets[:, perm]
+                                  if sc.best_offsets is not None else None))
+                sc = rb.recompute_bp_gate(sc, group[0],
+                                          opt.default_min_read_bp_flank)
+            final_scores[s][p] = sc
+
+    # ordered locus list for realignment / the genotype pre-pass
+    loci_positions = [p for p in positions if final_group[p]]
+    groups_trimmed = [final_group[p] for p in loci_positions]
+    scored_groups = groups_trimmed
+    sample_scores = [
+        {li: final_scores[s][p] for li, p in enumerate(loci_positions)
+         if p in final_scores[s]}
+        for s in range(n_samples)]
+
+    # pre-realignment read batches: the forced-output pathway scores
+    # displaced forced alleles against their governing locus AFTER
+    # genotyping (the contrast group depends on which loci are variant),
+    # and those scores must come from the same pre-realignment
+    # alignments every other score came from
+    pre_realign_kept = list(kept)
+    pre_realign_eas = list(eas)
 
     # apply realignments (finishRealignment semantics): reads that
     # confidently support an indel haplotype get the indel embedded in
@@ -609,9 +722,7 @@ def call_region(
             if gated is None:
                 pre_gt_map[(s, gi)] = "EMPTY"
                 continue
-            pl_s = int(ploidy_arr[s, min(max(group[0].pos - begin, 0),
-                                         L_report - 1)])
-            cp = max(pl_s, 1)
+            cp = max(group_pl[loci_positions[gi]][0][s], 1)
             # power-of-two read-count sub-buckets bound padding waste
             # (one deep locus must not inflate Rpad for every locus)
             rb_key = 1 << max(int(len(gated.allele_lhoods)) - 1, 0)                 .bit_length()
@@ -628,38 +739,88 @@ def call_region(
         for (s, gi, sc), (lh_b, conf_b, sup_b) in zip(items, res):
             pre_gt_map[(s, gi)] = (sc, lh_b, conf_b, sup_b)
 
+    # --- position-ordered genotyping with downstream-locus suppression
+    # (_variantLocusAlreadyOutputToPos, :1610-1618,1788-1798): once a
+    # variant locus is reported, every position through its range end
+    # is skipped; forced alleles inside the skipped range ride the
+    # forced-output pathway against the reporting locus's allele group
     indel_calls: list[IndelCall] = []
-    for gi, group in enumerate(groups_trimmed):
-        call = genotype_indel_locus(
-            opt, group, [store.records[k] for k in group], kept, eas, levels,
-            ref_codes, fetch_begin, samples, begin, n_samples,
-            sample_ploidy=[int(ploidy_arr[s, min(max(group[0].pos - begin, 0),
-                                                 L_report - 1)])
-                           for s in range(n_samples)],
-            precomputed_scores=[sample_scores[s].get(gi)
-                                for s in range(n_samples)],
-            pre_gt=[pre_gt_map.get((s, gi)) for s in range(n_samples)])
-        if call is not None:
-            if len(loci[gi]) > len(group):
-                call.is_conflict = True
-            indel_calls.append(call)
+    all_calls: list[IndelCall] = []   # emitted or not: ploidy adjustment
+    already_out = None
+    # (key, contrast keys, groupPloidy, callerPloidy): displaced forced
+    # alleles scored after the variant pass (their contrast group
+    # depends on which loci are variant)
+    forced_jobs: list[tuple[cand.IndelKey, list[cand.IndelKey],
+                            list[int], list[int]]] = []
+    pos_of_locus = {p: gi for gi, p in enumerate(loci_positions)}
+    for p in positions:
+        if already_out is not None and p <= already_out:
+            continue
+        group = final_group[p]
+        gp, cp_l = group_pl[p]
+        variant = False
+        call = None
+        if group:
+            gi = pos_of_locus[p]
+            call = genotype_indel_locus(
+                opt, group, [store.records[k] for k in group], kept, eas,
+                levels, ref_codes, fetch_begin, samples, begin, n_samples,
+                sample_ploidy=list(gp),
+                precomputed_scores=[sample_scores[s].get(gi)
+                                    for s in range(n_samples)],
+                pre_gt=[pre_gt_map.get((s, gi)) for s in range(n_samples)],
+                top_per_sample=top_of[p])
+            variant = call is not None and any(g > 0 for g in call.sample_gt)
+        if variant:
+            all_calls.append(call)
+            if begin <= call.pos - 1 < end:
+                indel_calls.append(call)
+            range_end = max(k.right_pos for k in group)
+            if already_out is None or range_end > already_out:
+                already_out = range_end
+            # forced alleles at positions covered by this locus's range
+            # that are not locus members (:1891-1916)
+            members = set(group)
+            for q in positions:
+                if q <= p or q > range_end:
+                    continue
+                for k in pos_alleles[q]:
+                    if store.records[k].is_forced_output \
+                            and k not in members:
+                        forced_jobs.append((k, list(group), gp, cp_l))
+        # forced alleles at this position outside the emitted group
+        # (the whole group when the locus is not a variant locus —
+        # forcedAllelesAlreadyOutput only fills on report, :1838-1854)
+        members = set(group) if variant else set()
+        for k in pos_alleles[p]:
+            if store.records[k].is_forced_output and k not in members:
+                forced_jobs.append((k, list(final_group[p]), gp, cp_l))
 
-    # displaced forced alleles: single-allele loci; the trailing
-    # contrast columns of their score matrices are maxed into ref
-    # inside genotype_indel_locus (n_contrast)
-    for fi, (fkeys, n_contrast) in enumerate(forced_groups):
-        gi = len(groups_trimmed) + fi
-        call = genotype_indel_locus(
-            opt, fkeys[:1], [store.records[fkeys[0]]], kept, eas, levels,
-            ref_codes, fetch_begin, samples, begin, n_samples,
-            sample_ploidy=[int(ploidy_arr[s, min(max(fkeys[0].pos - begin,
-                                                     0), L_report - 1)])
-                           for s in range(n_samples)],
-            precomputed_scores=[sample_scores[s].get(gi)
-                                for s in range(n_samples)],
-            n_contrast=n_contrast)
-        if call is not None:
-            indel_calls.append(call)
+    # --- forced-output pathway (:1825-1966): one single-allele locus
+    # per displaced forced allele, scored against its governing variant
+    # allele group as a CONTRAST whose read scores are maxed down into
+    # ref (AlleleGroupGenotype.cpp:236-247); scores come from the
+    # pre-realignment alignments like every other score matrix
+    if forced_jobs:
+        fgroups = [[k] + contrast for k, contrast, _, _ in forced_jobs]
+        fscores = [
+            rb.score_loci_batched(pre_realign_kept[s], pre_realign_eas[s],
+                                  levels[s], ref_codes, fetch_begin,
+                                  fgroups, selection="overlap",
+                                  min_bp_flank=opt.default_min_read_bp_flank)
+            for s in range(n_samples)]
+        for fi, (fkey, contrast, gp, cp_l) in enumerate(forced_jobs):
+            call = genotype_indel_locus(
+                opt, [fkey], [store.records[fkey]], pre_realign_kept,
+                pre_realign_eas, levels, ref_codes, fetch_begin, samples,
+                begin, n_samples, sample_ploidy=list(gp),
+                precomputed_scores=[fscores[s].get(fi)
+                                    for s in range(n_samples)],
+                n_contrast=len(contrast))
+            if call is not None:
+                all_calls.append(call)
+                if begin <= call.pos - 1 < end:
+                    indel_calls.append(call)
 
     # forced complex (swap) alleles: NotGenotyped records with all-dot
     # sample columns; zero GTs keep them out of the site-modification
@@ -681,15 +842,41 @@ def call_region(
             sample_ploidy=[2] * n_samples,
             sample_edge_dist=[0.0] * n_samples,
             not_genotyped=True))
-    if ng_forced:
-        indel_calls.sort(key=lambda c: c.pos)
+    indel_calls.sort(key=lambda c: c.pos)
+
+    # IndelConflict: variant indel loci whose ranges overlap or touch
+    # buffer together in the overlap resolver, and a flush with more
+    # than one buffered variant locus marks them ALL IndelConflict
+    # (VariantOverlapResolver.cpp:84-116 pos > end flushes, :446-459
+    # annotateVariantIndelRecordsAsConflicting). With the reference's
+    # downstream-locus suppression this arises when a forced allele
+    # inside a reported locus's range itself genotypes non-ref.
+    chain: list[IndelCall] = []
+    chain_end = None
+    for call in sorted((c for c in indel_calls
+                        if any(g > 0 for g in c.sample_gt)),
+                       key=lambda c: c.pos):
+        if chain and call.pos > chain_end:
+            if len(chain) > 1:
+                for c in chain:
+                    c.is_conflict = True
+            chain = []
+        chain.append(call)
+        cend = max(k.right_pos for k in call.keys)
+        chain_end = cend if chain_end is None or len(chain) == 1 \
+            else max(chain_end, cend)
+    if len(chain) > 1:
+        for c in chain:
+            c.is_conflict = True
 
     # spanning-deletion ploidy modification: each deletion allele
     # occurrence in a sample's max GT decrements ploidy over
-    # [key.pos, key.right_pos) (starling_pos_processor.cpp:1213-1243)
+    # [key.pos, key.right_pos) (starling_pos_processor.cpp:1213-1243).
+    # Every genotyped locus contributes, including loci anchored just
+    # outside the segment whose deletion span reaches in (all_calls).
     from ..models.indel_genotype import genotype_alleles as _galleles
     ploidy_adj = np.zeros((n_samples, L_report), dtype=np.int16)
-    for call in indel_calls:
+    for call in all_calls:
         A = len(call.keys) + 1
         for s in range(n_samples):
             pl_s = max(call.sample_ploidy[s], 1) if call.sample_ploidy else 2
@@ -766,55 +953,11 @@ def indel_edge_distances(lrp, rrp, rl):
     return np.minimum(dist, 20)
 
 
-def rank_locus_alleles(allele_lhoods_per_sample, caller_ploidies,
-                       n_alt) -> list[int]:
-    """Reference ALT ordering for a multi-alt locus
-    (selectTopOrthogonalAllelesInAllSamples,
-    OrthogonalVariantAlleleCandidateGroupUtil.cpp:286-391): per sample,
-    rank the FULL allele list (ref first) by summed naive per-read
-    posteriors; take alts in rank order with topSize = ploidy minus one
-    when the reference ranks inside the top-ploidy; aggregate
-    (ploidy - rank) votes over samples and sort descending (ties by
-    first-seen order). Single-sample loci keep the sample's own rank
-    order (the reference skips the aggregate re-rank there).
-
-    allele_lhoods_per_sample: [n_samples] of [R, 1+n_alt] f64 arrays
-    (None for uncovered samples). Returns the new alt index order."""
-    agg = np.zeros(n_alt)
-    first_seen = np.full(n_alt, 1 << 30)
-    seen_n = 0
-    sample0_order = None
-    n_samples = len(allele_lhoods_per_sample)
-    for s in range(n_samples):
-        al = allele_lhoods_per_sample[s]
-        if al is None or not len(al):
-            continue
-        cp = caller_ploidies[s]
-        al = np.asarray(al, np.float64)
-        alm = al - al.max(axis=1, keepdims=True)
-        p = np.exp(alm)
-        sup = (p / p.sum(axis=1, keepdims=True)).sum(axis=0)
-        order = np.argsort(-sup, kind="stable")
-        ref_rank = int(np.nonzero(order == 0)[0][0])
-        top_size = cp - (1 if ref_rank < cp else 0)
-        alts_ranked = [int(i) - 1 for i in order if i != 0]
-        if sample0_order is None:
-            sample0_order = alts_ranked
-        for idx, ai in enumerate(alts_ranked[:max(top_size, 0)]):
-            agg[ai] += cp - idx
-            if first_seen[ai] == 1 << 30:
-                first_seen[ai] = seen_n
-                seen_n += 1
-    if n_samples == 1 and sample0_order is not None:
-        return sample0_order
-    return sorted(range(n_alt),
-                  key=lambda ai: (-agg[ai], first_seen[ai], ai))
-
-
 def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
                          ref_offset, samples, region_begin, n_samples,
                          sample_ploidy=None, precomputed_scores=None,
-                         n_contrast: int = 0, pre_gt=None):
+                         n_contrast: int = 0, pre_gt=None,
+                         top_per_sample=None):
     """Genotype one multi-sample indel locus from read x hap scores.
 
     n_contrast > 0: the score matrices carry that many trailing
@@ -886,7 +1029,12 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
         # overlap gate). Samples with no scored reads default to
         # allele 0 (selectTopOrthogonalAllelesInAllSamples:380-390)
         top_s = 0
-        if A > 2 and scores is not None and len(scores.allele_lhoods):
+        if top_per_sample is not None:
+            # topVariantAlleleIndexPerSample from the selection phase
+            # (selectTopOrthogonalAllelesInAllSamples:371-391) — the
+            # sample's top-ranked allele mapped into the final group
+            top_s = min(int(top_per_sample[s]), A - 2)
+        elif A > 2 and scores is not None and len(scores.allele_lhoods):
             if sup_pre is not None:
                 sup = sup_pre
             else:

@@ -665,9 +665,14 @@ def test_forced_allele_displaced_by_trim_still_emitted(tmp_path):
     indel_recs = [l.split("\t") for l in v
                   if len(l.split("\t")[3]) != len(l.split("\t")[4]
                                                  .split(",")[0])]
-    # the genotyped locus reports the two supported deletions
-    multi = [r for r in indel_recs if "," in r[4]]
-    assert multi, v
+    # reference selection: the pileup is ~1/3 ref, ~1/3 2bp-del and
+    # ~1/3 4bp-del, so the reference allele ranks inside the diploid
+    # top-2 and consumes a slot (topSize = 2 - 1 = 1,
+    # selectTopOrthogonalAllelesInSample:262-281) — the locus keeps
+    # only the top-ranked deletion as a het call
+    var = [r for r in indel_recs if r[9].split(":")[0] in ("0/1", "0|1")]
+    assert len(var) == 1, indel_recs
+    assert "," not in var[0][4], var[0]
     # ... and the displaced forced 1bp deletion gets its own record
     forced = [r for r in indel_recs
               if len(r[3]) == 2 and "," not in r[4] and r[1] == str(p + 1)]
@@ -676,29 +681,28 @@ def test_forced_allele_displaced_by_trim_still_emitted(tmp_path):
 
 
 def test_rank_locus_alleles_posterior_beats_read_count():
-    """rank_locus_alleles: an allele with MORE but individually
-    ambiguous supporting reads ranks after an allele with fewer
-    confident reads (posterior-sum ranking,
-    rankOrthogonalAllelesInSample), and the ploidy-aware vote
-    aggregation across samples follows
-    selectTopOrthogonalAllelesInAllSamples."""
+    """Allele ranking: an allele with MORE but individually ambiguous
+    supporting reads ranks after an allele with fewer confident reads
+    (posterior-sum ranking, rankOrthogonalAllelesInSample), and the
+    ploidy-aware vote aggregation across samples follows
+    selectTopOrthogonalAllelesInAllSamples (allele_select port)."""
+    from strelka_tpu.pipeline import allele_select as asel
     # single sample: 14 reads weakly favoring alt0 (posterior ~0.52)
     # vs 10 reads decisively favoring alt1
     weak = np.array([[0.0, 0.08, -30.0]] * 14)     # ref, alt0, alt1
     strong = np.array([[0.0, -30.0, 9.0]] * 10)
     al = np.concatenate([weak, strong])
-    order = gc.rank_locus_alleles([al], [2], 2)
-    assert order == [1, 0]
+    kept, _ = asel.select_top_in_all_samples([al], [2], 2)
+    assert kept == [1, 0]
     # two samples voting for different alleles: ploidy votes aggregate
     s0 = np.array([[0.0, 9.0, -30.0]] * 6)         # top allele 0
     s1 = np.array([[0.0, -30.0, 9.0]] * 3)         # top allele 1
-    order = gc.rank_locus_alleles([s0, s1], [2, 2], 2)
+    kept, _ = asel.select_top_in_all_samples([s0, s1], [2, 2], 2)
     # equal votes (2 each from rank-0 positions); tie broken by
     # first-seen order -> allele 0 stays first
-    assert order == [0, 1]
-    # sample 2 haploid: its vote is 1, sample 1 diploid vote 2
-    order = gc.rank_locus_alleles([s1, s0], [2, 2], 2)
-    assert order == [1, 0]
+    assert kept == [0, 1]
+    kept, _ = asel.select_top_in_all_samples([s1, s0], [2, 2], 2)
+    assert kept == [1, 0]
 
 
 def test_multiallelic_alt_order_by_posterior_support(tmp_path):

@@ -1,6 +1,10 @@
-"""IndelConflict marking: three orthogonal overlapping indel alleles
-exceed the jointly-genotypable limit (top-2), so the emitted locus is
-marked IndelConflict (VariantOverlapResolver semantics)."""
+"""Ploidy-aware orthogonal allele selection at an over-full pileup:
+three orthogonal alleles at one position exceed the diploid slot
+budget, and the engine emits the reference's top-ranked allele pairing
+(selectTopOrthogonalAllelesInSample topSize semantics,
+OrthogonalVariantAlleleCandidateGroupUtil.cpp:262-281) — NOT an
+IndelConflict record (that filter is reserved for overlapping variant
+loci in the overlap resolver, VariantOverlapResolver.cpp:446-459)."""
 import numpy as np
 
 from strelka_tpu.io.fasta import FastaReference, decode_bases
@@ -58,12 +62,28 @@ def test_three_overlapping_indels_marked_conflict(tmp_path):
     opt = GermlineOptions()
     result = gc.call_region(opt, ref, "t1", 0, L, [batch],
                             external_indel_vcfs=[str(ext)])
-    conflicted = [c for c in result.indels if c.is_conflict]
-    assert conflicted, "3 orthogonal alleles should mark the locus"
-    # emitted record carries the filter
+    # reference semantics: the position clique {AA, CC, TT} is ranked
+    # by summed naive posteriors; with ref support (4 reads) below both
+    # read-backed insertions the reference allele ranks OUTSIDE the
+    # diploid top-2, so topSize stays 2 and the locus keeps the two
+    # supported insertions. The unsupported external TT is trimmed
+    # silently; nothing is marked IndelConflict.
+    locus = [c for c in result.indels
+             if any(g > 0 for g in c.sample_gt)]
+    assert len(locus) == 1, locus
+    alts = {k.insert_seq for k in locus[0].keys}
+    assert alts == {"AA", "CC"}, alts
+    assert not locus[0].is_conflict
     glines, vlines = gvcf.emit_region(opt, result, ["S1"])
-    rec = [l for l in vlines if "IndelConflict" in l]
-    assert rec, "\n".join(vlines[:5])
+    assert not any("IndelConflict" in l for l in vlines)
+    # the emitted record reports exactly the reference's allele pairing
+    rec = [l.split("\t") for l in vlines
+           if l.split("\t")[1] == str(p) and "," in l.split("\t")[4]]
+    assert rec, "\n".join(vlines[:8])
+    alt_col = rec[0][4].split(",")
+    assert len(alt_col) == 2
+    # AA ranks first (10 supporting reads vs 9)
+    assert alt_col[0].endswith("AA") and alt_col[1].endswith("CC"), alt_col
 
 
 def test_oversized_indel_becomes_breakpoints(tmp_path):
