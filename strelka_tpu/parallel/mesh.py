@@ -208,8 +208,14 @@ def sharded_best_offsets(kernel, mesh: Mesh):
                     jnp.where(bests == gbest[None], offs, big), axis=0)
                 return gbest, goff
 
-        wrapped = jax.shard_map(inner, mesh=mesh,
-                                in_specs=(b3, b3, b2, win_spec),
-                                out_specs=(b2, b2), check_vma=False)
+        # jit is LOAD-BEARING: a bare shard_map callable re-traces and
+        # re-compiles on every invocation (the round-4 sharded "compile
+        # storm" — hundreds of one-shot XLA programs per region run);
+        # jit gives it a shape-keyed executable cache like every other
+        # kernel launch
+        wrapped = jax.jit(jax.shard_map(inner, mesh=mesh,
+                                        in_specs=(b3, b3, b2, win_spec),
+                                        out_specs=(b2, b2),
+                                        check_vma=False))
         _SHARDED_KERNELS[key] = fn = wrapped
     return fn

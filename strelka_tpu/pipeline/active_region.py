@@ -238,6 +238,14 @@ class DiscoveredVariants:
     indels: list[tuple[IndelKey, int]] = field(default_factory=list)  # (key, hap_id)
     snvs: list[tuple[int, int, int]] = field(default_factory=list)    # (pos, base, hap_id)
     bypassed: bool = False
+    # altHaplotypeCountRatio accumulation (ActiveRegionProcessor.cpp
+    # :718-719 supporting-read count / reads used to generate
+    # haplotypes, summed over the alt haplotypes carrying the variant:
+    # CandidateSnvBuffer.cpp addCandidateSnv + IndelData
+    # altAlleleHaplotypeCountRatio += at :755). Feeds the EVS
+    # NormalizedAltHaplotypeCountRatio feature.
+    snv_ratio: dict = field(default_factory=dict)     # pos -> ratio
+    indel_ratio: dict = field(default_factory=dict)   # IndelKey -> ratio
 
 
 def candidate_variant_mask(counts: np.ndarray, depth: np.ndarray,
@@ -584,6 +592,8 @@ def process_active_region(
         batch, ea, map_level, region.begin, region.end)
 
     selected: list[bytes] = []
+    hap_support: dict[bytes, int] = {}
+    n_reads_used = 0
     if (n_aligned > 0
             and len(segs) >= MIN_FRAC_READS_COVERING_REGION * n_aligned):
         # generateHaplotypesWithCounting (:79-115)
@@ -591,6 +601,10 @@ def process_active_region(
         for ridx, s in segs:
             hap_to_ids.setdefault(s, []).append(ridx)
         selected = select_haplotypes(hap_to_ids, ref_bytes, ploidy, is_fwd)
+        hap_support = {h: len(ids) for h, ids in hap_to_ids.items()}
+        # _numReadsUsedToGenerateHaplotypes = reads aligned to the
+        # region in the counting path (ActiveRegionProcessor.cpp:94)
+        n_reads_used = n_aligned
     else:
         hap_map = _haplotypes_with_assembly(
             batch, ea, map_level, ref_codes, ref_offset, region, cand_mask)
@@ -601,6 +615,11 @@ def process_active_region(
         selected = [encode_bases(h).tobytes()
                     for h in select_haplotypes(hap_map, ref_str, ploidy,
                                                is_fwd)]
+        hap_support = {encode_bases(h).tobytes(): len(ids)
+                       for h, ids in hap_map.items()}
+        # assembly path (:205 totalNumReadsUsedInAssembly): distinct
+        # reads contributing to any assembled haplotype
+        n_reads_used = len({i for ids in hap_map.values() for i in ids})
 
     # processSelectedHaplotypes (:515-571): alt haplotypes get ids 1..;
     # a variant on both alt haplotypes accumulates id 3 (:751)
@@ -611,12 +630,16 @@ def process_active_region(
         if h == ref_bytes:
             continue
         hap_id += 1
+        # supporting-read count ratio for this alt haplotype (:718-719)
+        ratio = hap_support.get(h, 0) / max(n_reads_used, 1)
         tmp = DiscoveredVariants()
         decompose_haplotype(h, ref_seg, region.begin, hap_id, tmp)
         for key, hid in tmp.indels:
             acc_indels[key] = acc_indels.get(key, 0) + hid
+            out.indel_ratio[key] = out.indel_ratio.get(key, 0.0) + ratio
         for pos, base, hid in tmp.snvs:
             acc_snvs[(pos, base)] = acc_snvs.get((pos, base), 0) + hid
+            out.snv_ratio[pos] = out.snv_ratio.get(pos, 0.0) + ratio
     out.indels = list(acc_indels.items())
     out.snvs = [(pos, base, hid) for (pos, base), hid in acc_snvs.items()]
     return out

@@ -50,6 +50,8 @@ class SampleSiteData:
     caller_ploidy: np.ndarray | None = None   # [L] int8, 1 or 2
     homalt_del: np.ndarray | None = None      # [L] bool
     ploidy_conflict: np.ndarray | None = None  # [L] bool
+    # lazy per-site EVS rank-sum metrics (pileup.SiteScoringMetrics)
+    scoring_metrics: object = None
 
 
 @dataclass
@@ -99,6 +101,10 @@ class RegionCallResult:
     # (sample, IndelKey) -> hap_id for indels; pos -> phase-set id
     snv_hap_ids: dict = field(default_factory=dict)
     indel_hap_ids: dict = field(default_factory=dict)
+    # (sample, pos) / (sample, key) -> accumulated
+    # altHaplotypeCountRatio from haplotype discovery (EVS feature)
+    snv_hap_ratio: dict = field(default_factory=dict)
+    indel_hap_ratio: dict = field(default_factory=dict)
     phase_set_of_pos: dict = field(default_factory=dict)
     # per-sample per-position ploidy (0/1/2) over the report range
     ploidy: np.ndarray | None = None
@@ -228,6 +234,9 @@ def build_sample_pileup(
                         used_fwd_counts=fwd_counts, dpf=dpf,
                         mean_edge_dist=mean_dist)
     sd._tile = tile  # carried to genotype_sample_snvs
+    # lazy per-site rank-sum metrics (MQ/ReadPos/BaseQ) for germline
+    # SNV EVS models; costs nothing unless a model requests them
+    sd.scoring_metrics = pl.SiteScoringMetrics(pu, batch, rc, ea, level)
     return sd
 
 
@@ -331,6 +340,10 @@ def call_region(
     candidate_snvs: set[tuple[int, int]] = set()  # (pos, base)
     snv_hap_ids: dict[tuple[int, int, int], int] = {}  # (sample,pos,base)->hap
     indel_hap_ids: dict[tuple[int, cand.IndelKey], int] = {}
+    # accumulated altHaplotypeCountRatio per (sample, pos) / (sample,
+    # key) — the EVS NormalizedAltHaplotypeCountRatio numerator
+    snv_hap_ratio: dict[tuple[int, int], float] = {}
+    indel_hap_ratio: dict[tuple[int, cand.IndelKey], float] = {}
     anchors = arp.anchor_mask(ref_codes)
     region_sets = []
     cand_masks = []
@@ -369,6 +382,12 @@ def call_region(
             for pos, base, hap in dv.snvs:
                 candidate_snvs.add((pos, base))
                 snv_hap_ids[(s, pos, base)] = hap
+            for pos, ratio in dv.snv_ratio.items():
+                snv_hap_ratio[(s, pos)] = \
+                    snv_hap_ratio.get((s, pos), 0.0) + ratio
+            for key, ratio in dv.indel_ratio.items():
+                indel_hap_ratio[(s, key)] = \
+                    indel_hap_ratio.get((s, key), 0.0) + ratio
         for p in range(region.begin, region.end):
             phase_set_of_pos[p] = region.begin + 1  # PS = 1-based start
 
@@ -922,6 +941,7 @@ def call_region(
                "n_breakpoint_obs": len(store.breakpoints),
                "n_realigned_reads": n_realigned_total},
         snv_hap_ids=snv_hap_ids, indel_hap_ids=indel_hap_ids,
+        snv_hap_ratio=snv_hap_ratio, indel_hap_ratio=indel_hap_ratio,
         phase_set_of_pos=phase_set_of_pos,
         ploidy=ploidy_arr,
         realigned=([(keep_indices[s],

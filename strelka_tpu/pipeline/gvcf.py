@@ -538,10 +538,18 @@ def format_evsf(values) -> str:
     return ",".join(f"{float(v):.5g}" for v in values)
 
 
-def germline_snv_features(forest, sd, i, hpol, qual, alt_id, sb):
+def germline_snv_features(forest, sd, i, hpol, qual, alt_id, sb,
+                          gt_indices=None, ploidy=2, gqx=0,
+                          rel_depth=1.0, hap_ratio=None):
     """Feature vector by name for a germline/RNA SNV scoring model
     (germlineVariantEmpiricalScoringFeatures.hh /
-    rnaVariantEmpiricalScoringFeatures.hh subset)."""
+    rnaVariantEmpiricalScoringFeatures.hh;
+    gvcf_locus_info.cpp:300-440).
+
+    gt_indices: the called genotype's VCF allele indices (0 = ref);
+    hap_ratio: accumulated altHaplotypeCountRatio at the site, or None
+    when the site is outside every active region (feature -1,
+    :392-399)."""
     counts = sd.used_counts[i]
     dp = int(counts.sum())
     alt_depth = int(counts[alt_id])
@@ -556,7 +564,36 @@ def germline_snv_features(forest, sd, i, hpol, qual, alt_id, sb):
         "SampleRMSMappingQuality": float(
             np.sqrt(sd.pileup.mapq_sumsq[i] / max(sd.pileup.mapq_n[i], 1))),
         "SampleUsedDepthFraction": dp / max(dp + int(sd.dpf[i]), 1),
+        "RelativeTotalLocusDepth": float(rel_depth),
+        "ConservativeGenotypeQuality": float(gqx),
     }
+    # rank-sum features computed lazily only when the model wants them
+    names = set(forest.features)
+    if names & {"SampleRMSMappingQualityRankSum", "SampleReadPosRankSum",
+                "I_BaseQRankSum"} and getattr(sd, "scoring_metrics",
+                                              None) is not None:
+        mq_rs, pos_rs, bq_rs = sd.scoring_metrics.at(i)
+        vals["SampleRMSMappingQualityRankSum"] = mq_rs
+        vals["SampleReadPosRankSum"] = pos_rs
+        vals["I_BaseQRankSum"] = bq_rs
+    het_with_ref = False
+    if gt_indices is not None:
+        a0 = int(gt_indices[0])
+        a1 = int(gt_indices[-1])
+        # getEVSGenotypeCode (HET=0, HOM=1, HETALT=2; haploid -> HOM)
+        if ploidy == 2 and a0 != a1:
+            vals["GenotypeCategory"] = 2.0 if (a0 > 0 and a1 > 0) else 0.0
+            het_with_ref = a0 == 0 or a1 == 0
+        else:
+            vals["GenotypeCategory"] = 1.0
+    if hap_ratio is None:
+        vals["NormalizedAltHaplotypeCountRatio"] = -1.0
+    else:
+        # ratio capped at 1 (vcf_util.hh:273-279), doubled for haploid
+        # and ref-het genotypes (gvcf_locus_info.cpp:392-398)
+        r = min(float(hap_ratio), 1.0)
+        vals["NormalizedAltHaplotypeCountRatio"] = (
+            r * 2.0 if (ploidy == 1 or het_with_ref) else r)
     return np.array([vals.get(name, 0.0) for name in forest.features])
 
 def _indel_filters(opt, result, call, n_samples, chrom_depth=None,
@@ -1125,12 +1162,6 @@ def emit_region(
             sb = float(min(99.0, max(-99.0, sv[s]["sb"][i])))
             pgt = int(pgt_a[s][i])
 
-            if s == 0 and is_var and isalt and opt.is_report_evs_features:
-                f0 = germline_snv_features(
-                    snv_forest or _EVSF_SNV_DEFAULT, result.samples[0], i,
-                    hpol, int(qual_l[i]), alts[0], sb)
-                evsf = ";EVSF=" + format_evsf(f0)
-
             # GT
             phase = None
             if unknown:
@@ -1152,6 +1183,21 @@ def emit_region(
                         phase = (gt, dec.ps)
             phases.append(phase)
 
+            # EVS feature context shared by EVSF reporting and scoring
+            pos_abs = begin + i
+            site_rel_depth = (float(pooled_depth_v[i]) / chrom_depth
+                              if chrom_depth else 1.0)
+            hap_ratio = (result.snv_hap_ratio.get((s, pos_abs), 0.0)
+                         if pos_abs in result.phase_set_of_pos else None)
+
+            if s == 0 and is_var and isalt and opt.is_report_evs_features:
+                f0 = germline_snv_features(
+                    snv_forest or _EVSF_SNV_DEFAULT, result.samples[0], i,
+                    hpol, int(qual_l[i]), alts[0], sb,
+                    gt_indices=gt_idx, ploidy=cp, gqx=gqx,
+                    rel_depth=site_rel_depth, hap_ratio=hap_ratio)
+                evsf = ";EVSF=" + format_evsf(f0)
+
             # per-sample filters
             if is_var:
                 if snv_forest is not None:
@@ -1161,7 +1207,9 @@ def emit_region(
                     # :124-160 — no HighDepth for EVS-scored samples)
                     feats = germline_snv_features(
                         snv_forest, result.samples[s], i, hpol,
-                        int(qual_l[i]), alts[0] if alts else 0, sb)
+                        int(qual_l[i]), alts[0] if alts else 0, sb,
+                        gt_indices=gt_idx, ploidy=cp, gqx=gqx,
+                        rel_depth=site_rel_depth, hap_ratio=hap_ratio)
                     evs = float(snv_forest.score_phred(feats[None])[0])
                     gqx = int(round(evs))
                     filters = set()
@@ -1388,9 +1436,6 @@ def germline_indel_features(forest, result, call: IndelCall, s: int,
         "IndelCategory":
             1.0 if (key.delete_length > 0 and not key.insert_seq) else 0.0,
         "SampleAlleleCountStrandBias": sb,
-        # not in an active region (haplotype count ratios are not
-        # tracked per locus yet)
-        "NormalizedAltHaplotypeCountRatio": -1.0,
         # RNA indel feature set (rnaVariantEmpiricalScoringFeatures.hh)
         "SampleRefAlleleDepth": float(ad[0]),
         "SamplePrimaryAltAlleleDepth": float(ad[primary_alt]),
@@ -1400,6 +1445,24 @@ def germline_indel_features(forest, result, call: IndelCall, s: int,
             float(call.sample_edge_dist[s])
             if call.sample_edge_dist else 0.0),
     }
+    # NormalizedAltHaplotypeCountRatio (gvcf_locus_info.cpp:618-630):
+    # -1 outside active regions; else the summed per-GT-allele
+    # altHaplotypeCountRatio (starling_pos_processor.cpp:1506-1527)
+    # capped at 1 (vcf_util.hh:273-279), doubled for haploid and
+    # ref-het genotypes
+    if call.pos not in result.phase_set_of_pos:
+        vals["NormalizedAltHaplotypeCountRatio"] = -1.0
+    else:
+        r = 0.0
+        gt_alleles = [a0] if ploidy == 1 else [a0, a1]
+        for ai in gt_alleles:
+            if ai > 0:
+                r += float(result.indel_hap_ratio.get(
+                    (s, call.keys[ai - 1]), 0.0))
+        r = min(r, 1.0)
+        het_with_ref = ploidy == 2 and a0 != a1 and (a0 == 0 or a1 == 0)
+        vals["NormalizedAltHaplotypeCountRatio"] = (
+            r * 2.0 if (ploidy == 1 or het_with_ref) else r)
     return np.array([vals.get(name, 0.0) for name in forest.features])
 
 

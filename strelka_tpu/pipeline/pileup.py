@@ -256,3 +256,119 @@ def build_pileup(
         mapq_n=mapq_n, mapq_sumsq=mapq_sumsq, mapq_zero=mapq_zero,
         _used_counts=used_counts,
     )
+
+
+def submapped_match_obs(batch, ea, map_level, region_begin, region_end):
+    """(pos_idx, base_id, mapq) of every aligned match base from
+    SUBMAPPED reads over [region_begin, region_end), sorted by
+    position, with per-position offsets.
+
+    Feeds the MQ rank-sum EVS metric, which — unlike the basecall
+    pileup — includes submapped reads
+    (pos_basecall_buffer.cpp updateGermlineScoringMetrics:44-70 runs
+    before the is_submapped pileup skip,
+    starling_pos_processor_base.cpp:1349-1368)."""
+    L = region_end - region_begin
+    offsets = np.zeros(L + 1, dtype=np.int64)
+    empty = (offsets, np.zeros(0, np.int8), np.zeros(0, np.uint8))
+    if not batch.n:
+        return empty
+    lvl = map_level[ea.match_read]
+    sel = ((lvl == rd.MapLevel.SUB_MAPPED)
+           & (ea.match_refpos >= region_begin)
+           & (ea.match_refpos < region_end)
+           & (ea.match_readoff >= ea.read_begin[ea.match_read])
+           & (ea.match_readoff < ea.read_end[ea.match_read]))
+    if not sel.any():
+        return empty
+    r = ea.match_read[sel]
+    p = ea.match_refpos[sel] - region_begin
+    order = np.argsort(p, kind="stable")
+    p = p[order]
+    r = r[order]
+    off = ea.match_readoff[sel][order]
+    base = batch.seq[batch.seq_off[r] + off].astype(np.int8)
+    mapq = batch.mapq[r]
+    np.add.at(offsets, p + 1, 1)
+    np.cumsum(offsets, out=offsets)
+    return offsets, base, mapq
+
+
+class SiteScoringMetrics:
+    """Per-site germline EVS rank-sum metrics, computed lazily at
+    requested (variant) sites from the pileup tile.
+
+    Port of the three fastRanksum accumulators
+    (pos_basecall_buffer.cpp updateGermlineScoringMetrics:44-70 +
+    snp_pos_info.cpp get_{read_pos,mq,baseq}_ranksum):
+
+      MQRankSum      — (is_reference, mapq) over every aligned match
+                       base INCLUDING submapped reads
+      BaseQRankSum   — (is_reference, engine qscore) non-submapped
+      ReadPosRankSum — (is_reference, align-strand read position)
+                       non-submapped
+
+    is_reference compares the basecall to the reference base; no
+    basecall quality/MMDF filters apply (observations are recorded
+    before any call filtering). Category values are bucketed integers,
+    z computed by the exact fastRanksum transcription
+    (utils/stats.mann_whitney_u_from_groups).
+    """
+
+    def __init__(self, pu: PileupRegion, batch, ref_codes_region,
+                 ea=None, map_level=None):
+        self._pu = pu
+        self._batch = batch
+        self._ref = ref_codes_region
+        self._ea = ea
+        self._level = map_level
+        self._sub = None           # built lazily on first site query
+        self._rlens = (np.diff(batch.seq_off).astype(np.int64)
+                       if batch.n else np.zeros(0, np.int64))
+        self._cache: dict[int, tuple[float, float, float]] = {}
+
+    def at(self, i: int) -> tuple[float, float, float]:
+        """(MQRankSum, ReadPosRankSum, BaseQRankSum) at region offset i."""
+        hit = self._cache.get(i)
+        if hit is not None:
+            return hit
+        if self._sub is None:
+            self._sub = (submapped_match_obs(
+                self._batch, self._ea, self._level,
+                self._pu.begin, self._pu.end)
+                if self._ea is not None else
+                (np.zeros(self._pu.end - self._pu.begin + 1, np.int64),
+                 np.zeros(0, np.int8), np.zeros(0, np.uint8)))
+        from ..utils.stats import mann_whitney_u_from_groups as mw
+        pu = self._pu
+        lanes = pu.valid[i]
+        bid = pu.base_id[i][lanes]
+        ridx = pu.read_idx[i][lanes]
+        roff = pu.read_off[i][lanes]
+        q = pu.qual[i][lanes]
+        fwd = pu.is_fwd[i][lanes]
+        ref_id = int(self._ref[i])
+        is_ref = bid == ref_id
+        mapq = (self._batch.mapq[ridx] if self._batch.n
+                else np.zeros(0, np.uint8))
+        # MQ: tier calls + submapped observations at this position
+        mq_ref = [mapq[is_ref]]
+        mq_alt = [mapq[~is_ref]]
+        if self._sub is not None:
+            off, sbase, smapq = self._sub
+            lo, hi = int(off[i]), int(off[i + 1])
+            if hi > lo:
+                sref = sbase[lo:hi] == ref_id
+                mq_ref.append(smapq[lo:hi][sref])
+                mq_alt.append(smapq[lo:hi][~sref])
+        mq_rs = mw(np.concatenate(mq_ref), np.concatenate(mq_alt))
+        # align-strand read position (cycle): read_pos on the forward
+        # strand, read_size - (read_pos + 1) on the reverse
+        # (starling_pos_processor_base.cpp:1310-1315)
+        rl = self._rlens[ridx] if self._batch.n else np.zeros_like(roff)
+        cyc = np.where(fwd, roff, rl - 1 - roff)
+        pos_rs = mw(cyc[is_ref], cyc[~is_ref])
+        bq_rs = mw(q[is_ref], q[~is_ref])
+        out = (float(mq_rs), float(pos_rs), float(bq_rs))
+        self._cache[i] = out
+        return out
