@@ -81,14 +81,16 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # two short/long rounds interleaved: the shared dev chip has
-    # multi-second busy windows from other tenants; taking the best
-    # matched pair keeps the difference method honest while dodging a
-    # window that would otherwise taint the whole measurement
+    # three short/long rounds interleaved: the shared dev chip has
+    # multi-second busy windows from other tenants (measured swings of
+    # 2-5x within one session); taking the best matched pair keeps the
+    # difference method honest while dodging a window that would
+    # otherwise taint the whole measurement
     t_short = timed(N_SHORT)
     t_long = timed(N_LONG)
-    t_short = min(t_short, timed(N_SHORT))
-    t_long = min(t_long, timed(N_LONG))
+    for _ in range(2):
+        t_short = min(t_short, timed(N_SHORT))
+        t_long = min(t_long, timed(N_LONG))
     dt_step = max(t_long - t_short, 1e-9) / (N_LONG - N_SHORT)
 
     reads_per_s = B * R / dt_step

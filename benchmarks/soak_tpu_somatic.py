@@ -1,0 +1,221 @@
+"""Real-TPU SOMATIC T/N soak with measured chip occupancy
+(VERDICT r4 #4: the reference's heaviest production config is somatic
+WGS, ~3h/28-core — /root/reference/README.md:6).
+
+Same harness as the germline soak (benchmarks/soak_tpu.py): an N-Mb
+synthetic tumor/normal pair with planted somatic SNVs + indels runs
+through the production somatic CLI on the DEFAULT (tunneled TPU)
+backend with --jobs fan-out; wall, reads/s, somatic recall/precision,
+and measured device occupancy (launch tallies x per-shape chained
+device step times) land in SOAK_r05_somatic.json.
+
+Usage:
+  PYTHONPATH=. python benchmarks/soak_tpu_somatic.py [--length 10000000]
+      [--normal-depth 40] [--jobs 2] [--out SOAK_r05_somatic.json]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--length", type=int, default=10_000_000)
+    ap.add_argument("--normal-depth", type=int, default=40)
+    ap.add_argument("--jobs", type=int, default=2)
+    ap.add_argument("--out", default="SOAK_r05_somatic.json")
+    ap.add_argument("--chunk-mb", type=int, default=5)
+    args = ap.parse_args()
+
+    td = tempfile.mkdtemp(prefix="soaksom_")
+    print(f"workdir {td}", file=sys.stderr)
+
+    from benchmarks import synth
+    from strelka_tpu.io.bam import BamHeader, concat_batches
+    from strelka_tpu.io.bam_writer import write_bam
+
+    t0 = time.time()
+    chunk = args.chunk_mb * 1_000_000
+    n_contig = max(1, args.length // chunk)
+    names = [f"som{i}" for i in range(n_contig)]
+    hdr = BamHeader(text="", ref_names=names,
+                    ref_lengths=[chunk] * n_contig)
+    fa = os.path.join(td, "ref.fa")
+    nbam = os.path.join(td, "normal.bam")
+    tbam = os.path.join(td, "tumor.bam")
+    n_reads = 0
+    truth_all = {"som_snv": [], "som_del": [], "som_ins": []}
+    germ_sites: list[np.ndarray] = []
+    nbatches, tbatches = [], []
+    with open(fa, "w") as f:
+        for ci in range(n_contig):
+            # shared germline truth via ref_seed; tumor at 2x depth
+            # carries the somatic variants
+            refs, nb, gt = synth.generate(
+                L=chunk, depth=args.normal_depth, snv_every=900,
+                indel_every=1200, ref_seed=500 + ci, seed=600 + ci)
+            _, tb, tt = synth.generate(
+                L=chunk, depth=2 * args.normal_depth, snv_every=900,
+                indel_every=1200, ref_seed=500 + ci, seed=700 + ci,
+                somatic_every=1500, somatic_vaf=0.35,
+                somatic_indel_every=2100)
+            f.write(f">{names[ci]}\n")
+            for i in range(0, len(refs), 70):
+                f.write(refs[i:i + 70] + "\n")
+            for b, acc in ((nb, nbatches), (tb, tbatches)):
+                b.tid = np.full(b.n, ci, dtype=b.tid.dtype)
+                acc.append(b)
+                n_reads += b.n
+            for k in truth_all:
+                truth_all[k].append(np.asarray(tt[k]) + ci * chunk)
+            germ_sites.append(np.concatenate(
+                [np.asarray(gt[k]) for k in ("snv", "del", "ins")])
+                + ci * chunk)
+    write_bam(nbam, hdr, concat_batches(nbatches)
+              if len(nbatches) > 1 else nbatches[0])
+    write_bam(tbam, hdr, concat_batches(tbatches)
+              if len(tbatches) > 1 else tbatches[0])
+    del nbatches, tbatches
+    print(f"generated {n_reads} reads (T+N) over {n_contig} x "
+          f"{chunk / 1e6:.0f}Mb in {time.time() - t0:.0f}s",
+          file=sys.stderr)
+
+    stats_dir = os.path.join(td, "stats")
+    out_dir = os.path.join(td, "run")
+    env = dict(os.environ)
+    env["STRELKA_TPU_COMPILE_CACHE"] = "/tmp/strelka_tpu_jaxcache"
+    env["STRELKA_TPU_LAUNCH_STATS"] = stats_dir
+    env["STRELKA_TPU_SPAWN_STAGGER"] = "20"
+
+    warm = subprocess.run(
+        [sys.executable, "-m", "strelka_tpu.workflow.somatic",
+         "--reference", fa, "--normal-align-file", nbam,
+         "--tumor-align-file", tbam,
+         "--output-dir", os.path.join(td, "warm"),
+         "--exome", "--region", f"{names[0]}:1-400000"], env=env)
+    print(f"warmup rc={warm.returncode}", file=sys.stderr)
+
+    t1 = time.time()
+    r = subprocess.run(
+        [sys.executable, "-m", "strelka_tpu.workflow.somatic",
+         "--reference", fa, "--normal-align-file", nbam,
+         "--tumor-align-file", tbam, "--output-dir", out_dir,
+         "--exome", "--jobs", str(args.jobs)], env=env)
+    wall = time.time() - t1
+    assert r.returncode == 0, "somatic soak run failed"
+
+    # ---- somatic sensitivity + precision on PASS records ----
+    contig_off = {n: i * chunk for i, n in enumerate(names)}
+    called_snv, called_indel = set(), set()
+    n_pass = 0
+    for name, acc in (("somatic.snvs.vcf.gz", called_snv),
+                      ("somatic.indels.vcf.gz", called_indel)):
+        with gzip.open(os.path.join(out_dir, name), "rt") as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                fl = line.split("\t")
+                if fl[6] != "PASS":
+                    continue
+                n_pass += 1
+                acc.add(contig_off[fl[0]] + int(fl[1]) - 1)
+
+    def recall(tarrs, called, tol):
+        t = np.concatenate(tarrs) if tarrs else np.array([])
+        tp = sum(1 for p in t if any(abs(p - c) <= tol for c in called))
+        return tp, len(t)
+
+    s_tp, s_n = recall(truth_all["som_snv"], called_snv, 0)
+    d_tp, d_n = recall(truth_all["som_del"], called_indel, 3)
+    i_tp, i_n = recall(truth_all["som_ins"], called_indel, 3)
+    # false positives: PASS calls matching neither somatic truth nor a
+    # planted germline site (germline leakage counts as FP)
+    som_all = np.concatenate([np.concatenate(truth_all[k]) if truth_all[k]
+                              else np.array([]) for k in truth_all])
+    fp = 0
+    for c in list(called_snv) + [c - 1 for c in called_indel]:
+        if not (np.abs(som_all - c) <= 3).any():
+            fp += 1
+
+    # ---- launch tallies + per-shape device step times ----
+    score_stats: dict[tuple, int] = {}
+    snv_stats: dict[tuple, int] = {}
+    for path in glob.glob(os.path.join(stats_dir, "*.json")):
+        d = json.load(open(path))
+        for k, v in d.get("score", {}).items():
+            kk = tuple(int(x) for x in k.split(","))
+            score_stats[kk] = score_stats.get(kk, 0) + v
+        for k, v in d.get("snv", {}).items():
+            parts = k.split(",")
+            kk = (parts[0], int(parts[1]), int(parts[2]))
+            snv_stats[kk] = snv_stats.get(kk, 0) + v
+
+    import jax
+    backend = jax.default_backend()
+    device_s = 0.0
+    shape_rows = []
+    if backend == "tpu":
+        from benchmarks.chip_occupancy import step_time
+        from benchmarks.soak_tpu import snv_tile_step_time
+        for (B, R, L, W), n in sorted(score_stats.items()):
+            dt = step_time(B, R, L, W, n_long=6)
+            device_s += dt * n
+            shape_rows.append({"kind": "score", "shape": [B, R, L, W],
+                               "launches": n,
+                               "device_step_ms": round(dt * 1e3, 3)})
+        for (kind, Lt, Dt), n in sorted(snv_stats.items()):
+            if kind != "tile":
+                continue
+            dt = snv_tile_step_time(Lt, Dt)
+            device_s += dt * n
+            shape_rows.append({"kind": "snv_tile", "shape": [Lt, Dt],
+                               "launches": n,
+                               "device_step_ms": round(dt * 1e3, 3)})
+
+    occ = device_s / wall if wall > 0 else 0.0
+    result = {
+        "metric": "somatic_soak_tpu",
+        "backend": backend,
+        "length_bp": args.length,
+        "normal_depth": args.normal_depth,
+        "tumor_depth": 2 * args.normal_depth,
+        "jobs": args.jobs,
+        "reads": n_reads,
+        "wall_s": round(wall, 1),
+        "reads_per_s": round(n_reads / wall, 1),
+        "pass_records": n_pass,
+        "som_snv_recall": [s_tp, s_n],
+        "som_del_recall": [d_tp, d_n],
+        "som_ins_recall": [i_tp, i_n],
+        "false_positives": fp,
+        "device_s_est": round(device_s, 2),
+        "occupancy": round(occ, 6),
+        "shapes": shape_rows,
+        "note": ("somatic T/N soak on the tunneled TPU backend; "
+                 "occupancy = measured device time of tallied launches "
+                 "over wall (host loop is tunnel-RTT-bound on this "
+                 "rig). Reference bar: somatic WGS ~3h/28-core."),
+    }
+    print(json.dumps(result))
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    ok = (s_tp >= 0.95 * max(s_n, 1) and d_tp >= 0.9 * max(d_n, 1)
+          and i_tp >= 0.9 * max(i_n, 1))
+    print("PASS" if ok else "FAIL", file=sys.stderr)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

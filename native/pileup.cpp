@@ -377,6 +377,33 @@ int32_t fill_stripe(
             if (op_refs(op)) ref_p += ln;
         }
     }
+
+    // Zero the unfilled tail lanes of every tile row in this stripe
+    // (t_ridx tail reads as -1 for callers that index read arrays
+    // through the tile). The caller hands the tiles over UNINITIALIZED
+    // — zeroing here instead of a Python-side whole-arena fill touches
+    // only the tail bytes, threaded, with the row's pages already warm
+    // from the fill above (the arena memset was the single largest
+    // cost of indel-dense host profiles: ~3s per fresh 400kb region on
+    // a page-fault-bound VM).
+    for (int64_t g = stripe_begin; g < stripe_end; ++g)
+    {
+        const int64_t li = g - region_begin;
+        const int32_t s = slot[li];
+        if (s >= D) continue;
+        const int64_t off = li * (int64_t)D + s;
+        const int64_t n = D - s;
+        std::memset(t_base + off, 0, n);
+        std::memset(t_qual + off, 0, n * sizeof(int16_t));
+        std::memset(t_rawq + off, 0, n * sizeof(int16_t));
+        std::memset(t_fwd + off, 0, n);
+        std::memset(t_roff + off, 0, n * sizeof(int32_t));
+        std::memset(t_valid + off, 0, n);
+        std::memset(t_used + off, 0, n);
+        std::memset(t_t2used + off, 0, n);
+        std::memset(t_nbmm + off, 0, n);
+        for (int64_t d = 0; d < n; ++d) t_ridx[off + d] = -1;
+    }
     return 0;
 }
 
@@ -487,12 +514,8 @@ int32_t pileup_fill(
         for (int32_t c : rcs) rc |= c;
     }
     if (rc) return rc;
-
-    // invalid slots read as read_idx -1 (callers index read arrays
-    // through the tile without re-checking the valid mask)
-    for (int64_t li = 0; li < L; ++li)
-        for (int32_t d = slot[li]; d < D; ++d)
-            t_ridx[(int64_t)li * D + d] = -1;
+    // tail lanes (valid=0 masks, read_idx=-1, zeroed data lanes) are
+    // written per stripe inside fill_stripe
     return 0;
 }
 

@@ -400,9 +400,13 @@ def pileup_native(batch, level, ref_codes, ref_offset,
     tile_specs = [((L, D), dt) for dt in
                   (np.int8, np.int16, np.int16, np.uint8, np.int32,
                    np.int32, np.uint8, np.uint8, np.uint8, np.uint8)]
+    # tiles are handed to pileup_fill UNINITIALIZED: the native fill
+    # writes every lane below each row's depth and zeroes the tails
+    # per stripe (threaded, pages warm) — a Python-side whole-arena
+    # fill was the top cost of indel-dense regions on this VM
     arena = _TILE_POOL.acquire(_carve_size(tile_specs))
     (t_base, t_qual, t_rawq, t_fwd, t_ridx, t_roff, t_valid, t_used,
-     t_t2used, t_nbmm) = _carve_zeroed(arena, tile_specs)
+     t_t2used, t_nbmm) = _carve(arena, tile_specs)
     spandel = np.zeros(L, np.int32)
     submapped = np.zeros(L, np.int32)
     mapq_n = np.zeros(L, np.int32)

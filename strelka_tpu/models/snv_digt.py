@@ -16,6 +16,7 @@ prior products are all batched over loci.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -726,6 +727,16 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                             compute_sb=False, dep_delta=dd, dep_smis=sm)
         out = SnvCallResult(*[np.asarray(x) for x in res])
     else:
+        # Device backends pay a fixed per-launch dispatch cost (over
+        # the tunneled dev chip, ~30ms RTT per snv-tile launch — 943
+        # launches dominated SOAK_r04's device interaction), so chunks
+        # are 4x taller there: same bytes moved, 4x fewer round trips.
+        # Rows are independent, so the chunk height never changes
+        # results.
+        TL = SNV_TILE_L
+        if jax.default_backend() != "cpu":
+            TL = int(os.environ.get("STRELKA_TPU_SNV_TILE_L",
+                                    SNV_TILE_L * 4))
         Db = ((D + SNV_TILE_D_PAD - 1) // SNV_TILE_D_PAD) * SNV_TILE_D_PAD
 
         # staging buffers come from a page-resident arena pool (fresh
@@ -736,7 +747,7 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
         # is never re-carved while a launch still reads it.
         from ..io.native import (_carve, _carve_zeroed, _carve_size,
                                  _STAGE_POOL)
-        specs = [((SNV_TILE_L, Db), dt)
+        specs = [((TL, Db), dt)
                  for dt in (base.dtype, qual.dtype, np.bool_, np.bool_)]
         arena_nbytes = _carve_size(specs)
 
@@ -762,7 +773,9 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
         # a few chunks behind dispatch to bound staging memory, and
         # written straight into pooled output buffers (fresh
         # concatenate allocations page-fault slowly on this VM class)
-        MAX_INFLIGHT = 8
+        # 4x-taller device chunks keep the same staging footprint by
+        # halving the in-flight window twice
+        MAX_INFLIGHT = 8 if TL == SNV_TILE_L else 2
         pending = []
         outbufs: dict = {}
 
@@ -804,7 +817,7 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
         if hist_ok:
             from ..io.native import snv_hist_native
             hist_cols = _SNV_QTAB_SIZE * digt.N_BASE
-            hspecs = [((SNV_TILE_L, hist_cols), np.int8)]
+            hspecs = [((TL, hist_cols), np.int8)]
             hist_nbytes = _carve_size(hspecs)
 
         # engine mesh (--mesh): dp-shard the position axis of each
@@ -813,15 +826,15 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
         from ..parallel import mesh as pmesh
         _to_dev = pmesh.chunk_sharder()
 
-        for t0 in range(0, L, SNV_TILE_L):
-            t1 = min(t0 + SNV_TILE_L, L)
+        for t0 in range(0, L, TL):
+            t1 = min(t0 + TL, L)
             rows = t1 - t0
             if hist_ok:
                 arena = _STAGE_POOL.acquire(hist_nbytes)
                 # native snv_hist zeroes its rows itself (threaded,
                 # cache-warm); only the padding tail needs clearing
                 hbuf = _carve(arena, hspecs)[0]
-                if rows < SNV_TILE_L:
+                if rows < TL:
                     hbuf[rows:] = 0
                 if not snv_hist_native(base[t0:t1], qual[t0:t1],
                                        mask[t0:t1], _SNV_QTAB_SIZE,
@@ -829,23 +842,23 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                     hbuf[:rows] = 0
                     _np_snv_hist(base[t0:t1], qual[t0:t1], mask[t0:t1],
                                  hbuf[:rows])
-                if rows == SNV_TILE_L:
+                if rows == TL:
                     rg = ref_gt[t0:t1]
                     h = None if hap is None else hap[t0:t1]
                 else:
-                    rg = np.full(SNV_TILE_L, 4, dtype=ref_gt.dtype)
+                    rg = np.full(TL, 4, dtype=ref_gt.dtype)
                     rg[:rows] = ref_gt[t0:t1]
                     h = None
                     if hap is not None:
-                        h = np.zeros(SNV_TILE_L, dtype=bool)
+                        h = np.zeros(TL, dtype=bool)
                         h[:rows] = hap[t0:t1]
                 sub_hap = None if h is None else _to_dev(h)
                 sm = None
                 if s_delta is not None:
-                    sm = np.zeros((SNV_TILE_L, 4), np.float32)
+                    sm = np.zeros((TL, 4), np.float32)
                     sm[:rows] = s_delta[t0:t1]
                     sm = _to_dev(sm)
-                _tally("tile", SNV_TILE_L, Db)
+                _tally("tile", TL, Db)
                 res = call_snv_hist_tile(_to_dev(hbuf), _to_dev(rg),
                                          sub_hap, theta, s_mis=sm)
                 lt_dev = jnp.take_along_axis(
@@ -854,7 +867,7 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                 if len(pending) >= MAX_INFLIGHT:
                     pull_one()
                 continue
-            if direct_ok and rows == SNV_TILE_L:
+            if direct_ok and rows == TL:
                 vb = base[t0:t1]
                 vq = qual[t0:t1]
                 vf = fwd[t0:t1]
@@ -863,11 +876,11 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
                 h = None if hap is None else hap[t0:t1]
             else:
                 vb, vq, vf, vm = staged_chunk(rows, t0, t1)
-                rg = np.full(SNV_TILE_L, 4, dtype=ref_gt.dtype)
+                rg = np.full(TL, 4, dtype=ref_gt.dtype)
                 rg[:rows] = ref_gt[t0:t1]
                 h = None
                 if hap is not None:
-                    h = np.zeros(SNV_TILE_L, dtype=bool)
+                    h = np.zeros(TL, dtype=bool)
                     h[:rows] = hap[t0:t1]
             sub = SnvPileupTile(
                 base_id=_to_dev(vb),
@@ -879,10 +892,10 @@ def call_snv_tile_chunked(tile: SnvPileupTile, theta: float = 0.001,
             dd = None
             if plane_fn is not None:
                 rows_idx = np.arange(t0, t1)
-                dpad = np.zeros((SNV_TILE_L, Db), np.float32)
+                dpad = np.zeros((TL, Db), np.float32)
                 dpad[:rows, :D] = plane_fn(rows_idx)
                 dd = _to_dev(dpad)
-            _tally("tile", SNV_TILE_L, Db)
+            _tally("tile", TL, Db)
             res = call_snv_tile(sub, theta, sub_hap,
                                 het_vf_extension, het_vf_increment,
                                 compute_sb=False, dep_delta=dd)

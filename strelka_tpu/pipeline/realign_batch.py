@@ -298,7 +298,14 @@ def _score_loci_batched(
     if not use_pallas and emesh is None:
         from ..io.native import exact_score_best_offsets_native
         native_cpu = exact_score_best_offsets_native
-    buf_b = -(-B_CHUNK // dp) * dp  # chunk buffer padded to a dp multiple
+    # device backends pay a fixed per-launch dispatch cost (tunnel RTT
+    # on the dev rig): 4x-bigger scoring chunks cut the launch count
+    # with identical per-pair results (pairs are independent rows)
+    bchunk = B_CHUNK
+    if use_pallas:
+        bchunk = int(__import__("os").environ.get(
+            "STRELKA_TPU_SCORE_CHUNK", B_CHUNK * 4))
+    buf_b = -(-bchunk // dp) * dp  # chunk buffer padded to a dp multiple
     for (Rb, Lb, Wb), pairs in buckets.items():
         # fixed-size batch chunks: the pair count varies per region, so a
         # single [len(pairs), ...] launch would recompile every region
@@ -313,10 +320,10 @@ def _score_loci_batched(
         # layout, so no transpose is needed on device
         win_b = np.full((buf_b, Lb, Wb), 4, dtype=np.int8)
         pending: list[tuple[list[tuple[int, int]], int, object]] = []
-        for cs in range(0, len(pairs), B_CHUNK):
-            chunk = pairs[cs:cs + B_CHUNK]
+        for cs in range(0, len(pairs), bchunk):
+            chunk = pairs[cs:cs + bchunk]
             n = len(chunk)
-            Bp = B_CHUNK if n == B_CHUNK else max(8, 1 << (n - 1).bit_length())
+            Bp = bchunk if n == bchunk else max(8, 1 << (n - 1).bit_length())
             Bp = -(-Bp // dp) * dp  # every launch stays dp-shardable
             codes_b[:Bp] = 4
             delta_b[:Bp] = 0.0
