@@ -128,15 +128,15 @@ def main():
             shifted_hit = any(abs(p - d - c) <= tol for c in called
                               for d in (max_shift,)) and max_shift > 0
             if shifted_hit:
-                classes["shifted"].append(p)
+                classes["shifted"].append((ci, p))
             else:
                 # candidate check: was any insertion candidate within
                 # +-25bp reported at all (forced wide window)?
                 near = [c for c in called if abs(c - p) <= 25]
                 if near:
-                    classes["shifted"].append(p)
+                    classes["shifted"].append((ci, p))
                 else:
-                    classes["uncandidate"].append(p)
+                    classes["uncandidate"].append((ci, p))
             if hpol_len(codes, min(p, chunk - 1)) >= 6:
                 hpol_fn += 1
         print(f"chunk {ci}: cumulative ins {n_ins} tp {n_tp} "

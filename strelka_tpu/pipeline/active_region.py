@@ -246,6 +246,13 @@ class DiscoveredVariants:
     # NormalizedAltHaplotypeCountRatio feature.
     snv_ratio: dict = field(default_factory=dict)     # pos -> ratio
     indel_ratio: dict = field(default_factory=dict)   # IndelKey -> ratio
+    # supporting read rows per discovered indel: the reference adds an
+    # indel-buffer OBSERVATION for every read backing the haplotype
+    # (ActiveRegionProcessor.cpp:739-755 addIndelObservation per
+    # alignId) — without this, a discovered key whose aligner placement
+    # normalizes differently from the read-CIGAR key has no read
+    # support and silently fails candidacy (round-5 insertion-FN class)
+    indel_read_ids: dict = field(default_factory=dict)  # IndelKey -> set
 
 
 def candidate_variant_mask(counts: np.ndarray, depth: np.ndarray,
@@ -602,6 +609,7 @@ def process_active_region(
             hap_to_ids.setdefault(s, []).append(ridx)
         selected = select_haplotypes(hap_to_ids, ref_bytes, ploidy, is_fwd)
         hap_support = {h: len(ids) for h, ids in hap_to_ids.items()}
+        hap_ids = hap_to_ids
         # _numReadsUsedToGenerateHaplotypes = reads aligned to the
         # region in the counting path (ActiveRegionProcessor.cpp:94)
         n_reads_used = n_aligned
@@ -617,6 +625,8 @@ def process_active_region(
                                                is_fwd)]
         hap_support = {encode_bases(h).tobytes(): len(ids)
                        for h, ids in hap_map.items()}
+        hap_ids = {encode_bases(h).tobytes(): ids
+                   for h, ids in hap_map.items()}
         # assembly path (:205 totalNumReadsUsedInAssembly): distinct
         # reads contributing to any assembled haplotype
         n_reads_used = len({i for ids in hap_map.values() for i in ids})
@@ -637,6 +647,8 @@ def process_active_region(
         for key, hid in tmp.indels:
             acc_indels[key] = acc_indels.get(key, 0) + hid
             out.indel_ratio[key] = out.indel_ratio.get(key, 0.0) + ratio
+            out.indel_read_ids.setdefault(key, set()).update(
+                int(r) for r in hap_ids.get(h, ()))
         for pos, base, hid in tmp.snvs:
             acc_snvs[(pos, base)] = acc_snvs.get((pos, base), 0) + hid
             out.snv_ratio[pos] = out.snv_ratio.get(pos, 0.0) + ratio

@@ -379,6 +379,14 @@ def call_region(
                 rec = store._get(key)
                 rec.discovered_in_active_region = True
                 indel_hap_ids[(s, key)] = hap
+                # every read supporting the haplotype observes the
+                # discovered key (addIndelObservation per alignId,
+                # ActiveRegionProcessor.cpp:739-755) — a discovered
+                # placement that normalizes differently from the
+                # read-CIGAR key still gets its read support
+                for rid in dv.indel_read_ids.get(key, ()):
+                    store.add_read_observation(key, s, rid,
+                                               int(levels[s][rid]))
             for pos, base, hap in dv.snvs:
                 candidate_snvs.add((pos, base))
                 snv_hap_ids[(s, pos, base)] = hap
