@@ -126,6 +126,22 @@ def context_priors_for(pattern_size: int, repeat_count: int) -> ContextGenotypeP
     return make_context_priors(get_theta(pattern_size, repeat_count))
 
 
+@functools.lru_cache(maxsize=4096)
+def context_tri_priors(pattern_size: int, repeat_count: int,
+                       n_alleles: int, ploidy: int, top: int):
+    """(tri_genome, tri_poly) ln-prior vectors for one STR context +
+    genotype shape — the full per-locus prior construction cached by
+    its five integer keys (context_priors_for +
+    ag_genotype_priors_to_triangular x2 allocate ~6 small arrays per
+    sample-locus otherwise). numpy outputs only (lru-cached jnp arrays
+    leak tracers if first built inside a jit trace)."""
+    priors = context_priors_for(pattern_size, repeat_count)
+    g6 = priors.diploid if ploidy == 2 else priors.haploid
+    p6 = priors.diploid_poly if ploidy == 2 else priors.haploid_poly
+    return (ag_genotype_priors_to_triangular(g6, n_alleles, ploidy, top),
+            ag_genotype_priors_to_triangular(p6, n_alleles, ploidy, top))
+
+
 def ag_genotype_priors_to_triangular(priors6: np.ndarray, n_alleles: int,
                                      ploidy: int,
                                      top: int = 0) -> np.ndarray:

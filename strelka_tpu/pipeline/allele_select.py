@@ -203,9 +203,14 @@ def extension_candidates(top_keys: list[IndelKey],
     re_ = max(k.right_pos for k in top_keys)
     news: list[IndelKey] = []
     every_orthogonal = True
-    for k in all_candidates:
-        if k.pos < rb or k.pos > re_:
-            continue
+    # all_candidates is sorted by key (pos-major): bisect to the
+    # [rb, re_] window instead of scanning the whole region's list
+    import bisect
+    lo = bisect.bisect_left(all_candidates, rb,
+                            key=lambda k: k.pos)
+    for k in all_candidates[lo:]:
+        if k.pos > re_:
+            break
         if k.pos == pos:
             continue
         if all(indel_conflict(k, t) for t in top_keys):

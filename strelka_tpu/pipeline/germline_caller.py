@@ -1072,14 +1072,9 @@ def genotype_indel_locus(opt, keys, recs, kept, eas, levels, ref_codes,
                 sup = (p / p.sum(axis=1, keepdims=True)).sum(axis=0)
             top_s = int(np.argmax(sup[1:]))
         prior_rec = recs[top_s]
-        priors = ig.context_priors_for(prior_rec.repeat_unit_length,
-                                       prior_rec.ref_repeat_count)
-        tri_g = ig.ag_genotype_priors_to_triangular(
-            priors.diploid if ploidy == 2 else priors.haploid, A, ploidy,
-            top=top_s)
-        tri_p = ig.ag_genotype_priors_to_triangular(
-            priors.diploid_poly if ploidy == 2 else priors.haploid_poly,
-            A, ploidy, top=top_s)
+        tri_g, tri_p = ig.context_tri_priors(
+            int(prior_rec.repeat_unit_length),
+            int(prior_rec.ref_repeat_count), A, ploidy, top_s)
         edge_mean = 0.0
         if scores is None:
             lh = np.zeros(ig.genotype_count(ploidy, A))
