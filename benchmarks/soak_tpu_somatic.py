@@ -37,9 +37,15 @@ def main():
     ap.add_argument("--jobs", type=int, default=2)
     ap.add_argument("--out", default="SOAK_r05_somatic.json")
     ap.add_argument("--chunk-mb", type=int, default=5)
+    ap.add_argument("--reuse-dir", default=None,
+                    help="existing workdir with ref.fa/normal.bam/"
+                         "tumor.bam from a previous run with the same "
+                         "seeds/length — skips generation (truth is "
+                         "re-derived from the planting grids, which "
+                         "are read-independent)")
     args = ap.parse_args()
 
-    td = tempfile.mkdtemp(prefix="soaksom_")
+    td = args.reuse_dir or tempfile.mkdtemp(prefix="soaksom_")
     print(f"workdir {td}", file=sys.stderr)
 
     from benchmarks import synth
@@ -58,42 +64,69 @@ def main():
     n_reads = 0
     truth_all = {"som_snv": [], "som_del": [], "som_ins": []}
     germ_sites: list[np.ndarray] = []
-    nbatches, tbatches = [], []
-    with open(fa, "w") as f:
+    if args.reuse_dir:
+        # truth grids are placed deterministically from ref_seed and
+        # the grid spacings (read-independent), so depth=1 re-derives
+        # the identical truth without regenerating 12M reads
         for ci in range(n_contig):
-            # shared germline truth via ref_seed; tumor at 2x depth
-            # carries the somatic variants
-            refs, nb, gt = synth.generate(
-                L=chunk, depth=args.normal_depth, snv_every=900,
+            _, nb1, gt = synth.generate(
+                L=chunk, depth=1, snv_every=900,
                 indel_every=1200, ref_seed=500 + ci, seed=600 + ci)
-            _, tb, tt = synth.generate(
-                L=chunk, depth=2 * args.normal_depth, snv_every=900,
+            _, tb1, tt = synth.generate(
+                L=chunk, depth=1, snv_every=900,
                 indel_every=1200, ref_seed=500 + ci, seed=700 + ci,
                 somatic_every=1500, somatic_vaf=0.35,
                 somatic_indel_every=2100)
-            f.write(f">{names[ci]}\n")
-            for i in range(0, len(refs), 70):
-                f.write(refs[i:i + 70] + "\n")
-            for b, acc in ((nb, nbatches), (tb, tbatches)):
-                b.tid = np.full(b.n, ci, dtype=b.tid.dtype)
-                acc.append(b)
-                n_reads += b.n
             for k in truth_all:
                 truth_all[k].append(np.asarray(tt[k]) + ci * chunk)
             germ_sites.append(np.concatenate(
                 [np.asarray(gt[k]) for k in ("snv", "del", "ins")])
                 + ci * chunk)
-    write_bam(nbam, hdr, concat_batches(nbatches)
-              if len(nbatches) > 1 else nbatches[0])
-    write_bam(tbam, hdr, concat_batches(tbatches)
-              if len(tbatches) > 1 else tbatches[0])
-    del nbatches, tbatches
-    print(f"generated {n_reads} reads (T+N) over {n_contig} x "
-          f"{chunk / 1e6:.0f}Mb in {time.time() - t0:.0f}s",
-          file=sys.stderr)
+        from strelka_tpu.io.bam import read_bam
+        for p in (nbam, tbam):
+            n_reads += read_bam(p)[1].n
+        print(f"reused {td}: {n_reads} reads (T+N)", file=sys.stderr)
+    else:
+        nbatches, tbatches = [], []
+        with open(fa, "w") as f:
+            for ci in range(n_contig):
+                # shared germline truth via ref_seed; tumor at 2x depth
+                # carries the somatic variants
+                refs, nb, gt = synth.generate(
+                    L=chunk, depth=args.normal_depth, snv_every=900,
+                    indel_every=1200, ref_seed=500 + ci, seed=600 + ci)
+                _, tb, tt = synth.generate(
+                    L=chunk, depth=2 * args.normal_depth, snv_every=900,
+                    indel_every=1200, ref_seed=500 + ci, seed=700 + ci,
+                    somatic_every=1500, somatic_vaf=0.35,
+                    somatic_indel_every=2100)
+                f.write(f">{names[ci]}\n")
+                for i in range(0, len(refs), 70):
+                    f.write(refs[i:i + 70] + "\n")
+                for b, acc in ((nb, nbatches), (tb, tbatches)):
+                    b.tid = np.full(b.n, ci, dtype=b.tid.dtype)
+                    acc.append(b)
+                    n_reads += b.n
+                for k in truth_all:
+                    truth_all[k].append(np.asarray(tt[k]) + ci * chunk)
+                germ_sites.append(np.concatenate(
+                    [np.asarray(gt[k]) for k in ("snv", "del", "ins")])
+                    + ci * chunk)
+        write_bam(nbam, hdr, concat_batches(nbatches)
+                  if len(nbatches) > 1 else nbatches[0])
+        write_bam(tbam, hdr, concat_batches(tbatches)
+                  if len(tbatches) > 1 else tbatches[0])
+        del nbatches, tbatches
+        print(f"generated {n_reads} reads (T+N) over {n_contig} x "
+              f"{chunk / 1e6:.0f}Mb in {time.time() - t0:.0f}s",
+              file=sys.stderr)
 
     stats_dir = os.path.join(td, "stats")
     out_dir = os.path.join(td, "run")
+    if args.reuse_dir:
+        import shutil
+        for sub in ("run", "warm", "stats"):
+            shutil.rmtree(os.path.join(td, sub), ignore_errors=True)
     env = dict(os.environ)
     env["STRELKA_TPU_COMPILE_CACHE"] = "/tmp/strelka_tpu_jaxcache"
     env["STRELKA_TPU_LAUNCH_STATS"] = stats_dir

@@ -221,6 +221,32 @@ class SomaticSnvResult(NamedTuple):
     nonsomatic_qphred: jnp.ndarray # [L]
 
 
+# Device-launch row cap for the joint posterior. The tunneled TPU
+# backend DETERMINISTICALLY miscompiles the [L,3,2,F,F] broadcast +
+# logsumexp at L=32768 (row-local math returns different values for
+# bit-identical rows depending on batch height: q collapses to a
+# smooth 1..21 cloud on ~14% of rows, reproduced in f32 and f64, while
+# L<=16384 is bit-identical to CPU; see docs/tpu_backend_shape_bug.md).
+# All production entry points route through somatic_snv_call_capped so
+# no posterior launch exceeds this height; 8192 keeps a 2x margin
+# below the measured cliff.
+SNV_CALL_ROW_CAP = 8192
+
+
+def somatic_snv_call_capped(normal_lhood, tumor_lhood, **kw) -> "SomaticSnvResult":
+    """somatic_snv_call with the batch axis chunked to SNV_CALL_ROW_CAP
+    rows per device launch (results concatenated on device; identical
+    per-row math — the call is row-local)."""
+    L = normal_lhood.shape[0]
+    if L <= SNV_CALL_ROW_CAP:
+        return somatic_snv_call(normal_lhood, tumor_lhood, **kw)
+    parts = [somatic_snv_call(normal_lhood[i:i + SNV_CALL_ROW_CAP],
+                              tumor_lhood[i:i + SNV_CALL_ROW_CAP], **kw)
+             for i in range(0, L, SNV_CALL_ROW_CAP)]
+    return SomaticSnvResult(*[jnp.concatenate([getattr(p, f) for p in parts])
+                              for f in SomaticSnvResult._fields])
+
+
 @functools.partial(jax.jit, static_argnames=("contam_tolerance",
                                              "shared_error_rate",
                                              "somatic_rate", "theta",

@@ -96,6 +96,46 @@ def _score_kernel(mode, codes_ref, delta_ref, lnmis_ref, win_ref,
     R = codes_ref.shape[1]
     L = codes_ref.shape[2]
     wdt = w_scratch.dtype
+
+    if mode == "exact":
+        # ROLLED loop over the G tiles (round 5): one lax.fori_loop
+        # body instead of G unrolled copies. Per-tile math is identical
+        # (same fixed-order ops, same writes), so results stay
+        # bit-identical; but Mosaic now amortizes the per-grid-step
+        # fixed cost (~2us: grid/DMA orchestration, measured flat in R)
+        # over G=8 tiles without the unrolled-body compile blowup that
+        # made big-G unrolled kernels slow (r4). Measured 2-3x at the
+        # bench shape (benchmarks/exp_exact_kernel.py limb2r@8).
+        n_limb = len(LIMBS)
+
+        def body(g, _):
+            codes = codes_ref[g].astype(jnp.int32)
+            win = win_ref[g].astype(jnp.int32)
+            d_int = (delta_ref[g] * QUANT_SCALE).astype(jnp.int32)
+            limbs = [((d_int >> shift) & 255).astype(jnp.bfloat16)
+                     for shift, _w in LIMBS]
+            for b in range(N_BASE):
+                m = codes == b
+                w_scratch[b * L:(b + 1) * L, :] = (win == b).astype(wdt)
+                for j in range(n_limb):
+                    a_scratch[j * R:(j + 1) * R,
+                              b * L:(b + 1) * L] = jnp.where(
+                        m, limbs[j], jnp.bfloat16(0))
+            big = jnp.dot(a_scratch[:], w_scratch[:],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)  # [2R, W]
+            s = None
+            for j, (_s, weight) in enumerate(LIMBS):
+                part = big[j * R:(j + 1) * R] * weight
+                s = part if s is None else s + part
+            s = s * QUANT_INV + lnmis_ref[g]
+            best_ref[g] = jnp.max(s, axis=1, keepdims=True)
+            bestoff_ref[g] = jax.lax.argmax(s, 1, jnp.int32)[:, None]
+            return 0
+
+        jax.lax.fori_loop(0, G, body, 0)
+        return
+
     for g in range(G):
         # int8 is the HBM/VMEM transfer type; Mosaic lacks packed-i8
         # vector compares, so widen on the VPU before the one-hot masks
@@ -174,10 +214,12 @@ def _pick_g(B, R, L, W, mode):
         io = g * (R * L * 5 + R * 4 + L * W + R * 8) * 2  # double-buffered
         return io + slabs
 
-    # G=2 measured best for the 2-limb kernel across shared-chip
-    # sessions (r4 A/B: G2 <= G1 < G4 << G8 at R=128..256;
-    # benchmarks/exp_exact_kernel.py)
-    G = 2
+    # exact mode runs a ROLLED loop over the tiles: G=8 amortizes the
+    # per-grid-step fixed cost with no unrolled-body blowup (r5 A/B:
+    # limb2r@8 2-3x over unrolled G=2; benchmarks/exp_exact_kernel.py).
+    # The unrolled "highest" path keeps r4's G=2 (unrolled G4/G8 were
+    # slower).
+    G = 8 if mode == "exact" else 2
     while G > 1 and (B % G or est(G) > 10 * 2**20):
         G //= 2
     return G

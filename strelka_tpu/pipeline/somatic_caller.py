@@ -406,7 +406,7 @@ def call_somatic_region(
     # --- SNVs: tier1 grid lhoods + joint call, device-resident ---
     shared_rate = opt.shared_site_error_rate
     def run_tier(nlh, tlh):
-        return ss.somatic_snv_call(
+        return ss.somatic_snv_call_capped(
             jnp.asarray(nlh), jnp.asarray(tlh),
             contam_tolerance=opt.ssnv_contam_tolerance,
             shared_error_rate=shared_rate,

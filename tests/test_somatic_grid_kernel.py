@@ -77,3 +77,36 @@ def test_matmul_kernel_q0_neg_inf_cases():
     assert np.isneginf(got[0, 0]) and np.isneginf(got[1, 0])
     # alt call at q=0 kills the HOM state
     assert np.isneginf(got[2, 1])
+
+
+def test_capped_call_matches_uncapped_rowwise():
+    # The tunneled TPU backend deterministically miscompiles the joint
+    # posterior at batch heights >= 32768 (row-local math changes with
+    # batch height; docs/tpu_backend_shape_bug.md). Production routes
+    # through somatic_snv_call_capped, which chunks at SNV_CALL_ROW_CAP
+    # rows. On CPU both paths are correct, so capped must equal
+    # uncapped row-for-row across a chunk boundary, including a ragged
+    # tail.
+    rng = np.random.default_rng(11)
+    L = ss.SNV_CALL_ROW_CAP + 1237
+    G = ss.GRID_SIZE
+    nl = -np.abs(rng.normal(80, 40, (L, G))).astype(np.float32)
+    tl = -np.abs(rng.normal(80, 40, (L, G))).astype(np.float32)
+    full = ss.somatic_snv_call(nl, tl)
+    capped = ss.somatic_snv_call_capped(nl, tl)
+    for f in type(full)._fields:
+        assert np.array_equal(np.asarray(getattr(full, f)),
+                              np.asarray(getattr(capped, f))), f
+
+
+def test_capped_call_is_wired_into_the_caller():
+    # the production run_tier must never launch the posterior above the
+    # cap (the cliff sits at 32768; the cap keeps a 2x margin)
+    import inspect
+
+    from strelka_tpu.pipeline import somatic_caller as sc
+    assert ss.SNV_CALL_ROW_CAP <= 16384
+    src = inspect.getsource(sc)
+    assert "somatic_snv_call_capped(" in src
+    # no direct uncapped production call remains in the caller
+    assert "ss.somatic_snv_call(" not in src
