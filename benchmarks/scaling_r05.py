@@ -86,6 +86,9 @@ def main():
              "import sys; from strelka_tpu.workflow.germline import "
              "run_germline; sys.exit(run_germline(sys.argv[1:]))",
              "--reference", fa, "--align-file", bam, "--exome",
+             "--platform", "cpu",  # workers must not init the tunneled
+                                   # TPU backend: this artifact measures
+                                   # HOST-core scaling
              "--output-dir", out, "--jobs", str(jobs)],
             env=base_env).returncode
         wall = time.time() - t0

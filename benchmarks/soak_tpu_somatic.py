@@ -238,8 +238,13 @@ def main():
         "shapes": shape_rows,
         "note": ("somatic T/N soak on the tunneled TPU backend; "
                  "occupancy = measured device time of tallied launches "
-                 "over wall (host loop is tunnel-RTT-bound on this "
-                 "rig). Reference bar: somatic WGS ~3h/28-core."),
+                 "over wall. CAVEAT: only realignment-scoring launches "
+                 "are tallied — the somatic tier1 freq-grid + "
+                 "capped-posterior launches are outside the "
+                 "LAUNCH_STATS categories, so device time is an "
+                 "undercount; the headline is wall + recall/precision "
+                 "(host loop is tunnel-RTT-bound on this rig). "
+                 "Reference bar: somatic WGS ~3h/28-core."),
     }
     print(json.dumps(result))
     with open(args.out, "w") as f:
