@@ -106,11 +106,15 @@ def main():
            "mb_per_contig": args.mb_per_contig,
            "host_cpus": os.cpu_count(),
            "rows": rows,
-           "note": ("process fan-out over independent contig segments; "
-                    "efficiency saturates at the host core count "
-                    "(this rig: see host_cpus). Chip-level rate is "
-                    "BENCH_r05.json; ICI-mesh correctness is "
-                    "MULTICHIP_r05.json.")}
+           "note": ("process fan-out over independent contig segments. "
+                    "NOTE jobs=1 is not single-core: the native layers "
+                    "(BGZF parallel inflate, threaded pileup fill) "
+                    "already thread inside one process, so one worker "
+                    "can saturate a small host and extra workers "
+                    "oversubscribe — the fan-out axis pays off across "
+                    "hosts/cores beyond the intra-process threading "
+                    "scale. Chip-level rate is BENCH_r05.json; "
+                    "ICI-mesh correctness is MULTICHIP_r05.json.")}
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING_r05.json")
     with open(path, "w") as f:
