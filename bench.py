@@ -81,14 +81,18 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # three short/long rounds interleaved: the shared dev chip has
+    # six short/long rounds interleaved: the shared dev chip has
     # multi-second busy windows from other tenants (measured swings of
     # 2-5x within one session); taking the best matched pair keeps the
     # difference method honest while dodging a window that would
-    # otherwise taint the whole measurement
+    # otherwise taint the whole measurement. Rounds cost ~0.3s each
+    # against the ~2min compile, so more minima are nearly free.
+    # ...and SPREAD over ~a minute: tenant busy windows last seconds to
+    # minutes, so back-to-back rounds all land in the same window
     t_short = timed(N_SHORT)
     t_long = timed(N_LONG)
-    for _ in range(2):
+    for _ in range(5):
+        time.sleep(10)
         t_short = min(t_short, timed(N_SHORT))
         t_long = min(t_long, timed(N_LONG))
     dt_step = max(t_long - t_short, 1e-9) / (N_LONG - N_SHORT)
